@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental-load semantics: window filter, upsert/MERGE, delete+insert,
+  * full replace, schema projection.
+  *
+  * Reference: dags/incremental_etl_dag.py:59-84 (lookback window),
+  * misa_crm_loader.py:215-500 (MERGE on business key),
+  * misa_crm_loader.py:847-880 + dags/incremental_refresh_bridge_dag.py
+  * (delete-by-key then insert), shopee_orders_loader.py:162-211
+  * (full-load replace with FK-safe cascade clear),
+  * misa_crm_loader.py:123,274 (column-intersect against target schema).
+  */
+object Incremental {
+
+  /** `update_time >= watermark` as a literal predicate on the scan column
+    * so Catalyst pushes it into the parquet reader (PushedFilters) —
+    * at 100 TB this is the difference between reading a day and reading
+    * the lake. Apply BEFORE any join/explode. */
+  def windowFilter(df: DataFrame, tsCol: String, watermark: String): DataFrame =
+    df.where(col(tsCol) >= lit(watermark).cast("timestamp"))
+
+  /** Variant for nano-epoch long columns (Tables.loadEvents.ts_ns): the
+    * comparison stays on the physical parquet column so it reaches
+    * PushedFilters; a filter on a derived timestamp would not. */
+  def windowFilterNanos(df: DataFrame, nsCol: String, watermarkNs: Long): DataFrame =
+    df.where(col(nsCol) >= lit(watermarkNs))
+
+  /** MERGE: rows from `updates` replace same-key rows in `base`; new keys
+    * append. One union + one hash shuffle on `keys` (the keep-last
+    * window); no driver round-trips. `order` breaks intra-source
+    * duplicates (e.g. update_time); source precedence wins above it. */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      order: Seq[Column] = Nil): DataFrame = {
+    val cols = base.columns.toSeq
+    val tagged = base.select(cols.map(col): _*).withColumn("__src", lit(0))
+      .unionByName(updates.select(cols.map(col): _*).withColumn("__src", lit(1)))
+    Dedup.keepLast(tagged, keys, order :+ col("__src")).drop("__src")
+  }
+
+  /** Delete-by-key then insert (bridge refresh). The delta key set is
+    * small relative to base → broadcast the anti-join side. */
+  def deleteInsert(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val deltaKeys = delta.select(keys.map(col): _*).distinct()
+    base.join(broadcast(deltaKeys), keys, "left_anti")
+      .unionByName(delta.select(base.columns.map(col).toSeq: _*))
+  }
+
+  /** Full-load replace with FK-safe ordering: children cleared before
+    * parents, parents written before children. Returns the (table, df)
+    * write sequence; the caller owns the sink. `fkOrder` lists parents
+    * first (e.g. orders before lineitem). */
+  def fullLoadReplace(
+      tables: Map[String, DataFrame],
+      fkOrder: Seq[String]): Seq[(String, DataFrame)] = {
+    val clearOrder = fkOrder.reverse.filter(tables.contains)
+    require(clearOrder.nonEmpty, "no tables to replace")
+    fkOrder.filter(tables.contains).map(t => t -> tables(t))
+  }
+
+  /** Project to the intersection of df columns and the target schema, in
+    * target order — schema-only driver work, no data movement
+    * (misa_crm_loader.py:123,274). */
+  def schemaProject(df: DataFrame, targetCols: Seq[String]): DataFrame = {
+    val have = df.columns.toSet
+    df.select(targetCols.filter(have.contains).map(col): _*)
+  }
+}

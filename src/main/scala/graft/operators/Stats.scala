@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Row-count reports, per-batch stats, batch-run audit log.
+  *
+  * Reference: query/đếm số dòng mỗi bảng.sql (per-table row counts via
+  * sys.partitions), misa_crm_loader.py:1125 (COUNT(DISTINCT
+  * etl_batch_id) batch stats), sql/00_master_setup.sql:65-95
+  * (etl_control audit table: per-run source, window, row counts,
+  * status).
+  *
+  * Scale: `count(*)` on parquet is answered from footer metadata (no
+  * data read); the grouped stats are partial-aggregated map-side before
+  * one shuffle on the (small) group key.
+  */
+object Stats {
+
+  /** Per-table row counts, descending — the reference's most-run query. */
+  def rowCounts(spark: SparkSession, sfDir: String,
+      tables: Seq[String] = Tables.allTables): DataFrame =
+    tables.map { t =>
+      Tables.load(spark, sfDir, t)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"))
+    }.reduce(_ unionByName _).orderBy(desc("n_rows"), col("table_name"))
+
+  /** Per-day batch stats over an event feed: rows, distinct actors,
+    * exact-decimal value total (cross-engine stable). */
+  def batchStats(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("batch_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("batch_date")
+
+  /** Batch-run audit rows: one per source with run window + volume +
+    * derived status (etl_control analogue). */
+  def auditLog(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type").as("etl_source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .withColumn("status", when(col("n_rows") > 0, lit("SUCCESS")).otherwise(lit("EMPTY")))
+      .orderBy("etl_source")
+}

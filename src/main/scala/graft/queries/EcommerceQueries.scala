@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.{EtlMeta, SafeCasts}
+import graft.operators._
+
+/** Driver-checked query set covering SURVEY.md §2 rows 1–16 (the
+  * reference's ETL operator surface re-expressed on the test star
+  * schema). Every query is deterministic (stable ORDER BY, decimal-exact
+  * aggregation, timestamps formatted to seconds) so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  */
+object EcommerceQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** §2 #1/#15 — per-table row counts (query/đếm số dòng mỗi bảng.sql). */
+  def q01Rowcounts(s: SparkSession, dir: String): DataFrame =
+    Stats.rowCounts(s, dir)
+
+  /** §2 #9 — PK dedup keep-last (shopee_orders_loader.py:283-340).
+    * event_id is the ingestion sequence → pandas keep="last" ≡ max
+    * event_id per (user_id, event_type). */
+  def q02DedupKeepLast(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    Dedup.keepLast(ev, Seq("user_id", "event_type"), Seq(col("event_id")))
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"), col("value").as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** §2 #2/#3 — nested-JSON props → typed child columns
+    * (shopee_orders_transformer.py:145-365). Explicit schema; no
+    * inference scan. */
+  def q03NormalizeProps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Normalize.parseJson(t(s, dir, "events"), "props",
+      StructType(Seq(StructField("k", LongType))))
+    ev.select(col("event_id"), col("event_type"),
+        col("parsed.k").as("prop_k"))
+      .where(col("prop_k").isNotNull)
+      .orderBy("event_id")
+  }
+
+  /** §2 #4 — array explode → child rows
+    * (shopee_orders_transformer.py:245-365). */
+  def q04ExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("word"))
+
+  /** §2 #5 — order×item flatten with prefixes + multiplicity flags
+    * (misa_crm_transformer.py:206-338). */
+  def q05FlattenPrefix(s: SparkSession, dir: String): DataFrame = {
+    val flat = Flatten.prefixFlatten(
+      t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+      "o_orderkey", "l_orderkey")
+    flat.select(
+        col("order_o_orderkey").as("order_key"),
+        col("order_o_orderstatus").as("order_status"),
+        col("item_l_linenumber").as("item_linenumber"),
+        col("item_l_quantity").as("item_quantity"),
+        col("total_items_in_order"), col("has_multiple_items"))
+      .orderBy("order_key", "item_linenumber")
+  }
+
+  /** §2 #6 — safe typed casts, null-on-error
+    * (shopee_orders_transformer.py:45-86). */
+  def q06SafeCasts(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val boolStr = when(col("p_size") % 4 === 0, lit("TRUE"))
+      .when(col("p_size") % 4 === 1, lit("yes"))
+      .when(col("p_size") % 4 === 2, lit("off"))
+      .otherwise(lit("1"))
+    p.select(
+        col("p_partkey"),
+        SafeCasts.safeInt(col("p_brand")).as("brand_as_int"),
+        SafeCasts.safeInt(regexp_extract(col("p_brand"), "([0-9]+)", 1))
+          .as("brand_num"),
+        SafeCasts.safeFloat(col("p_type")).as("type_as_float"),
+        SafeCasts.safeBool(boolStr).as("flag"),
+        SafeCasts.safeString(col("p_name"), 12).as("name_trunc"))
+      .orderBy("p_partkey")
+  }
+
+  /** §2 #7 — unix seconds/millis → UTC timestamp, 0 → null
+    * (shopee_orders_transformer.py:36-43). */
+  def q07UnixTs(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val sec = when(col("o_orderkey") % 10 === 0, lit(0L))
+      .otherwise(col("o_orderkey") * 7919L)
+    o.select(
+        col("o_orderkey"),
+        date_format(SafeCasts.unixSecondsToTs(sec), "yyyy-MM-dd HH:mm:ss")
+          .as("ts_from_sec"),
+        date_format(SafeCasts.unixMillisToTs(sec * 1000L), "yyyy-MM-dd HH:mm:ss")
+          .as("ts_from_ms"))
+      .orderBy("o_orderkey")
+  }
+
+  /** §2 #8 — ETL metadata columns (shopee_orders_transformer.py:88-95),
+    * injectable timestamp for reproducibility. */
+  def q08EtlMetadata(s: SparkSession, dir: String): DataFrame = {
+    val withMeta = EtlMeta.withEtlMetadata(
+      t(s, dir, "nation"), "batch-0001", "graft_engine",
+      Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    withMeta.select(col("n_nationkey"), col("n_name"),
+        col("etl_batch_id"),
+        date_format(col("etl_created_at"), "yyyy-MM-dd HH:mm:ss")
+          .as("etl_created"),
+        col("etl_source"))
+      .orderBy("n_nationkey")
+  }
+
+  /** §2 #13 — incremental window filter pushed to the scan, then rollup
+    * (incremental_etl_dag.py:59-84). */
+  def q09IncrementalAgg(s: SparkSession, dir: String): DataFrame =
+    Incremental.windowFilterNanos(t(s, dir, "events"), "ts_ns",
+        Tables.utcNanos("2024-01-20 00:00:00"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("event_type")
+
+  /** Star-schema rollup: revenue by region × returnflag; dims broadcast
+    * (VERDICT r1 item 6: ≤2 shuffles — lineitem⋈orders shuffle + final
+    * group-by; customer/nation/region ride broadcasts). */
+  def q10StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = broadcast(t(s, dir, "customer"))
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("l_returnflag"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count_distinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("r_name", "l_returnflag")
+  }
+
+  /** §2 #10 — incremental upsert / MERGE on business key
+    * (misa_crm_loader.py:215-500). */
+  def q11Upsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val base = o.where(col("o_orderkey") % 3 =!= 0)
+    val updates = o.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    Incremental.upsert(base, updates, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** §2 #11 — delete-by-key then insert (misa_crm_loader.py:847-880). */
+  def q12DeleteInsert(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    val delta = c.where(col("c_custkey") % 10 === 0)
+      .withColumn("c_mktsegment", lit("REFRESH"))
+      .withColumn("c_acctbal", lit(0.0))
+    Incremental.deleteInsert(c, delta, Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  /** §2 #12 — full-load replace, FK-safe cascade order
+    * (shopee_orders_loader.py:162-211): children cleared before parents. */
+  def q13CascadeOrder(s: SparkSession, dir: String): DataFrame = {
+    val tables = Map(
+      "orders" -> t(s, dir, "orders"),
+      "lineitem" -> t(s, dir, "lineitem"))
+    val clearOrder = Incremental
+      .fullLoadReplace(tables, fkOrder = Seq("orders", "lineitem"))
+      .map(_._1).reverse // write order parents-first → clear order children-first
+    clearOrder.zipWithIndex.map { case (name, i) =>
+      tables(name).agg(count(lit(1)).as("n_rows"))
+        .select(lit(i + 1).as("del_order"), lit(name).as("table_name"),
+          col("n_rows"))
+    }.reduce(_ unionByName _).orderBy("del_order")
+  }
+
+  /** §2 #14 — schema projection / column-intersect
+    * (misa_crm_loader.py:123,274): target has a column the source lacks
+    * and drops source columns the target lacks. */
+  def q14SchemaProject(s: SparkSession, dir: String): DataFrame = {
+    val projected = Incremental.schemaProject(
+      t(s, dir, "orders"),
+      targetCols = Seq("o_orderkey", "o_orderdate", "o_totalprice",
+        "column_only_in_target"))
+    projected.select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** §2 #15 — per-batch stats (misa_crm_loader.py:1125). */
+  def q15BatchStats(s: SparkSession, dir: String): DataFrame =
+    Stats.batchStats(t(s, dir, "events"))
+      .withColumn("batch_date", date_format(col("batch_date"), "yyyy-MM-dd"))
+
+  /** §2 #16 — batch-run audit log (sql/00_master_setup.sql:65-95). */
+  def q16AuditLog(s: SparkSession, dir: String): DataFrame =
+    Stats.auditLog(t(s, dir, "events"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_rowcounts" -> (q01Rowcounts _),
+    "q02_dedup_keep_last" -> (q02DedupKeepLast _),
+    "q03_normalize_props" -> (q03NormalizeProps _),
+    "q04_explode_tokens" -> (q04ExplodeTokens _),
+    "q05_flatten_prefix" -> (q05FlattenPrefix _),
+    "q06_safe_casts" -> (q06SafeCasts _),
+    "q07_unix_ts" -> (q07UnixTs _),
+    "q08_etl_metadata" -> (q08EtlMetadata _),
+    "q09_incremental_agg" -> (q09IncrementalAgg _),
+    "q10_star_join" -> (q10StarJoin _),
+    "q11_upsert" -> (q11Upsert _),
+    "q12_delete_insert" -> (q12DeleteInsert _),
+    "q13_cascade_order" -> (q13CascadeOrder _),
+    "q14_schema_project" -> (q14SchemaProject _),
+    "q15_batch_stats" -> (q15BatchStats _),
+    "q16_audit_log" -> (q16AuditLog _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_rowcounts" ->
+      Tables.allTables.map(t =>
+        s"SELECT '$t' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM $t")
+        .mkString("", " UNION ALL ", " ORDER BY n_rows DESC, table_name"),
+
+    "q02_dedup_keep_last" ->
+      """SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q03_normalize_props" ->
+      """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "q04_explode_tokens" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word ORDER BY n DESC, word""".stripMargin,
+
+    "q05_flatten_prefix" ->
+      """SELECT o.o_orderkey AS order_key, o.o_orderstatus AS order_status,
+        |  l.l_linenumber AS item_linenumber, l.l_quantity AS item_quantity,
+        |  CAST(count(l.l_orderkey) OVER (PARTITION BY o.o_orderkey) AS BIGINT) AS total_items_in_order,
+        |  (count(l.l_orderkey) OVER (PARTITION BY o.o_orderkey)) > 1 AS has_multiple_items
+        |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |ORDER BY order_key, item_linenumber NULLS FIRST""".stripMargin,
+
+    "q06_safe_casts" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(p_brand AS BIGINT) AS brand_as_int,
+        |  TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+        |  TRY_CAST(p_type AS DOUBLE) AS type_as_float,
+        |  (lower(trim(CASE WHEN p_size % 4 = 0 THEN 'TRUE' WHEN p_size % 4 = 1 THEN 'yes'
+        |               WHEN p_size % 4 = 2 THEN 'off' ELSE '1' END))
+        |     IN ('true','1','yes','on')) AS flag,
+        |  substr(p_name, 1, 12) AS name_trunc
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q07_unix_ts" ->
+      """SELECT o_orderkey,
+        |  strftime(to_timestamp(nullif(CASE WHEN o_orderkey % 10 = 0 THEN 0 ELSE o_orderkey * 7919 END, 0)), '%Y-%m-%d %H:%M:%S') AS ts_from_sec,
+        |  strftime(epoch_ms(nullif(CASE WHEN o_orderkey % 10 = 0 THEN 0 ELSE o_orderkey * 7919 END, 0) * 1000), '%Y-%m-%d %H:%M:%S') AS ts_from_ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q08_etl_metadata" ->
+      """SELECT n_nationkey, n_name, 'batch-0001' AS etl_batch_id,
+        |  '2024-01-01 00:00:00' AS etl_created, 'graft_engine' AS etl_source
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q09_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q10_star_join" ->
+      """SELECT r_name, l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, l_returnflag ORDER BY r_name, l_returnflag""".stripMargin,
+
+    "q11_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders WHERE o_orderkey % 3 <> 0),
+        |upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice, 1 AS src FROM orders WHERE o_orderkey % 2 = 0),
+        |merged AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM merged)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q12_delete_insert" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 10 <> 0
+        |UNION ALL
+        |SELECT c_custkey, 'REFRESH' AS c_mktsegment, 0.0 AS c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q13_cascade_order" ->
+      """SELECT 1 AS del_order, 'lineitem' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+        |UNION ALL
+        |SELECT 2 AS del_order, 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM orders
+        |ORDER BY del_order""".stripMargin,
+
+    "q14_schema_project" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q15_batch_stats" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS batch_date,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_audit_log" ->
+      """SELECT event_type AS etl_source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CASE WHEN count(*) > 0 THEN 'SUCCESS' ELSE 'EMPTY' END AS status
+        |FROM events GROUP BY event_type ORDER BY etl_source""".stripMargin
+  )
+}
