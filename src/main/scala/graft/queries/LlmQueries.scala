@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators._
+
+/** SURVEY.md §2 rows 17–21: LLM-data-pipeline operators over the
+  * `documents` and `embeddings` tables. SQL-expressible ops carry a
+  * DuckDB oracle; LSH-based ops are rows-only here and get recall
+  * ScalaTests against planted near-dups (docs suffixed " dup"). */
+object LlmQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** §2 #17 — exact dedup after a simulated re-ingest (second batch =
+    * every 5th doc with shifted ids → real duplicate groups). */
+  def q17ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val reingest = d.where(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    TextDedup.exact(d.unionByName(reingest), "doc_id", "text")
+      .orderBy("text_hash")
+  }
+
+  /** §2 #18 — MinHash banded-LSH near-dup pairs, Jaccard-verified.
+    * Rows-only (xxhash64 signatures are engine-specific); recall is
+    * asserted in MinHashLSHSpec against the planted dups. */
+  def q18MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("doc_a", "doc_b")
+
+  /** §2 #18 — SimHash fingerprint near-dup pairs (Hamming ≤ 8 over
+    * 64-bit charikar fingerprints, chunk-bucketed candidates). */
+  def q19Simhash(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8)
+      .orderBy("doc_a", "doc_b")
+
+  /** §2 #18 — exact n-gram Jaccard within a blocking key (source):
+    * pairwise only inside blocks, SQL-checkable. */
+  def q20NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup.blockedJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCol = "source", n = 3, minJaccard = 0.3)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("doc_a", "doc_b")
+
+  /** §2 #19 — brute-force cosine top-k baseline (query = vec_id 7). */
+  def q21CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.bruteForceTopK(e.where(col("vec_id") =!= 7),
+        e.where(col("vec_id") === 7), "vec_id", "embedding", k = 10)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+  }
+
+  /** §2 #19 — IVF-bucketed ANN (scale path: probe nprobe/nClusters of
+    * the corpus). Rows-only; recall@10 vs brute force asserted in
+    * AnnSpec. */
+  def q22AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.ivfTopK(e.where(col("vec_id") =!= 7),
+        e.where(col("vec_id") === 7), "vec_id", "embedding", k = 10,
+        nClusters = 8, nprobe = 5, iters = 2)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+  }
+
+  /** §2 #20 — per-doc text analysis: token counts, punctuation and
+    * stopword density, language heuristic, quality score. */
+  def q23TextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** §2 #20 — rolling-hash document fingerprint (md5-token polynomial
+    * fold mod 1e9+7 — engine-portable). */
+  def q24Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** §2 #21 — multimodal binary column + typed metadata. */
+  def q25MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withBinaryMeta(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_bytes"), col("magic8"),
+        col("est_chunks").cast("bigint").as("est_chunks"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_exact_dedup" -> (q17ExactDedup _),
+    "q18_minhash_pairs" -> (q18MinhashPairs _),
+    "q19_simhash" -> (q19Simhash _),
+    "q20_ngram_jaccard" -> (q20NgramJaccard _),
+    "q21_cosine_topk" -> (q21CosineTopk _),
+    "q22_ann_lsh" -> (q22AnnLsh _),
+    "q23_text_stats" -> (q23TextStats _),
+    "q24_fingerprint" -> (q24Fingerprint _),
+    "q25_multimodal_meta" -> (q25MultimodalMeta _)
+  )
+
+  private val toksSql =
+    """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q17_exact_dedup" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |h AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash FROM all_docs)
+         |SELECT text_hash, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
+         |FROM h GROUP BY text_hash ORDER BY text_hash""".stripMargin,
+
+    "q20_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, source, $toksSql AS w FROM documents),
+         |d3 AS (SELECT doc_id, source,
+         |  list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, greatest(len(w)-2, 1))]) AS shs FROM w),
+         |sh AS (SELECT doc_id, source, unnest(shs) AS sh FROM d3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q21_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+        |SELECT vec_id, round(
+        |  list_sum(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+        |  / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim
+        |FROM embeddings, q WHERE vec_id <> 7
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q23_text_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $toksSql AS toks,
+         |    CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+         |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+         |  FROM documents),
+         |m AS (SELECT doc_id, text, punct_ratio,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+         |    CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','was','for','on','with','as','at','by','be','this'))) AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio,
+         |    len(list_distinct(toks)) AS n_distinct
+         |  FROM base)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, punct_ratio, stop_ratio,
+         |  CASE WHEN stop_ratio >= 0.05 THEN 'en'
+         |       WHEN regexp_matches(text, '[àáảãạăâèéẻẽẹêìíỉĩịòóỏõọôơùúủũụưỳýỷỹỵđ]') THEN 'vi'
+         |       WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+         |       ELSE 'other' END AS lang_pred,
+         |  (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+         |    + (CAST(n_distinct AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 0.4
+         |    + (1.0 - punct_ratio) * 0.2 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q24_fingerprint" ->
+      s"""WITH w AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+         |              (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q25_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  lower(substr(hex(encode(text)), 1, 8)) AS magic8,
+        |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS est_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

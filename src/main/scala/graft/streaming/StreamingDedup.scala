@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The reference's 15-minute incremental micro-batch DAG
+  * (dags/incremental_etl_dag.py) re-expressed as Structured Streaming:
+  * a continuously-maintained keep-last-per-key view of an update feed.
+  *
+  * State is one row per business key (the current winner), partitioned
+  * by key across executors — the streaming analogue of the batch
+  * keep-last window in [[graft.operators.Dedup]]. Emits a record only
+  * when the key's winner changes (upsert semantics for a downstream
+  * sink in OutputMode.Update).
+  */
+object StreamingDedup {
+
+  case class Upd(key: Long, seq: Long, status: String, amount: Double)
+
+  def keepLastStream(spark: SparkSession, updates: Dataset[Upd]): Dataset[Upd] = {
+    import spark.implicits._
+    updates
+      .groupByKey(_.key)
+      .mapGroupsWithState[Upd, Upd](GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Upd], state: GroupState[Upd]) =>
+          val incoming = rows.maxBy(_.seq)
+          val winner = state.getOption match {
+            case Some(cur) if cur.seq >= incoming.seq => cur
+            case _ => incoming
+          }
+          state.update(winner)
+          winner
+      }
+  }
+
+  /** Windowed per-type rollup with a watermark — the streaming form of
+    * Stats.batchStats (late data beyond the watermark is dropped,
+    * state is bounded). */
+  def windowedCounts(spark: SparkSession,
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MinHashLSH, SimHash}
+
+class MinHashLSHSpec extends SparkTestBase {
+
+  /** The test corpus plants near-dups as `<original text> + " dup"`. */
+  private def plantedPairs = {
+    val docs = Tables.load(spark, sf001, "documents")
+    val dups = docs.where(col("text").endsWith(" dup"))
+      .select(col("doc_id").as("dup_id"),
+        expr("substring(text, 1, length(text) - 4)").as("orig_text"))
+    docs.join(dups, col("text") === col("orig_text"))
+      .select(
+        least(col("doc_id"), col("dup_id")).as("doc_a"),
+        greatest(col("doc_id"), col("dup_id")).as("doc_b"))
+  }
+
+  test("banded LSH finds every planted near-dup pair (recall = 1.0)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val found = MinHashLSH.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val planted = plantedPairs
+    val missed = planted.except(found).count()
+    val nPlanted = planted.count()
+    assert(nPlanted >= 20, s"expected planted dups in corpus, got $nPlanted")
+    assert(missed == 0, s"LSH missed $missed of $nPlanted planted pairs")
+  }
+
+  test("no cartesian product anywhere in the LSH plan") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val plan = MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked into plan:\n$plan")
+  }
+
+  test("near-dedup drops duplicates but keeps originals") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val deduped = MinHashLSH.dedup(docs, "doc_id", "text", threshold = 0.5)
+    val n = docs.count()
+    val planted = plantedPairs.count()
+    val kept = deduped.count()
+    assert(kept <= n - planted, s"expected ≤ ${n - planted} rows, got $kept")
+    // every duplicate cluster keeps at least one representative
+    assert(kept >= n - 2 * planted)
+  }
+
+  test("simhash: planted near-dups land within small hamming distance") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val fps = SimHash.fingerprints(docs, "doc_id", "text")
+    val planted = plantedPairs
+    val withFp = planted
+      .join(fps.withColumnRenamed("doc", "doc_a").withColumnRenamed("fp", "fp_a"), "doc_a")
+      .join(fps.withColumnRenamed("doc", "doc_b").withColumnRenamed("fp", "fp_b"), "doc_b")
+      .select(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("h"))
+    val maxH = withFp.agg(max("h")).head().getInt(0)
+    assert(maxH <= 10, s"planted near-dup at hamming $maxH — fingerprint too noisy")
+  }
+}

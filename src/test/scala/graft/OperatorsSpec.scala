@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Incremental}
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dedup keepLast keeps the max-order row per key") {
+    val df = Seq((1L, 1L, "old"), (1L, 3L, "new"), (1L, 2L, "mid"), (2L, 1L, "only"))
+      .toDF("k", "seq", "v")
+    val out = Dedup.keepLast(df, Seq("k"), Seq(col("seq")))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "new"), (2L, "only")))
+  }
+
+  test("upsert: updates win over base, new keys append, base-only survive") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val upd = Seq((2L, "B"), (3L, "C")).toDF("k", "v")
+    val out = Incremental.upsert(base, upd, Seq("k")).orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "C")))
+  }
+
+  test("deleteInsert replaces exactly the delta keys") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val delta = Seq((2L, "B2"), (2L, "B2b")).toDF("k", "v")
+    val out = Incremental.deleteInsert(base, delta, Seq("k"))
+      .orderBy("k", "v").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (2L, "B2b"), (3L, "c")))
+  }
+
+  test("schemaProject keeps target order and drops both-side extras") {
+    val df = Seq((1, "x", 2.0)).toDF("a", "b", "c")
+    val out = Incremental.schemaProject(df, Seq("c", "a", "not_there"))
+    assert(out.columns.toSeq == Seq("c", "a"))
+  }
+
+  test("fullLoadReplace orders writes parents-first") {
+    val t = Seq((1, "r")).toDF("k", "v")
+    val seq = Incremental.fullLoadReplace(
+      Map("child" -> t, "parent" -> t), Seq("parent", "child"))
+    assert(seq.map(_._1) == Seq("parent", "child"))
+  }
+
+  test("incremental window filter is pushed into the parquet scan") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val filtered = Incremental.windowFilterNanos(ev, "ts_ns",
+      Tables.utcNanos("2024-01-15 00:00:00"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts"),
+      s"expected pushed ts filter in plan:\n$plan")
+  }
+}
