@@ -34,12 +34,20 @@ object MinHashLSH {
     array_distinct(transform(TextDedup.shingles(textCol, n),
       s => pmod(xxhash64(s), lit(Prime))))
 
-  /** k min-hash values as an array column. */
-  def signature(shingleHashCol: Column, perms: Seq[(Long, Long)]): Column =
-    array(perms.map { case (a, b) =>
-      array_min(transform(shingleHashCol,
-        h => pmod(h * lit(a) + lit(b), lit(Prime))))
+  /** k min-hash values as an array column — ONE fold over the shingle
+    * array updating all k minima per element (k separate
+    * `array_min(transform(...))` expressions would re-walk the array k
+    * times and overflow whole-stage codegen's method budget, falling
+    * back to interpreted eval — ~60× slower at bench scale). */
+  def signature(shingleHashCol: Column, perms: Seq[(Long, Long)]): Column = {
+    val params = array(perms.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
+    aggregate(shingleHashCol,
+      array_repeat(lit(Prime), perms.size),
+      (acc, h) => zip_with(acc, params, (cur, p) =>
+        least(cur, pmod(h * p.getField("a") + p.getField("b"), lit(Prime)))))
+  }
 
   /** docs → (id, band, band_hash) — one row per band. */
   def bandBuckets(docs: DataFrame, idCol: String, textCol: String,
@@ -55,8 +63,12 @@ object MinHashLSH {
         xxhash64((lit(j) +: (0 until r).map(i =>
           element_at(col("sig"), j * r + i + 1))): _*).as("band_hash"))
     }: _*)
+    // Materialize: the self-join in candidatePairs would otherwise
+    // recompute every signature on both sides (at cluster scale this is
+    // the "write signatures once, join the table with itself" pattern).
     withSig.select(col("doc"), explode(bandStructs).as("bb"))
       .select(col("doc"), col("bb.band"), col("bb.band_hash"))
+      .persist()
   }
 
   /** Candidate pairs: docs sharing ≥1 band bucket (doc_a < doc_b). */
@@ -74,7 +86,7 @@ object MinHashLSH {
       threshold: Double, numPerm: Int = 64, bands: Int = 16,
       shingleN: Int = 3, seed: Long = 42L): DataFrame = {
     val sh = docs.select(col(idCol).as("doc"),
-      shingleHashes(col(textCol), shingleN).as("sh"))
+      shingleHashes(col(textCol), shingleN).as("sh")).persist()
     val pairs = candidatePairs(
       bandBuckets(docs, idCol, textCol, numPerm, bands, shingleN, seed))
     pairs

@@ -51,6 +51,7 @@ object SimHash {
           (shiftrightunsigned(col("fp"), j * 16).bitwiseAND(lit(0xFFFFL)))
             .as("chunk_val"))): _*)).as("cc"))
       .select(col("doc"), col("fp"), col("cc.chunk"), col("cc.chunk_val"))
+      .persist() // fingerprints are not recomputed per join side
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&

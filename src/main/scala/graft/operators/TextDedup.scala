@@ -41,6 +41,7 @@ object TextDedup {
       blockCol: String, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     val sh = docs.select(col(idCol).as("doc"), col(blockCol).as("block"),
       explode(shingles(col(textCol), n)).as("sh"))
+      .persist() // reused by the sizes aggregate and both join sides
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),

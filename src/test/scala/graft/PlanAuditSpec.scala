@@ -1,0 +1,53 @@
+package graft
+
+import graft.queries.{EcommerceQueries, LlmQueries}
+
+/** 100 TB-posture audits: these assert plan SHAPE (shuffle count,
+  * broadcast joins, scan pruning), which is what survives a 1000×
+  * scale-up — not timings. */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(plan: String, token: String): Int =
+    plan.sliding(token.length).count(_ == token)
+
+  test("star join: small dims ride broadcasts, ≤2 shuffle exchanges") {
+    val plan = executed(EcommerceQueries.q10StarJoin(spark, sf0001))
+    val broadcasts = countOccurrences(plan, "BroadcastHashJoin")
+    assert(broadcasts >= 3, s"expected ≥3 broadcast joins, got $broadcasts:\n$plan")
+    // shuffles: fact⋈fact join + final aggregate + the output sort
+    val shuffles = countOccurrences(plan, "Exchange hashpartitioning") +
+      countOccurrences(plan, "Exchange rangepartitioning")
+    assert(shuffles <= 4, s"too many shuffles ($shuffles):\n$plan")
+  }
+
+  test("dedup keep-last: exactly one hash shuffle, no global sort of the fact") {
+    val plan = executed(EcommerceQueries.q02DedupKeepLast(spark, sf0001))
+    val hashShuffles = countOccurrences(plan, "Exchange hashpartitioning")
+    assert(hashShuffles == 1, s"expected 1 hash shuffle, got $hashShuffles:\n$plan")
+  }
+
+  test("scan pruning: flatten reads only the projected columns") {
+    val plan = executed(EcommerceQueries.q05FlattenPrefix(spark, sf0001))
+    assert(plan.contains("ReadSchema"), plan)
+    // lineitem scan must not drag non-projected columns
+    assert(!plan.contains("l_extendedprice"),
+      s"unpruned lineitem column in scan:\n$plan")
+  }
+
+  test("incremental agg: watermark predicate reaches PushedFilters") {
+    val plan = executed(EcommerceQueries.q09IncrementalAgg(spark, sf0001))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts"),
+      s"watermark not pushed:\n$plan")
+  }
+
+  test("no cartesian products in any registered non-broadcast query") {
+    (EcommerceQueries.queries ++ LlmQueries.queries).foreach { case (name, fn) =>
+      val plan = executed(fn(spark, sf0001))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name has a cartesian product:\n$plan")
+    }
+  }
+}
