@@ -60,6 +60,21 @@ object Incremental {
     fkOrder.filter(tables.contains).map(t => t -> tables(t))
   }
 
+  /** Historical backfill plan: split [start, end) into fixed windows,
+    * oldest first (scripts/ backfill runs in the reference iterate
+    * day-windows through the same incremental path; logs/
+    * backfill_results_*.json record one entry per window). Each window
+    * is then processed with windowFilter + upsert — identical code path
+    * to the live incremental load. */
+  def backfillWindows(start: java.time.Instant, end: java.time.Instant,
+      window: java.time.Duration): Seq[(java.time.Instant, java.time.Instant)] = {
+    require(!window.isZero && !window.isNegative, "window must be positive")
+    Iterator.iterate(start)(_.plus(window))
+      .takeWhile(_.isBefore(end))
+      .map(w => (w, Seq(w.plus(window), end).min))
+      .toSeq
+  }
+
   /** Project to the intersection of df columns and the target schema, in
     * target order — schema-only driver work, no data movement
     * (misa_crm_loader.py:123,274). */

@@ -56,8 +56,14 @@ object MinHashLSH {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
     val perms = permutations(numPerm, seed)
-    val withSig = docs.select(col(idCol).as("doc"),
-      signature(shingleHashes(col(textCol), shingleN), perms).as("sig"))
+    // Native codegen'd expression when the session has GraftExtensions
+    // (bit-equal arithmetic), portable HOF fold otherwise.
+    val sh = shingleHashes(col(textCol), shingleN)
+    val sigExpr =
+      if (numPerm == 64 && seed == 42L && graft.plans.GraftExtensions.nativeAvailable)
+        call_function("minhash_sig", sh)
+      else signature(sh, perms)
+    val withSig = docs.select(col(idCol).as("doc"), sigExpr.as("sig"))
     val bandStructs = array((0 until bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64((lit(j) +: (0 until r).map(i =>

@@ -19,9 +19,19 @@ object SimHash {
 
   val Bits = 64
 
-  /** 64-bit simhash of the token multiset. */
+  /** 64-bit simhash of the token multiset. Uses the native codegen'd
+    * expression when the session has GraftExtensions (bit-equal),
+    * else the portable higher-order-function fold. */
   def simhash64(textCol: Column): Column = {
     val hashes = transform(TextFunctions.tokens(textCol), t => xxhash64(t))
+    if (graft.plans.GraftExtensions.nativeAvailable)
+      call_function("simhash64", hashes)
+    else simhash64Hof(hashes)
+  }
+
+  /** Portable fold form (also the equivalence oracle for the native
+    * expression in GraftExtensionsSpec). */
+  def simhash64Hof(hashes: Column): Column = {
     val bitIdx = sequence(lit(0), lit(Bits - 1))
     // counters[b] += tokenHash bit b ? +1 : −1, one fold over tokens
     val counters = aggregate(hashes,

@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions as SQL
+  * functions (`spark.sql.extensions=graft.plans.GraftExtensions`):
+  *
+  *   - `minhash_sig(array<long>)` → array<long>  (64 perms, seed 42)
+  *   - `simhash64(array<long>)`   → long
+  *
+  * Operators probe the registry at plan-build time and use the native
+  * form when available, falling back to the portable higher-order-
+  * function form otherwise — the library works in a vanilla session and
+  * accelerates in a graft-extended one.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSignature(args.head, 64, 42L)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+  }
+}
+
+object GraftExtensions {
+  /** True when the active session has graft's native functions. */
+  def nativeAvailable: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("minhash_sig"))
+}

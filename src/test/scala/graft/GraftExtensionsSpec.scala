@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{MinHashLSH, SimHash}
+
+/** The native codegen'd expressions must be bit-equal to the portable
+  * higher-order-function forms they accelerate. */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("extensions are registered in the session") {
+    assert(spark.catalog.functionExists("minhash_sig"))
+    assert(spark.catalog.functionExists("simhash64"))
+    // and usable from plain SQL
+    val r = spark.sql("SELECT simhash64(array(1L, 2L, 3L)) AS fp").head().getLong(0)
+    assert(r != 0L)
+  }
+
+  test("native minhash_sig ≡ HOF signature on the corpus") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val sh = MinHashLSH.shingleHashes(col("text"))
+    val perms = MinHashLSH.permutations(64, 42L)
+    val both = docs.select(
+      call_function("minhash_sig", sh).as("native"),
+      MinHashLSH.signature(sh, perms).as("hof"))
+    val diff = both.where(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"$diff rows diverge between native and HOF signatures")
+  }
+
+  test("native simhash64 ≡ HOF simhash on the corpus") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val hashes = transform(TextFunctions.tokens(col("text")), t => xxhash64(t))
+    val both = docs.select(
+      call_function("simhash64", hashes).as("native"),
+      SimHash.simhash64Hof(hashes).as("hof"))
+    val diff = both.where(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"$diff rows diverge between native and HOF simhash")
+  }
+
+  test("native path survives codegen (no interpreted fallback errors)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    // run a real end-to-end LSH pass through the native expression
+    val n = MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.5).count()
+    assert(n >= 25, s"expected ≥25 near-dup pairs, got $n")
+  }
+}
