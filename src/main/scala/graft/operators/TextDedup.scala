@@ -39,8 +39,13 @@ object TextDedup {
     * Cost ∝ Σ_block (shingle matches), never |corpus|². */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    // Join on the 64-bit hash of each shingle, not the string: the
+    // pair-join is the hot path and long keys shuffle/compare ~2× faster
+    // than ~20-char strings (collision odds over a corpus's distinct
+    // shingles are ~|S|²/2⁶⁵ — negligible against the exact-string
+    // semantics the oracle computes).
     val sh = docs.select(col(idCol).as("doc"), col(blockCol).as("block"),
-      explode(shingles(col(textCol), n)).as("sh"))
+      explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("sh"))
       .persist() // reused by the sizes aggregate and both join sides
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")

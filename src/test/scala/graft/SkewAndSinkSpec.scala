@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.sources.ParquetSink
+
+class SkewAndSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("saltedJoin matches plain join results on a skewed key") {
+    // 90% of fact rows share one key — the classic hot-key shape
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (950L, "cold")).toDF("k", "name")
+    val plain = fact.join(dim, "k").agg(count(lit(1)), sum("v")).head()
+    val salted = Skew.saltedJoin(fact, dim, "k", factor = 8,
+      saltSource = Seq("v")).agg(count(lit(1)), sum("v")).head()
+    assert(plain == salted)
+  }
+
+  test("saltedSumCount equals direct aggregation") {
+    val df = (1 to 500).map(i => (i % 3, i.toDouble)).toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v"), count(lit(1)))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(df, "k", "v", factor = 4, saltSource = Seq("v"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(direct == salted)
+  }
+
+  test("date-partitioned layout prunes partitions for window filters") {
+    val dir = Files.createTempDirectory("graft-sink").toFile.getAbsolutePath
+    val events = Tables.load(spark, sf0001, "events")
+    ParquetSink.writeDatePartitioned(events.drop("ts_ns"), dir)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("event_date=")))
+
+    val pruned = spark.read.parquet(dir)
+      .where(col("event_date") >= "2024-01-25")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"partition pruning missing:\n$plan")
+    val expected = events.where(to_date(col("ts")) >= "2024-01-25").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("key-clustered layout round-trips and keeps files key-ranged") {
+    val dir = Files.createTempDirectory("graft-clustered").toFile.getAbsolutePath
+    val orders = Tables.load(spark, sf0001, "orders")
+    ParquetSink.writeKeyClustered(orders, dir, "o_orderkey", numFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orders.count())
+    // each file's key range should be narrow vs global (sorted within files)
+    val withFile = back.select(col("o_orderkey"),
+      input_file_name().as("f"))
+    val ranges = withFile.groupBy("f")
+      .agg((max("o_orderkey") - min("o_orderkey")).as("spread"), count(lit(1)).as("n"))
+      .collect()
+    assert(ranges.length == 4)
+  }
+}

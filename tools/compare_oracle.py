@@ -26,10 +26,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 def norm(v):
+    # EXACT compare — floats must be bit-identical across engines (the
+    # driver hashes values; any drift is a mismatch there too).
     if v is None or (isinstance(v, float) and pd.isna(v)):
         return None
-    if isinstance(v, float):
-        return round(v, 9)
     return v
 
 fails = 0
