@@ -52,18 +52,27 @@ object MinHashLSH {
   /** docs → (id, band, band_hash) — one row per band. */
   def bandBuckets(docs: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    bandBucketsFromHashes(
+      docs.select(col(idCol).as("doc"),
+        shingleHashes(col(textCol), shingleN).as("sh")),
+      numPerm, bands, seed)
+
+  /** As bandBuckets, over a precomputed (doc, sh: array<long>) frame —
+    * lets callers share one (persisted) shingle-hash pass between
+    * banding and Jaccard verification. */
+  def bandBucketsFromHashes(docHashes: DataFrame, numPerm: Int = 64,
+      bands: Int = 16, seed: Long = 42L): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
     val perms = permutations(numPerm, seed)
     // Native codegen'd expression when the session has GraftExtensions
     // (bit-equal arithmetic), portable HOF fold otherwise.
-    val sh = shingleHashes(col(textCol), shingleN)
     val sigExpr =
       if (numPerm == 64 && seed == 42L && graft.plans.GraftExtensions.nativeAvailable)
-        call_function("minhash_sig", sh)
-      else signature(sh, perms)
-    val withSig = docs.select(col(idCol).as("doc"), sigExpr.as("sig"))
+        call_function("minhash_sig", col("sh"))
+      else signature(col("sh"), perms)
+    val withSig = docHashes.select(col("doc"), sigExpr.as("sig"))
     val bandStructs = array((0 until bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64((lit(j) +: (0 until r).map(i =>
@@ -94,7 +103,7 @@ object MinHashLSH {
     val sh = docs.select(col(idCol).as("doc"),
       shingleHashes(col(textCol), shingleN).as("sh")).persist()
     val pairs = candidatePairs(
-      bandBuckets(docs, idCol, textCol, numPerm, bands, shingleN, seed))
+      bandBucketsFromHashes(sh, numPerm, bands, seed))
     pairs
       .join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
