@@ -28,16 +28,24 @@ object Bench {
     }
 
     var errors = Map.empty[String, String]
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            errors += name -> e.getClass.getSimpleName; false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      // min over reps: queries are idempotent reads; min is the
+      // standard steady-state estimator under scheduler noise. Caches
+      // are cleared per rep so persisted intermediates (LSH signatures)
+      // are recomputed — every rep pays the query's full cost.
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              errors += name -> e.getClass.getSimpleName; false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

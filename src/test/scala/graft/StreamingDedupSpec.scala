@@ -34,4 +34,31 @@ class StreamingDedupSpec extends SparkTestBase {
       assert(latest == Seq((1L, "paid"), (2L, "created"), (3L, "created")))
     } finally query.stop()
   }
+
+  test("windowed counts aggregate per day/type with a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val result = StreamingDedup.windowedCounts(spark, df)
+    val query = result.writeStream
+      .format("memory").queryName("windowed_out").outputMode("update").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "click", 1.0),
+        (ts("2024-01-01 11:00:00"), "click", 2.0),
+        (ts("2024-01-02 09:00:00"), "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT date_format(window.start, 'yyyy-MM-dd') AS d, event_type,
+          |  max(n_events) AS n, max(total_value) AS v
+          |FROM windowed_out GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(rows == Seq(
+        ("2024-01-01", "click", 2L, 3.0),
+        ("2024-01-02", "view", 1L, 5.0)))
+    } finally query.stop()
+  }
 }
