@@ -61,6 +61,16 @@ object TextFunctions {
     lenOk * lit(0.4) + distinctRatio * lit(0.4) + lowPunct * lit(0.2)
   }
 
+  /** BPE-ish token estimate: counts GPT-style pre-tokenizer segments —
+    * space-prefixed letter runs, digit runs, and punctuation runs —
+    * a cheap, deterministic proxy for subword token counts (the real
+    * tokenizer's merge step only splits these further by a roughly
+    * constant factor). Pure regexp_count: codegen'd, row-local. */
+  val BpeishPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpeishPattern)).cast("bigint")
+
   /** Cross-engine-stable token hash: first 8 hex chars of md5 → bigint.
     * (xxhash64 is Spark-private; md5 reproduces in any engine.) */
   def tokenHashMd5(t: Column): Column =

@@ -76,6 +76,7 @@ object LlmQueries {
     t(s, dir, "documents").select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).as("est_bpe_tokens"),
         TextFunctions.punctRatio(col("text")).as("punct_ratio"),
         TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
         TextFunctions.langId(col("text")).as("lang_pred"),
@@ -159,7 +160,9 @@ object LlmQueries {
          |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio,
          |    len(list_distinct(toks)) AS n_distinct
          |  FROM base)
-         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, punct_ratio, stop_ratio,
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS est_bpe_tokens,
+         |  punct_ratio, stop_ratio,
          |  CASE WHEN stop_ratio >= 0.05 THEN 'en'
          |       WHEN regexp_matches(text, '[àáảãạăâèéẻẽẹêìíỉĩịòóỏõọôơùúủũụưỳýỷỹỵđ]') THEN 'vi'
          |       WHEN regexp_matches(text, '[äöüß]') THEN 'de'

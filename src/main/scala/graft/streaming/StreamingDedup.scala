@@ -46,5 +46,16 @@ object StreamingDedup {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
   }
 
+  /** Streaming exact-dedup on a business key with bounded state:
+    * duplicates arriving within the watermark horizon are dropped,
+    * state for older keys is evicted — the streaming analogue of the
+    * loader's per-batch drop_duplicates, safe to run forever. */
+  def dedupWithinWatermark(events: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      watermark: String = "1 hour"): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   val outputMode: OutputMode = OutputMode.Update()
 }

@@ -61,4 +61,26 @@ class StreamingDedupSpec extends SparkTestBase {
         ("2024-01-02", "view", 1L, 5.0)))
     } finally query.stop()
   }
+
+  test("streaming dedup within watermark drops replayed keys, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "order_sn", "status")
+    val result = StreamingDedup.dedupWithinWatermark(df, Seq("order_sn"), "ts")
+    val query = result.writeStream
+      .format("memory").queryName("streamdedup_out").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((ts("2024-01-01 10:00:00"), 1L, "created"),
+        (ts("2024-01-01 10:00:01"), 1L, "created"), // dup within batch
+        (ts("2024-01-01 10:00:02"), 2L, "created"))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 10:30:00"), 1L, "created")) // replay, inside horizon
+      query.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM streamdedup_out").head().getLong(0)
+      assert(n == 2, s"expected 2 unique keys, got $n")
+    } finally query.stop()
+  }
 }
