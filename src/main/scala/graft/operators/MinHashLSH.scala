@@ -29,10 +29,28 @@ object MinHashLSH {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Distinct word-shingle hashes for one document (row-local). */
+  /** Distinct word-shingle hashes for one document (row-local).
+    *
+    * Native path (GraftExtensions): token-hash array → one codegen'd
+    * pass mixing each n-window of longs — no per-shingle string. The
+    * token-hash array is the expression's single child, so it is
+    * evaluated once per row. (A pure-HOF positional variant was tried
+    * and is a trap: a captured outer array referenced by k element_at
+    * lambdas is INLINED k× — no common-subexpression elimination inside
+    * lambdas — measured 5× slower than even the string path.)
+    *
+    * Portable path: n-gram strings → xxhash64 (shingle identity is
+    * positional either way; hash VALUES differ between paths, which is
+    * fine — minhash consumers only need set semantics + a fixed choice
+    * per session). */
   def shingleHashes(textCol: Column, n: Int = 3): Column =
-    array_distinct(transform(TextDedup.shingles(textCol, n),
-      s => pmod(xxhash64(s), lit(Prime))))
+    if (graft.plans.GraftExtensions.nativeAvailable)
+      call_function("shingle_hashes",
+        transform(graft.functions.TextFunctions.tokens(textCol), t => xxhash64(t)),
+        lit(n))
+    else
+      array_distinct(transform(TextDedup.shingles(textCol, n),
+        s => pmod(xxhash64(s), lit(Prime))))
 
   /** k min-hash values as an array column — ONE fold over the shingle
     * array updating all k minima per element (k separate
