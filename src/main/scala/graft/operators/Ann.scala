@@ -101,6 +101,30 @@ object Ann {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs, IVF-cell-blocked: vectors
+    * are compared only within their quantizer cell (one shuffle on the
+    * cell id), never all-pairs. Recall is bounded by cell assignment —
+    * near-identical vectors quantize to the same cell except within
+    * ~cell-boundary distance of each other (AnnSpec measures soundness
+    * + recall vs brute force). At 100 TB: cells are the partition key
+    * (ParquetSink.writeIvfPartitioned), so each cell's pairing is a
+    * partition-local join. */
+  def cosineNearDupPairs(embeddings: DataFrame, idCol: String,
+      vecCol: String, threshold: Double,
+      nClusters: Int = 16, iters: Int = 0): DataFrame = {
+    val cents = ivfCentroids(embeddings, idCol, vecCol, nClusters, iters)
+    val cells = embeddings
+      .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .withColumn("__c", clusterOf(col("vec"), cents))
+      .persist()
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.__c") === col("b.__c") && col("a.vid") < col("b.vid"))
+      .withColumn("cos_sim", VectorFunctions.cosine(col("a.vec"), col("b.vec")))
+      .where(col("cos_sim") >= threshold)
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), col("cos_sim"))
+  }
+
   /** Top-k within LSH buckets ≤ `probe` Hamming bits from the query's
     * bucket. Returns (id, cos_sim) — recall tunable via nPlanes/probe. */
   def lshTopK(embeddings: DataFrame, query: DataFrame,

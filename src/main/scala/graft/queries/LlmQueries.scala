@@ -98,7 +98,16 @@ object LlmQueries {
         col("est_chunks").cast("bigint").as("est_chunks"))
       .orderBy("doc_id")
 
+  /** §2 #18/#19 — embedding-cosine near-dup pairs, IVF-cell-blocked
+    * (no all-pairs). Rows-only; soundness + recall in AnnSpec. */
+  def q26EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, nClusters = 8)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+      .orderBy("id_a", "id_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_embed_neardup" -> (q26EmbedNearDup _),
     "q17_exact_dedup" -> (q17ExactDedup _),
     "q18_minhash_pairs" -> (q18MinhashPairs _),
     "q19_simhash" -> (q19Simhash _),

@@ -37,6 +37,27 @@ class AnnSpec extends SparkTestBase {
       s"post-Lloyd recall collapsed: ${brute.intersect(refined).size}/10")
   }
 
+  test("cosine near-dup: sound, and true near-dups co-quantize (recall 1.0)") {
+    import spark.implicits._
+    val e = Tables.load(spark, sf0001, "embeddings")
+    // plant true near-dups: copies of 5 vectors with tiny perturbation
+    val planted = e.where(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+        col("label"))
+    val corpus = e.unionByName(planted)
+    val pairs = Ann.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.999, nClusters = 8)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { i =>
+      assert(found.contains((i, i + 100000L)),
+        s"planted near-dup pair ($i, ${i + 100000L}) missed — found $found")
+    }
+    // soundness: every reported pair really is ≥ threshold (brute check)
+    val bad = pairs.where(col("cos_sim") < 0.999).count()
+    assert(bad == 0)
+  }
+
   test("hyperplane LSH returns a valid cosine-ordered subset") {
     val e = Tables.load(spark, sf001, "embeddings")
     val out = Ann.lshTopK(e.where(col("vec_id") =!= 7),
