@@ -113,14 +113,19 @@ object Ann {
       vecCol: String, threshold: Double,
       nClusters: Int = 16, iters: Int = 0): DataFrame = {
     val cents = ivfCentroids(embeddings, idCol, vecCol, nClusters, iters)
+    // Precompute each vector's norm once; the pairwise stage then does
+    // only the dot product (≈3× less per-pair work than full cosine).
     val cells = embeddings
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .withColumn("__c", clusterOf(col("vec"), cents))
+      .withColumn("__n", VectorFunctions.norm(col("vec")))
       .persist()
     cells.as("a")
       .join(cells.as("b"),
         col("a.__c") === col("b.__c") && col("a.vid") < col("b.vid"))
-      .withColumn("cos_sim", VectorFunctions.cosine(col("a.vec"), col("b.vec")))
+      .withColumn("cos_sim",
+        VectorFunctions.dot(col("a.vec"), col("b.vec")) /
+          (col("a.__n") * col("b.__n")))
       .where(col("cos_sim") >= threshold)
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"), col("cos_sim"))
   }

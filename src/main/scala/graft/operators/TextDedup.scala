@@ -33,26 +33,33 @@ object TextDedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** Exact n-gram Jaccard for all pairs INSIDE a blocking key: explode
-    * distinct shingles, join on (block, shingle) to count the
-    * intersection (one shuffle on the shingle), then |A∪B| = |A|+|B|−∩.
-    * Cost ∝ Σ_block (shingle matches), never |corpus|². */
+  /** Exact n-gram Jaccard for all pairs INSIDE a blocking key: group
+    * postings by (block, shingle), expand each bucket's doc list into
+    * ordered pairs inline, count pair occurrences = |A∩B|, then
+    * |A∪B| = |A|+|B|−∩. Two hash shuffles total (bucket groupBy + pair
+    * groupBy) — a self-join formulation needs three and materializes
+    * the join rows; cost is Σ_block Σ_shingle C(bucket,2), never
+    * |corpus|². Shingles are carried as 64-bit hashes (collision odds
+    * ~|S|²/2⁶⁵ — negligible against the exact-string semantics the
+    * oracle computes). */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    // Join on the 64-bit hash of each shingle, not the string: the
-    // pair-join is the hot path and long keys shuffle/compare ~2× faster
-    // than ~20-char strings (collision odds over a corpus's distinct
-    // shingles are ~|S|²/2⁶⁵ — negligible against the exact-string
-    // semantics the oracle computes).
     val sh = docs.select(col(idCol).as("doc"), col(blockCol).as("block"),
       explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("sh"))
-      .persist() // reused by the sizes aggregate and both join sides
+      .persist() // reused by the sizes aggregate and the bucket pass
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.block") === col("b.block") && col("a.sh") === col("b.sh") &&
-          col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    val buckets = sh.groupBy("block", "sh")
+      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .where(size(col("ds")) > 1)
+    // ordered pairs (ds[i], ds[j]) for i<j — ds is a plain attribute,
+    // so referencing it inside the lambdas is allocation-free
+    val pairCombos = flatten(transform(
+      sequence(lit(0), size(col("ds")) - 2),
+      i => transform(
+        slice(col("ds"), i + 2, size(col("ds")) - i - 1),
+        d => struct(element_at(col("ds"), i + 1).as("doc_a"), d.as("doc_b")))))
+    val inter = buckets.select(explode(pairCombos).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
