@@ -44,13 +44,8 @@ object MinHashLSH {
     * fine — minhash consumers only need set semantics + a fixed choice
     * per session). */
   def shingleHashes(textCol: Column, n: Int = 3): Column =
-    if (graft.plans.GraftExtensions.nativeAvailable)
-      call_function("shingle_hashes",
-        transform(graft.functions.TextFunctions.tokens(textCol), t => xxhash64(t)),
-        lit(n))
-    else
-      array_distinct(transform(TextDedup.shingles(textCol, n),
-        s => pmod(xxhash64(s), lit(Prime))))
+    transform(TextDedup.shingleHashes64(textCol, n),
+      h => pmod(h, lit(Prime)))
 
   /** k min-hash values as an array column — ONE fold over the shingle
     * array updating all k minima per element (k separate

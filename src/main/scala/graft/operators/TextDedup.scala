@@ -33,6 +33,18 @@ object TextDedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Distinct 64-bit shingle hashes: native one-pass window mix over
+    * token hashes when GraftExtensions is registered, else n-gram
+    * strings → xxhash64. Either way one value per distinct positional
+    * n-gram (cross-path hash VALUES differ; set cardinalities agree
+    * modulo ~2⁻⁶⁴ collisions). */
+  def shingleHashes64(textCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    if (graft.plans.GraftExtensions.nativeAvailable)
+      call_function("shingle_hashes",
+        transform(TextFunctions.tokens(textCol), t => xxhash64(t)), lit(n))
+    else
+      transform(shingles(textCol, n), s => xxhash64(s))
+
   /** Exact n-gram Jaccard for all pairs INSIDE a blocking key: group
     * postings by (block, shingle), expand each bucket's doc list into
     * ordered pairs inline, count pair occurrences = |A∩B|, then
@@ -45,7 +57,7 @@ object TextDedup {
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     val sh = docs.select(col(idCol).as("doc"), col(blockCol).as("block"),
-      explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("sh"))
+      explode(shingleHashes64(col(textCol), n)).as("sh"))
       .persist() // reused by the sizes aggregate and the bucket pass
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val buckets = sh.groupBy("block", "sh")

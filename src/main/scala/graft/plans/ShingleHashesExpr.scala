@@ -8,8 +8,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import graft.operators.MinHashLSH
 
 /** Distinct n-gram shingle hashes from a token-hash array, one pass:
-  * for each window of n token hashes, a 64-bit avalanche mix, reduced
-  * mod 2³¹−1, deduplicated. Replaces building each n-gram as a string
+  * for each window of n token hashes, a 64-bit avalanche mix,
+  * deduplicated. Full 64-bit values — consumers needing the minhash
+  * domain reduce mod 2³¹−1 themselves (collision budget stays ~2⁻⁶⁴
+  * for exact set-count users like blockedJaccardPairs). Replaces building each n-gram as a string
   * and xxhash64-ing it (per-shingle string allocation), and avoids the
   * lambda-inlining trap of a positional HOF formulation (see
   * MinHashLSH.shingleHashes).
@@ -37,9 +39,7 @@ case class ShingleHashes(left: Expression, right: Expression)
         h = ShingleHashes.mix(h, arr.getLong(i + k)) + k
         k += 1
       }
-      var v = h % MinHashLSH.Prime
-      if (v < 0) v += MinHashLSH.Prime
-      seen.add(v)
+      seen.add(h)
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -73,9 +73,7 @@ case class ShingleHashes(left: Expression, right: Expression)
          |    x = (x ^ (x >>> 33)) * ${ShingleHashes.Mult1}L;
          |    $h = ($h ^ x) * ${ShingleHashes.Mult2}L + $k;
          |  }
-         |  long $v = $h % ${P}L;
-         |  if ($v < 0) $v += ${P}L;
-         |  $seen.add($v);
+         |  $seen.add($h);
          |}
          |long[] $out = new long[$seen.size()];
          |int $j = 0;
