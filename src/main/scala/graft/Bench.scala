@@ -19,17 +19,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated subset for focused iteration runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
     // Warm JIT/codegen per query plan on the smallest SF so timed runs
     // measure steady-state data processing (as on a long-lived cluster),
     // not first-run classloading/codegen compilation.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
 
     var errors = Map.empty[String, String]
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min over reps: queries are idempotent reads; min is the
       // standard steady-state estimator under scheduler noise. Caches
       // are cleared per rep so persisted intermediates (LSH signatures)

@@ -54,16 +54,21 @@ object Ann {
     var cents: Array[Array[Double]] = embeddings.orderBy(idCol).limit(k)
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters) {
-      val assigned = embeddings.withColumn("__c", clusterOf(col(vecCol), cents))
-      val means = assigned
-        .select(col("__c"), posexplode(transform(col(vecCol), x => x.cast("double"))))
-        .groupBy("__c", "pos").agg(avg("col").as("m"))
+      // Per-dimension avg aggregates (codegen'd, map-side combined):
+      // the shuffle moves k×dim partial sums, not rows×dim exploded
+      // elements as a posexplode formulation would.
+      val dimAggs = (0 until dim).map(j =>
+        avg(element_at(col(vecCol), j + 1).cast("double")).as(s"m$j"))
+      val means = embeddings
+        .withColumn("__c", clusterOf(col(vecCol), cents))
+        .groupBy("__c").agg(dimAggs.head, dimAggs.tail: _*)
         .collect()
-      val byCluster = means.groupBy(_.getInt(0))
+      val byCluster = means.map(r => r.getInt(0) -> r).toMap
       cents = cents.indices.map { j =>
         byCluster.get(j) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          case Some(r) => Array.tabulate(dim)(d => r.getDouble(d + 1))
           case None => cents(j) // empty cluster keeps its centroid
         }
       }.toArray

@@ -48,20 +48,24 @@ object TextDedup {
   /** Exact n-gram Jaccard for all pairs INSIDE a blocking key: group
     * postings by (block, shingle), expand each bucket's doc list into
     * ordered pairs inline, count pair occurrences = |A∩B|, then
-    * |A∪B| = |A|+|B|−∩. Two hash shuffles total (bucket groupBy + pair
-    * groupBy) — a self-join formulation needs three and materializes
-    * the join rows; cost is Σ_block Σ_shingle C(bucket,2), never
+    * |A∪B| = |A|+|B|−∩. Each doc's shingle-set size is row-local
+    * (`size` of the distinct shingle array, computed before the
+    * explode) and rides along the postings into the pair counts, so
+    * the whole operator is ONE scan and TWO hash shuffles (bucket
+    * groupBy + pair groupBy) — no persisted postings, no sizes join;
+    * a self-join formulation needs three shuffles and materializes
+    * the join rows. Cost is Σ_block Σ_shingle C(bucket,2), never
     * |corpus|². Shingles are carried as 64-bit hashes (collision odds
     * ~|S|²/2⁶⁵ — negligible against the exact-string semantics the
     * oracle computes). */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     val sh = docs.select(col(idCol).as("doc"), col(blockCol).as("block"),
-      explode(shingleHashes64(col(textCol), n)).as("sh"))
-      .persist() // reused by the sizes aggregate and the bucket pass
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+        shingleHashes64(col(textCol), n).as("shs"))
+      .select(col("doc"), col("block"),
+        size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh"))
     val buckets = sh.groupBy("block", "sh")
-      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc"), col("sz")))).as("ds"))
       .where(size(col("ds")) > 1)
     // ordered pairs (ds[i], ds[j]) for i<j — ds is a plain attribute,
     // so referencing it inside the lambdas is allocation-free
@@ -69,13 +73,15 @@ object TextDedup {
       sequence(lit(0), size(col("ds")) - 2),
       i => transform(
         slice(col("ds"), i + 2, size(col("ds")) - i - 1),
-        d => struct(element_at(col("ds"), i + 1).as("doc_a"), d.as("doc_b")))))
-    val inter = buckets.select(explode(pairCombos).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        d => struct(
+          element_at(col("ds"), i + 1).getField("doc").as("doc_a"),
+          element_at(col("ds"), i + 1).getField("sz").as("sz_a"),
+          d.getField("doc").as("doc_b"),
+          d.getField("sz").as("sz_b")))))
+    buckets.select(explode(pairCombos).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *   - `minhash_sig(array<long>)` → array<long>  (64 perms, seed 42)
   *   - `simhash64(array<long>)`   → long
+  *   - `vec_dot(arr, arr)` / `vec_l2sq(arr, arr)` → double
   *
   * Operators probe the registry at plan-build time and use the native
   * form when available, falling back to the portable higher-order-
@@ -29,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (args: Seq[Expression]) => ShingleHashes(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
+      (args: Seq[Expression]) => VecL2Sq(args(0), args(1))))
   }
 }
 

@@ -37,6 +37,30 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(diff == 0, s"$diff rows diverge between native and HOF simhash")
   }
 
+  test("native vec_dot / vec_l2sq ≡ HOF folds, bit-equal on the corpus") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val hofDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val hofL2 = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    // pair each vector with its successor so both args are real data
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
+      .where(col("b").isNotNull)
+    val diff = pairs.select(
+        call_function("vec_dot", col("a"), col("b")).as("nd"), hofDot.as("hd"),
+        call_function("vec_l2sq", col("a"), col("b")).as("nl"), hofL2.as("hl"))
+      .where(col("nd") =!= col("hd") || col("nl") =!= col("hl")).count()
+    assert(diff == 0, s"$diff rows diverge between native and HOF vector folds")
+    // null semantics mirror zip_with padding: length mismatch → null
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0, 2.0), array(1.0, 2.0, 3.0)) AS d").head()
+    assert(r.isNullAt(0), "length-mismatched vec_dot must be null")
+  }
+
   test("native path survives codegen (no interpreted fallback errors)") {
     val docs = Tables.load(spark, sf001, "documents")
     // run a real end-to-end LSH pass through the native expression
