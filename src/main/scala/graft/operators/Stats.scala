@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -48,4 +49,18 @@ object Stats {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .withColumn("status", when(col("n_rows") > 0, lit("SUCCESS")).otherwise(lit("EMPTY")))
       .orderBy("etl_source")
+
+  /** Top-n rows per group by `order` (desc-ranked via the caller's
+    * Column order), with the rank exposed as `rnk`. Spark rewrites the
+    * `row_number <= n` filter into WindowGroupLimit, so each shuffle
+    * partition keeps only its top-n rows BEFORE the sort — the
+    * per-group data volume at 100 TB is n·|groups|, not |rows|
+    * (asserted in PlanAuditSpec). Ranking columns must make the order
+    * total (append a unique key) or ranks at ties are nondeterministic. */
+  def topNPerGroup(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], n: Int): DataFrame =
+    df.withColumn("rnk",
+        row_number().over(
+          Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)))
+      .where(col("rnk") <= n)
 }

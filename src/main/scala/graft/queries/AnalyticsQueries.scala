@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Sessionize, Stats}
+
+/** SURVEY.md §2 rows 22–24: the analytical primitives a consumer of
+  * the reference's staging schema runs downstream (attribution,
+  * session rollups, leaderboards) — each one window/merge-based, never
+  * a range join or per-key collect.
+  */
+object AnalyticsQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events with an exact integer micros column (ts is TIMESTAMP(NANOS)
+    * parquet; micros arithmetic matches DuckDB's epoch_us exactly). */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_us", expr("ts_ns div 1000"))
+
+  /** §2 #23 — gap-based sessionization (30-min gap), per-session
+    * rollup. One shuffle on user_id for the windows, one for the
+    * session aggregate. */
+  def q27Sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.withSessionId(eventsUs(s, dir), "user_id",
+        col("ts_us"), col("event_id"), gap = 1800000000L)
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        min(col("ts_us")).as("min_us"), max(col("ts_us")).as("max_us"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("session_id").cast("bigint").as("session_id"),
+        col("n_events"), col("session_start"), col("session_end"),
+        expr("(max_us - min_us) div 1000000").as("duration_sec"),
+        col("total_value"))
+      .orderBy("user_id", "session_id")
+
+  /** §2 #22 — as-of join: each purchase attributed to the latest
+    * prior-or-simultaneous view by the same user (merge formulation —
+    * one shuffle, no range join). */
+  def q28AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_event_id"), col("user_id"), col("ts_us"))
+    AsOfJoin.asOf(
+        purchases, col("ts_us"), col("event_id"),
+        views, col("ts_us"), col("view_event_id"), key = "user_id")
+      .select(col("event_id"), col("user_id"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("purchase_ts"),
+        col("asof_view_event_id").as("view_event_id"),
+        expr("(ts_us - asof_ts_us) div 1000000").as("gap_sec"))
+      .orderBy("event_id")
+  }
+
+  /** §2 #24 — top-3 customers by order revenue per nation
+    * (WindowGroupLimit keeps per-partition data at n·|groups|). */
+  def q29TopnPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d"))
+    val cust = broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey"))
+    val nat = broadcast(t(s, dir, "nation").select("n_nationkey", "n_name"))
+    val joined = rev.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+    Stats.topNPerGroup(joined, Seq("n_name"),
+        Seq(desc("rev_d"), col("c_custkey")), n = 3)
+      .select(col("n_name"), col("rnk").cast("bigint").as("rnk"),
+        col("c_custkey"), col("rev_d").cast("double").as("revenue"))
+      .orderBy("n_name", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_sessionize" -> (q27Sessionize _),
+    "q28_asof_join" -> (q28AsofJoin _),
+    "q29_topn_per_group" -> (q29TopnPerGroup _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q27_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, ts, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) <= 1800000000
+        |                     THEN 0 ELSE 1 END AS new_sess FROM e),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  (max(us) - min(us)) // 1000000 AS duration_sec,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q28_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS us, max(event_id) AS view_event_id
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(make_timestamp(p.us), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  v.view_event_id, (p.us - v.us) // 1000000 AS gap_sec
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.us <= p.us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q29_topn_per_group" ->
+      """WITH rev AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d FROM orders GROUP BY 1),
+        |j AS (SELECT n_name, c_custkey, rev_d FROM rev
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY rev_d DESC, c_custkey) AS rnk FROM j)
+        |SELECT n_name, CAST(rnk AS BIGINT) AS rnk, c_custkey, CAST(rev_d AS DOUBLE) AS revenue
+        |FROM r WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin
+  )
+}

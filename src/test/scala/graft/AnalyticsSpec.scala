@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Sessionize, Stats}
+import graft.queries.AnalyticsQueries
+
+/** As-of join, sessionization, top-n per group — semantics on
+  * hand-built frames plus plan-shape assertions (one shuffle for the
+  * merge/window forms; WindowGroupLimit for top-n). */
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asOf picks latest right row ≤ left ts; inclusive ties; null when none") {
+    val left = Seq(
+      (1L, 100L, 10L), // k=1: right rows at 50, 100 → 100 (inclusive)
+      (1L, 99L, 11L),  // k=1 at 99 → 50
+      (2L, 10L, 12L),  // k=2: right only at 20 → null
+      (3L, 10L, 13L)   // k=3: no right rows → null
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, 50L, 20L), (1L, 100L, 21L), (1L, 100L, 22L), // tie at 100: max rid wins
+      (2L, 20L, 23L)
+    ).toDF("k", "ts", "rid")
+    val out = AsOfJoin.asOf(left, col("ts"), col("lid"),
+        right, col("ts"), col("rid"), "k")
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(10L) === Some(22L)) // inclusive + max-seq tie-break
+    assert(out(11L) === Some(20L))
+    assert(out(12L) === None)
+    assert(out(13L) === None)
+  }
+
+  test("asOf plan: one hash exchange, no join operator") {
+    val left = Seq((1L, 100L, 10L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 50L, 20L)).toDF("k", "ts", "rid")
+    val plan = AsOfJoin.asOf(left, col("ts"), col("lid"),
+      right, col("ts"), col("rid"), "k")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("sessionize: gap boundary is inclusive; ordinal per key") {
+    val ev = Seq(
+      (1L, 0L, 1L), (1L, 1800L, 2L),  // diff = gap → same session
+      (1L, 3601L, 3L),                // diff = gap+1 → new session
+      (2L, 5L, 4L)
+    ).toDF("user_id", "ts_us", "event_id")
+    val out = Sessionize.withSessionId(ev, "user_id", col("ts_us"),
+        col("event_id"), gap = 1800L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1 && out(2L) == 1, "≤gap must stay in session")
+    assert(out(3L) == 2, ">gap must open a new session")
+    assert(out(4L) == 1, "sessions are per-key ordinals")
+  }
+
+  test("sessionize plan: lag + running sum share one exchange+sort") {
+    val ev = Seq((1L, 0L, 1L)).toDF("user_id", "ts_us", "event_id")
+    val plan = Sessionize.withSessionId(ev, "user_id", col("ts_us"),
+      col("event_id"), 1800L).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("topNPerGroup keeps n rows per group and plans WindowGroupLimit") {
+    val df = (1 to 100).map(i => (i % 4, i)).toDF("g", "v")
+    val top = Stats.topNPerGroup(df, Seq("g"), Seq(desc("v")), 3)
+    assert(top.groupBy("g").count().where(col("count") =!= 3).count() == 0)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter should push as WindowGroupLimit:\n$plan")
+  }
+
+  test("q27/q28/q29 run green at sf0.001") {
+    assert(AnalyticsQueries.q27Sessionize(spark, sf0001).count() > 0)
+    val asof = AnalyticsQueries.q28AsofJoin(spark, sf0001)
+    assert(asof.count() > 0)
+    // attribution sanity: every matched view precedes-or-equals its purchase
+    assert(asof.where(col("gap_sec") < 0).count() == 0)
+    val topn = AnalyticsQueries.q29TopnPerGroup(spark, sf0001)
+    assert(topn.count() > 0 && topn.where(col("rnk") > 3).count() == 0)
+  }
+}
