@@ -193,6 +193,38 @@ def q25():
     b.map(lambda x: x[:4].hex())
     (n + 255) // 256
 
+@timed("q27_sessionize")
+def q27():
+    ev = T["events"].sort_values(["user_id", "ts", "event_id"]).copy()
+    us = ev.ts.astype("int64") // 1000
+    gap = us - us.groupby(ev.user_id.values).shift(1)
+    ev["session_id"] = (~(gap <= 1_800_000_000)).groupby(ev.user_id.values).cumsum()
+    ev.assign(us=us).groupby(["user_id", "session_id"]).agg(
+        n_events=("event_id", "size"), session_start=("ts", "min"),
+        session_end=("ts", "max"), total_value=("value", "sum"),
+        min_us=("us", "min"), max_us=("us", "max"))
+
+@timed("q28_asof_join")
+def q28():
+    ev = T["events"]
+    p = ev[ev.event_type == "purchase"][["event_id", "user_id", "ts"]].sort_values("ts")
+    v = (ev[ev.event_type == "view"][["event_id", "user_id", "ts"]]
+         .sort_values(["ts", "event_id"])
+         .rename(columns={"event_id": "view_event_id"}))
+    m = pd.merge_asof(p, v, on="ts", by="user_id", direction="backward")
+    (m.ts.astype("int64") // 1000)  # gap material
+
+@timed("q29_topn_per_group")
+def q29():
+    rev = T["orders"].groupby("o_custkey").o_totalprice.sum().reset_index(name="rev")
+    j = (rev.merge(T["customer"][["c_custkey", "c_nationkey"]],
+                   left_on="o_custkey", right_on="c_custkey")
+            .merge(T["nation"][["n_nationkey", "n_name"]],
+                   left_on="c_nationkey", right_on="n_nationkey"))
+    j["rnk"] = j.sort_values(["rev", "c_custkey"], ascending=[False, True]) \
+                .groupby("n_name").cumcount() + 1
+    j[j.rnk <= 3].sort_values(["n_name", "rnk"])
+
 times = T["_times"]
 print(json.dumps(times))
 print("total", round(sum(times.values()), 3), "n_queries", len(times))
