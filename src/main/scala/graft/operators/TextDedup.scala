@@ -79,6 +79,12 @@ object TextDedup {
           d.getField("doc").as("doc_b"),
           d.getField("sz").as("sz_b")))))
     buckets.select(explode(pairCombos).as("p"))
+      // length filter (prefix-filtering family): J(A,B) ≥ t forces
+      // |A| ≥ t·|B|, so size-incompatible pairs are dropped BEFORE the
+      // pair-count shuffle — at corpus scale most cross-length pairs
+      // die here for free.
+      .where(least(col("p.sz_a"), col("p.sz_b")) >=
+        lit(minJaccard) * greatest(col("p.sz_a"), col("p.sz_b")))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
       .agg(count(lit(1)).as("n_inter"))

@@ -75,10 +75,50 @@ object AnalyticsQueries {
       .orderBy("n_name", "rnk")
   }
 
+  /** §2 #25 — multi-level aggregates: ROLLUP over (priority, status)
+    * with subtotal + grand-total rows. One shuffle; Spark plans the
+    * grouping-set Expand before the partial aggregate, so map-side
+    * combine still applies. */
+  def q30Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** §2 #25 — pivot: per-day value totals, one column per event type.
+    * The value list is explicit, so no discovery pass and a fixed
+    * output schema (the 100 TB rule for pivot: never let Spark scan to
+    * infer pivot columns). */
+  def q31Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .orderBy("d")
+
+  /** §2 #26 — exact interpolated percentiles per group. Exact
+    * percentile sorts each group — fine for bounded group counts; the
+    * scale path for high-cardinality groups is approx_percentile
+    * (t-digest sketch, one pass, mergeable), equivalence-bounded in
+    * AnalyticsSpec. */
+  def q32Percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_sessionize" -> (q27Sessionize _),
     "q28_asof_join" -> (q28AsofJoin _),
-    "q29_topn_per_group" -> (q29TopnPerGroup _)
+    "q29_topn_per_group" -> (q29TopnPerGroup _),
+    "q30_rollup" -> (q30Rollup _),
+    "q31_pivot" -> (q31Pivot _),
+    "q32_percentile" -> (q32Percentile _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -112,6 +152,28 @@ object AnalyticsQueries {
         |      JOIN nation ON c_nationkey = n_nationkey),
         |r AS (SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY rev_d DESC, c_custkey) AS rnk FROM j)
         |SELECT n_name, CAST(rnk AS BIGINT) AS rnk, c_custkey, CAST(rev_d AS DOUBLE) AS revenue
-        |FROM r WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin
+        |FROM r WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
+
+    "q30_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q31_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS d,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -45,4 +45,18 @@ object ParquetSink {
     embeddings.write.mode(SaveMode.Overwrite)
       .partitionBy(clusterCol)
       .parquet(path)
+
+  /** True hive-bucketed table (catalog-backed): rows hash-clustered
+    * into `nBuckets` files per the key, bucket spec recorded in the
+    * catalog. Two tables bucketed the same way join with ZERO
+    * exchanges — the shuffle was paid once at write time, which is the
+    * whole game for a fact⋈fact join run daily at 100 TB (asserted in
+    * SkewAndSinkSpec: no Exchange in the joined plan). */
+  def writeBucketedTable(df: DataFrame, table: String, key: String,
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -72,6 +72,44 @@ class AnalyticsSpec extends SparkTestBase {
       s"rank filter should push as WindowGroupLimit:\n$plan")
   }
 
+  test("q30 rollup emits leaf + subtotal + grand-total levels") {
+    val out = AnalyticsQueries.q30Rollup(spark, sf0001)
+    val rows = out.collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val sub = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val leaf = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.length == 1 && sub.nonEmpty && leaf.nonEmpty)
+    assert(grand.head.getLong(2) == leaf.map(_.getLong(2)).sum,
+      "grand total must equal the sum of leaf counts")
+  }
+
+  test("q31 pivot: fixed columns, row sums match unpivoted totals") {
+    val out = AnalyticsQueries.q31Pivot(spark, sf0001)
+    assert(out.columns.toSeq ==
+      Seq("d", "click", "error", "purchase", "signup", "view"))
+    val pivotTotal = out.select(
+      (coalesce(col("click"), lit(0.0)) + coalesce(col("error"), lit(0.0)) +
+        coalesce(col("purchase"), lit(0.0)) + coalesce(col("signup"), lit(0.0)) +
+        coalesce(col("view"), lit(0.0))).as("s"))
+      .agg(sum("s")).head().getDouble(0)
+    val direct = Tables.load(spark, sf0001, "events")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(math.abs(pivotTotal - direct) < 1e-6)
+  }
+
+  test("exact percentile vs approx_percentile sketch stays within bound") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val both = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.95)").as("exact"),
+      expr("approx_percentile(value, 0.95, 1000)").as("approx"))
+    val maxRelErr = both
+      .select(max(abs(col("exact") - col("approx")) / col("exact")))
+      .head().getDouble(0)
+    assert(maxRelErr < 0.05,
+      s"approx_percentile drifted $maxRelErr from exact — sketch misconfigured")
+  }
+
   test("q27/q28/q29 run green at sf0.001") {
     assert(AnalyticsQueries.q27Sessionize(spark, sf0001).count() > 0)
     val asof = AnalyticsQueries.q28AsofJoin(spark, sf0001)

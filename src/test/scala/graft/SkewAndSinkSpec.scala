@@ -58,4 +58,35 @@ class SkewAndSinkSpec extends SparkTestBase {
       .collect()
     assert(ranges.length == 4)
   }
+
+  test("co-bucketed tables join with zero exchanges") {
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    ParquetSink.writeBucketedTable(orders, "bkt_orders", "o_orderkey", 4)
+    ParquetSink.writeBucketedTable(li, "bkt_lineitem", "l_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the shuffle-join path: at sf0.001 a broadcast would mask
+    // the thing under test (bucket-aligned SortMergeJoin)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_orders")
+        .join(spark.table("bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+      // the join key IS the bucket key on both sides: SortMergeJoin with
+      // no shuffle at all (the write paid it once)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select("o_orderkey").distinct().count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
 }
