@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Nested-JSON → relational normalization.
   *
@@ -46,4 +46,25 @@ object Normalize {
       arrayCol: String, as: String, posAs: String = "pos"): DataFrame =
     df.select(parentKeys.map(col) :+ posexplode(col(arrayCol)): _*)
       .withColumnRenamed("pos", posAs).withColumnRenamed("col", as)
+
+  /** Parse with a quarantine side-channel: rows whose JSON fails the
+    * schema keep their parsed fields null and get
+    * `is_quarantined = true` instead of failing the job — the
+    * streaming-era form of the reference's skip-and-log error handling
+    * (shopee_orders_transformer.py catches per-order parse errors and
+    * continues). Detection uses Spark's PERMISSIVE-mode corrupt-record
+    * column (`from_json` yields a struct of nulls on malformed input,
+    * so a null-struct check would never fire). Route
+    * `where(is_quarantined)` to a dead-letter sink and the rest
+    * onward; both branches stay row-local (no shuffle). */
+  def parseJsonWithQuarantine(df: DataFrame, jsonCol: String,
+      schema: StructType, as: String = "parsed"): DataFrame = {
+    val corrupt = "_corrupt_record"
+    val schemaPlus = StructType(schema.fields :+
+      StructField(corrupt, org.apache.spark.sql.types.StringType))
+    df.withColumn(as, from_json(col(jsonCol), schemaPlus,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)))
+      .withColumn("is_quarantined", col(s"$as.$corrupt").isNotNull)
+      .withColumn(as, col(as).dropFields(corrupt))
+  }
 }

@@ -112,7 +112,25 @@ object AnalyticsQueries {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy("event_type")
 
+  /** §2 #28 — running (cumulative) revenue per customer in order-date
+    * order: one shuffle on the key, decimal-exact prefix sums so the
+    * order-dependent accumulation is engine-portable. */
+  def q34RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_rev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_running_total" -> (q34RunningTotal _),
     "q27_sessionize" -> (q27Sessionize _),
     "q28_asof_join" -> (q28AsofJoin _),
     "q29_topn_per_group" -> (q29TopnPerGroup _),
@@ -174,6 +192,13 @@ object AnalyticsQueries {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.95), 6) AS p95,
         |  round(quantile_cont(value, 0.99), 6) AS p99
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q34_running_total" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -209,6 +209,24 @@ object EcommerceQueries {
   def q16AuditLog(s: SparkSession, dir: String): DataFrame =
     Stats.auditLog(t(s, dir, "events"))
 
+  /** §2 #27 — corrupt-record quarantine: a synthetic 1-in-7 corruption
+    * of the JSON feed is routed to a dead-letter count instead of
+    * failing the job (the reference catches per-order parse errors and
+    * continues; here the split is declarative and row-local). */
+  def q33Quarantine(s: SparkSession, dir: String): DataFrame = {
+    val corrupted = t(s, dir, "events").withColumn("props",
+      when(col("event_id") % 7 === 0, translate(col("props"), "{", "<"))
+        .otherwise(col("props")))
+    Normalize.parseJsonWithQuarantine(corrupted, "props",
+        StructType(Seq(StructField("k", LongType))))
+      .groupBy("event_type")
+      .agg(
+        count(when(!col("is_quarantined"), 1)).as("n_valid"),
+        count(when(col("is_quarantined"), 1)).as("n_quarantined"),
+        sum(when(!col("is_quarantined"), col("parsed.k"))).as("sum_k"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_rowcounts" -> (q01Rowcounts _),
     "q02_dedup_keep_last" -> (q02DedupKeepLast _),
@@ -225,7 +243,8 @@ object EcommerceQueries {
     "q13_cascade_order" -> (q13CascadeOrder _),
     "q14_schema_project" -> (q14SchemaProject _),
     "q15_batch_stats" -> (q15BatchStats _),
-    "q16_audit_log" -> (q16AuditLog _)
+    "q16_audit_log" -> (q16AuditLog _),
+    "q33_quarantine" -> (q33Quarantine _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -334,6 +353,20 @@ object EcommerceQueries {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS window_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  CASE WHEN count(*) > 0 THEN 'SUCCESS' ELSE 'EMPTY' END AS status
-        |FROM events GROUP BY event_type ORDER BY etl_source""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY etl_source""".stripMargin,
+
+    "q33_quarantine" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN replace(props, '{', '<') ELSE props END AS props
+        |  FROM events),
+        |p AS (SELECT event_type, json_valid(props) AS ok,
+        |        CASE WHEN json_valid(props)
+        |             THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k FROM c)
+        |SELECT event_type,
+        |  CAST(count(CASE WHEN ok THEN 1 END) AS BIGINT) AS n_valid,
+        |  CAST(count(CASE WHEN NOT ok THEN 1 END) AS BIGINT) AS n_quarantined,
+        |  CAST(sum(CASE WHEN ok THEN k END) AS BIGINT) AS sum_k
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -110,6 +110,22 @@ class AnalyticsSpec extends SparkTestBase {
       s"approx_percentile drifted $maxRelErr from exact — sketch misconfigured")
   }
 
+  test("parseJsonWithQuarantine flags malformed rows, parses the rest") {
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (1L, """{"k": 5}"""),
+      (2L, """<"k": 5}"""), // malformed
+      (3L, """{"k": "not-a-long"}""") // schema-corrupt
+    ).toDF("id", "js")
+    val out = graft.operators.Normalize.parseJsonWithQuarantine(
+        df, "js", StructType(Seq(StructField("k", LongType))))
+      .select(col("id"), col("parsed.k"), col("is_quarantined"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), r.getBoolean(2))).toMap
+    assert(out(1L) == (Some(5L), false))
+    assert(out(2L) == (None, true))
+    assert(out(3L) == (None, true))
+  }
+
   test("q27/q28/q29 run green at sf0.001") {
     assert(AnalyticsQueries.q27Sessionize(spark, sf0001).count() > 0)
     val asof = AnalyticsQueries.q28AsofJoin(spark, sf0001)

@@ -225,6 +225,45 @@ def q29():
                 .groupby("n_name").cumcount() + 1
     j[j.rnk <= 3].sort_values(["n_name", "rnk"])
 
+@timed("q30_rollup")
+def q30():
+    o = T["orders"]
+    leaf = o.groupby(["o_orderpriority", "o_orderstatus"]).agg(
+        n=("o_orderkey", "size"), rev=("o_totalprice", "sum")).reset_index()
+    sub = o.groupby("o_orderpriority").agg(
+        n=("o_orderkey", "size"), rev=("o_totalprice", "sum")).reset_index()
+    pd.concat([leaf, sub, pd.DataFrame([{"n": len(o), "rev": o.o_totalprice.sum()}])])
+
+@timed("q31_pivot")
+def q31():
+    ev = T["events"]
+    ev.pivot_table(index=ev.ts.dt.date, columns="event_type",
+                   values="value", aggfunc="sum")
+
+@timed("q32_percentile")
+def q32():
+    T["events"].groupby("event_type").value.quantile([0.5, 0.95, 0.99])
+
+@timed("q33_quarantine")
+def q33():
+    import json as _json
+    ev = T["events"]
+    props = ev.props.where(ev.event_id % 7 != 0, ev.props.str.replace("{", "<"))
+    def parse(p):
+        try:
+            return _json.loads(p).get("k")
+        except Exception:
+            return None
+    k = props.map(parse)
+    ev.assign(ok=k.notna(), k=k).groupby("event_type").agg(
+        n_valid=("ok", "sum"), n_quarantined=("ok", lambda s: (~s).sum()),
+        sum_k=("k", "sum"))
+
+@timed("q34_running_total")
+def q34():
+    o = T["orders"].sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    o.assign(running=o.groupby("o_custkey").o_totalprice.cumsum())
+
 times = T["_times"]
 print(json.dumps(times))
 print("total", round(sum(times.values()), 3), "n_queries", len(times))
