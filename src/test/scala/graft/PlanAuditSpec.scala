@@ -44,10 +44,23 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("no cartesian products in any registered non-broadcast query") {
-    (EcommerceQueries.queries ++ LlmQueries.queries).foreach { case (name, fn) =>
+    SparkEntry.queries.foreach { case (name, fn) =>
       val plan = executed(fn(spark, sf0001))
       assert(!plan.contains("CartesianProduct"),
         s"$name has a cartesian product:\n$plan")
     }
+  }
+
+  test("as-of join and sessionize shuffle once; running total reuses its window sort") {
+    import graft.queries.AnalyticsQueries
+    val asof = executed(AnalyticsQueries.q28AsofJoin(spark, sf0001))
+    assert(!asof.contains("Join"), s"as-of must not plan a join:\n$asof")
+    val sess = executed(AnalyticsQueries.q27Sessionize(spark, sf0001))
+    // windows (one exchange) + session aggregate + output sort
+    val sessShuffles = countOccurrences(sess, "Exchange hashpartitioning")
+    assert(sessShuffles <= 2, s"sessionize over-shuffles ($sessShuffles):\n$sess")
+    val run = executed(AnalyticsQueries.q34RunningTotal(spark, sf0001))
+    val runShuffles = countOccurrences(run, "Exchange hashpartitioning")
+    assert(runShuffles == 1, s"running total needs 1 hash shuffle, got $runShuffles:\n$run")
   }
 }

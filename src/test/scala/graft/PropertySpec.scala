@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Dedup, Incremental}
+import graft.operators.{AsOfJoin, Dedup, Incremental, Sessionize}
 
 /** Property-based checks of the load-semantics algebra: invariants that
   * must hold for ANY input, not just the fixtures (scalacheck
@@ -48,6 +48,64 @@ class PropertySpec extends SparkTestBase {
       assert(a == b, "upsert must be idempotent")
       val keys = once.select("k").as[Long].collect().toSet
       assert(keys == (baseRows.map(_._1) ++ updRows.map(_._1)).toSet)
+    }
+  }
+
+  test("asOf equals the brute-force latest-≤-ts lookup on random feeds") {
+    val feedGen: Gen[List[(Long, Long, Long)]] =
+      Gen.listOfN(30, for {
+        k <- Gen.choose(0L, 4L)
+        ts <- Gen.choose(0L, 50L)
+        id <- Gen.choose(0L, 1000000L)
+      } yield (k, ts, id))
+    samples(feedGen.flatMap(l => feedGen.map(r => (l, r))), 6).foreach {
+      case (leftRows0, rightRows0) =>
+        // unique ids make the expected winner well-defined
+        val leftRows = leftRows0.zipWithIndex.map { case ((k, ts, _), i) => (k, ts, i.toLong) }
+        val rightRows = rightRows0.zipWithIndex.map { case ((k, ts, _), i) => (k, ts, i.toLong + 10000) }
+        if (leftRows.nonEmpty && rightRows.nonEmpty) {
+          val left = leftRows.toDF("k", "ts", "lid")
+          val right = rightRows.toDF("k", "ts", "rid")
+          val got = AsOfJoin.asOf(left, col("ts"), col("lid"),
+              right, col("ts"), col("rid"), "k")
+            .select("lid", "asof_rid")
+            .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+          leftRows.foreach { case (k, ts, lid) =>
+            val expected = rightRows.filter(r => r._1 == k && r._2 <= ts)
+              .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+            assert(got(lid) == expected,
+              s"key $k ts $ts: got ${got(lid)}, brute force says $expected")
+          }
+        }
+    }
+  }
+
+  test("sessionize: within-session gaps ≤ gap, cross-session gaps > gap") {
+    val evGen: Gen[List[(Long, Long, Long)]] =
+      Gen.listOfN(40, for {
+        k <- Gen.choose(0L, 3L)
+        ts <- Gen.choose(0L, 500L)
+        id <- Gen.choose(0L, 1000000L)
+      } yield (k, ts, id))
+    samples(evGen, 6).foreach { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((k, ts, _), i) => (k, ts, i.toLong) }
+      if (rows.nonEmpty) {
+        val out = Sessionize.withSessionId(rows.toDF("k", "ts", "id"),
+            "k", col("ts"), col("id"), gap = 25L)
+          .select("k", "ts", "id", "session_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        out.groupBy(_._1).foreach { case (_, es) =>
+          val ordered = es.sortBy(e => (e._2, e._3))
+          ordered.sliding(2).foreach {
+            case Array(a, b) =>
+              val sameSession = a._4 == b._4
+              if (b._2 - a._2 <= 25L) assert(sameSession, s"gap ${b._2 - a._2} split a session")
+              else assert(!sameSession && b._4 == a._4 + 1, "large gap must advance the ordinal by 1")
+            case _ => ()
+          }
+          assert(ordered.head._4 == 1L, "sessions start at ordinal 1")
+        }
+      }
     }
   }
 
