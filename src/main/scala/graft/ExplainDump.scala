@@ -13,13 +13,20 @@ object ExplainDump {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val named = args.toSet
     Seq(
-      "q10_star_join" -> graft.queries.EcommerceQueries.q10StarJoin(spark, "/root/testdata/sf0.001"),
-      "q09_incremental_agg" -> graft.queries.EcommerceQueries.q09IncrementalAgg(spark, "/root/testdata/sf0.001")
-    ).foreach { case (name, df) =>
-      println(s"==== $name")
-      df.explain("formatted")
-    }
+      "q10_star_join" -> (() => graft.queries.EcommerceQueries.q10StarJoin(spark, dir)),
+      "q09_incremental_agg" -> (() => graft.queries.EcommerceQueries.q09IncrementalAgg(spark, dir)),
+      "q28_asof_join" -> (() => graft.queries.AnalyticsQueries.q28AsofJoin(spark, dir)),
+      "q27_sessionize" -> (() => graft.queries.AnalyticsQueries.q27Sessionize(spark, dir)),
+      "q29_topn_per_group" -> (() => graft.queries.AnalyticsQueries.q29TopnPerGroup(spark, dir)),
+      "q26_embed_neardup" -> (() => graft.queries.LlmQueries.q26EmbedNearDup(spark, dir))
+    ).filter { case (name, _) => named.isEmpty || named(name) }
+      .foreach { case (name, mk) =>
+        println(s"==== $name")
+        mk().explain("formatted")
+      }
     spark.stop()
   }
 }
