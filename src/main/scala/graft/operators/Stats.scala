@@ -50,6 +50,31 @@ object Stats {
       .withColumn("status", when(col("n_rows") > 0, lit("SUCCESS")).otherwise(lit("EMPTY")))
       .orderBy("etl_source")
 
+  /** Sketch-based batch stats for 100 TB feeds: HLL++
+    * `approx_count_distinct` replaces the exact distinct (whose
+    * count-distinct expand doubles shuffle volume) with a fixed-size
+    * mergeable sketch — map-side partials are ~1.5 KB per group
+    * regardless of cardinality. Default rsd 2.3 %; drift vs exact is
+    * bounded in AnalyticsSpec. */
+  def approxBatchStats(events: DataFrame, rsd: Double = 0.023): DataFrame =
+    events.groupBy(to_date(col("ts")).as("batch_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("batch_date")
+
+  /** Tumbling-window rollup (batch form of the streaming windowed
+    * aggregate): epoch-aligned fixed windows via `window()`, partial
+    * aggregation map-side, one shuffle on (window, key). */
+  def tumblingStats(events: DataFrame, width: String,
+      keyCol: String): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col(keyCol), col("n_events"), col("total_value"))
+
   /** Top-n rows per group by `order` (desc-ranked via the caller's
     * Column order), with the rank exposed as `rnk`. Spark rewrites the
     * `row_number <= n` filter into WindowGroupLimit, so each shuffle

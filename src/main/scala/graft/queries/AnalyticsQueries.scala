@@ -129,7 +129,14 @@ object AnalyticsQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** §2 #29 — tumbling 6-hour windows per event type (batch form of
+    * the streaming windowed aggregate; epoch-aligned so engine-portable). */
+  def q35Tumbling(s: SparkSession, dir: String): DataFrame =
+    Stats.tumblingStats(t(s, dir, "events"), "6 hours", "event_type")
+      .orderBy("window_start", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_tumbling" -> (q35Tumbling _),
     "q34_running_total" -> (q34RunningTotal _),
     "q27_sessionize" -> (q27Sessionize _),
     "q28_asof_join" -> (q28AsofJoin _),
@@ -199,6 +206,12 @@ object AnalyticsQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q35_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
   )
 }

@@ -110,6 +110,21 @@ class AnalyticsSpec extends SparkTestBase {
       s"approx_percentile drifted $maxRelErr from exact — sketch misconfigured")
   }
 
+  test("approxBatchStats: HLL sketch within rsd bound of exact distinct") {
+    val ev = Tables.load(spark, sf001, "events")
+    val approx = graft.operators.Stats.approxBatchStats(ev)
+      .select("batch_date", "approx_users")
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val exact = graft.operators.Stats.batchStats(ev)
+      .select("batch_date", "n_users")
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    exact.foreach { case (d, n) =>
+      val a = approx(d)
+      assert(math.abs(a - n).toDouble / n < 0.10,
+        s"$d: approx $a vs exact $n exceeds 10% (rsd 2.3%, ~4σ)")
+    }
+  }
+
   test("parseJsonWithQuarantine flags malformed rows, parses the rest") {
     import org.apache.spark.sql.types._
     val df = Seq(
