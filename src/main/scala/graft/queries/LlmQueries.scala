@@ -106,7 +106,19 @@ object LlmQueries {
       .withColumn("cos_sim", round(col("cos_sim"), 6))
       .orderBy("id_a", "id_b")
 
+  /** §2 #30 — deterministic hash train/val/test split over the corpus:
+    * per-split and per-source counts (split assignment is md5-derived,
+    * row-local, engine-portable — the re-run-stable split discipline
+    * a training corpus needs). */
+  def q36HashSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split", "source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_hash_split" -> (q36HashSplit _),
     "q26_embed_neardup" -> (q26EmbedNearDup _),
     "q17_exact_dedup" -> (q17ExactDedup _),
     "q18_minhash_pairs" -> (q18MinhashPairs _),
@@ -192,6 +204,17 @@ object LlmQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  lower(substr(hex(encode(text)), 1, 8)) AS magic8,
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS est_chunks
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q36_hash_split" ->
+      """WITH b AS (
+        |  SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bkt
+        |  FROM documents),
+        |s AS (SELECT *, CASE WHEN bkt < 80 THEN 'train'
+        |                     WHEN bkt < 90 THEN 'val'
+        |                     ELSE 'test' END AS split FROM b)
+        |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin
   )
 }

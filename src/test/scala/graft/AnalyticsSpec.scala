@@ -141,6 +141,39 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out(3L) == (None, true))
   }
 
+  test("hashSplit: deterministic, complete, ~80/10/10") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf001, "documents")
+    val a = Sampling.hashSplit(docs, "doc_id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sampling.hashSplit(docs, "doc_id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "split must be deterministic")
+    val n = a.values.sum
+    assert(n == docs.count(), "every row lands in exactly one split")
+    assert(math.abs(a("train").toDouble / n - 0.8) < 0.05, s"train share ${a("train")}/$n")
+    assert(math.abs(a("val").toDouble / n - 0.1) < 0.04)
+    assert(math.abs(a("test").toDouble / n - 0.1) < 0.04)
+  }
+
+  test("stratifiedSample: per-stratum rates honor fractions, seeded-deterministic") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf001, "documents")
+    val fractions = Map("web" -> 0.5, "wiki" -> 1.0, "books" -> 0.0)
+    val present = docs.select("source").distinct().collect().map(_.getString(0)).toSet
+    val s1 = Sampling.stratifiedSample(docs, "source", "doc_id", fractions)
+    val s2 = Sampling.stratifiedSample(docs, "source", "doc_id", fractions)
+    assert(s1.collect().map(_.getLong(0)).toSet == s2.collect().map(_.getLong(0)).toSet)
+    val counts = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fractions.filter(f => present(f._1)).foreach { case (src, f) =>
+      val kept = counts.getOrElse(src, 0L).toDouble / totals(src)
+      assert(math.abs(kept - f) < 0.12, s"$src kept $kept, wanted $f")
+    }
+  }
+
   test("q27/q28/q29 run green at sf0.001") {
     assert(AnalyticsQueries.q27Sessionize(spark, sf0001).count() > 0)
     val asof = AnalyticsQueries.q28AsofJoin(spark, sf0001)
