@@ -10,20 +10,32 @@ import graft.functions.TextFunctions
   * 64-bit charikar fingerprint per document, computed in ONE pass over
   * the token-hash array: a running 64-counter vector folded with
   * `aggregate` + `zip_with` (row-local, codegen — no UDF, no shuffle).
-  * Near-dup candidates come from band buckets over the fingerprint
-  * (4 × 16-bit chunks: Hamming distance ≤3 guarantees ≥1 identical
-  * chunk by pigeonhole) and are verified with `bit_count(a XOR b)` —
+  * Near-dup candidates come from band buckets over the fingerprint —
+  * `maxHamming + 1` contiguous bit-chunks, so by pigeonhole every pair
+  * within the Hamming budget shares ≥1 identical chunk (EXACT recall,
+  * not best-effort) — and are verified with `bit_count(a XOR b)`;
   * never an all-pairs scan.
   */
 object SimHash {
 
   val Bits = 64
 
+  /** Portable signed-64 token hash from md5 (first 16 hex chars) —
+    * engine-reproducible (DuckDB computes the identical value), for
+    * oracle-checked simhash paths; xxhash64 stays the fast default. */
+  def md5TokenHash(t: Column): Column = {
+    val dec = conv(substring(md5(t), 1, 16), 16, 10).cast("decimal(20,0)")
+    when(dec >= lit(BigDecimal("9223372036854775808")),
+      (dec - lit(BigDecimal("18446744073709551616"))).cast("long"))
+      .otherwise(dec.cast("long"))
+  }
+
   /** 64-bit simhash of the token multiset. Uses the native codegen'd
     * expression when the session has GraftExtensions (bit-equal),
     * else the portable higher-order-function fold. */
-  def simhash64(textCol: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(textCol), t => xxhash64(t))
+  def simhash64(textCol: Column,
+      tokenHash: Column => Column = xxhash64(_)): Column = {
+    val hashes = transform(TextFunctions.tokens(textCol), t => tokenHash(t))
     if (graft.plans.GraftExtensions.nativeAvailable)
       call_function("simhash64", hashes)
     else simhash64Hof(hashes)
@@ -47,19 +59,37 @@ object SimHash {
   }
 
   /** (doc, fingerprint) per row. */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc"), simhash64(col(textCol)).as("fp"))
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      simhash64(col(textCol), tokenHash).as("fp"))
 
-  /** Candidate pairs whose fingerprints agree on ≥1 16-bit chunk,
-    * verified to Hamming distance ≤ maxHamming. */
+  /** Contiguous chunk boundaries covering 64 bits as evenly as
+    * possible: (offset, width) per chunk. */
+  private[graft] def chunkSpans(nChunks: Int): Seq[(Int, Int)] = {
+    val base = Bits / nChunks
+    val extra = Bits % nChunks
+    val widths = Seq.tabulate(nChunks)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** ALL pairs within Hamming distance ≤ maxHamming: fingerprints are
+    * cut into `maxHamming + 1` chunks (pigeonhole: ≤ maxHamming
+    * differing bits cannot touch every chunk, so any qualifying pair
+    * collides on ≥1 bucket — exact recall), candidates joined within
+    * (chunk, chunk_val) buckets only, then verified with bit_count. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val fps = fingerprints(docs, idCol, textCol)
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxHamming < Bits, "maxHamming must be < 64")
+    val fps = fingerprints(docs, idCol, textCol, tokenHash)
+    val spans = chunkSpans(maxHamming + 1)
     val chunked = fps.select(col("doc"), col("fp"),
-      explode(array((0 until 4).map(j =>
+      explode(array(spans.zipWithIndex.map { case ((off, w), j) =>
         struct(lit(j).as("chunk"),
-          (shiftrightunsigned(col("fp"), j * 16).bitwiseAND(lit(0xFFFFL)))
-            .as("chunk_val"))): _*)).as("cc"))
+          (shiftrightunsigned(col("fp"), off).bitwiseAND(lit((1L << w) - 1L)))
+            .as("chunk_val"))
+      }: _*)).as("cc"))
       .select(col("doc"), col("fp"), col("cc.chunk"), col("cc.chunk_val"))
       .persist() // fingerprints are not recomputed per join side
     chunked.as("a")

@@ -9,7 +9,9 @@ import graft.operators._
 
 /** SURVEY.md §2 rows 17–21: LLM-data-pipeline operators over the
   * `documents` and `embeddings` tables. SQL-expressible ops carry a
-  * DuckDB oracle; LSH-based ops are rows-only here and get recall
+  * DuckDB oracle (incl. simhash, whose md5-portable token hashes let
+  * DuckDB reproduce fingerprints bit-for-bit); the remaining
+  * hash-seed-specific LSH/ANN ops are rows-only and get recall
   * ScalaTests against planted near-dups (docs suffixed " dup"). */
 object LlmQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -34,11 +36,14 @@ object LlmQueries {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
 
-  /** §2 #18 — SimHash fingerprint near-dup pairs (Hamming ≤ 8 over
-    * 64-bit charikar fingerprints, chunk-bucketed candidates). */
+  /** §2 #18 — SimHash fingerprint near-dup pairs: ALL pairs at Hamming
+    * ≤ 8 over 64-bit charikar fingerprints (9-chunk pigeonhole
+    * candidates → exact recall), token hashes md5-derived so DuckDB
+    * reproduces the fingerprints bit-for-bit → full SQL oracle. */
   def q19Simhash(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 8)
+        maxHamming = 8, tokenHash = SimHash.md5TokenHash)
+      .withColumn("hamming", col("hamming").cast("bigint"))
       .orderBy("doc_a", "doc_b")
 
   /** §2 #18 — exact n-gram Jaccard within a blocking key (source):
@@ -135,6 +140,25 @@ object LlmQueries {
     """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
 
   val oracleSql: Map[String, String] = Map(
+    "q19_simhash" ->
+      s"""WITH w AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS uh FROM tok),
+         |bits AS (
+         |  SELECT doc_id, g.b AS b,
+         |    sum(CASE WHEN (uh >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         |  FROM h, generate_series(0, 63) AS g(b) GROUP BY doc_id, g.b),
+         |fp0 AS (SELECT doc_id,
+         |    sum(CASE WHEN cnt > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS ufp
+         |  FROM bits GROUP BY doc_id),
+         |fp AS (SELECT doc_id,
+         |    (CASE WHEN ufp >= 9223372036854775808 THEN ufp - 18446744073709551616
+         |          ELSE ufp END)::BIGINT AS f FROM fp0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.f, b.f)) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q17_exact_dedup" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

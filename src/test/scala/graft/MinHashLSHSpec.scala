@@ -59,4 +59,20 @@ class MinHashLSHSpec extends SparkTestBase {
     val maxH = withFp.agg(max("h")).head().getInt(0)
     assert(maxH <= 10, s"planted near-dup at hamming $maxH — fingerprint too noisy")
   }
+
+  test("simhash chunk candidates have EXACT recall vs all-pairs hamming") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val fps = SimHash.fingerprints(docs, "doc_id", "text")
+    val brute = fps.as("a").join(fps.as("b"), col("a.doc") < col("b.doc"))
+      .where(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 8)
+      .count()
+    val viaChunks = SimHash.nearDupPairs(docs, "doc_id", "text",
+      maxHamming = 8).count()
+    assert(viaChunks == brute,
+      s"pigeonhole chunks found $viaChunks pairs, all-pairs truth is $brute")
+    // chunk spans must tile all 64 bits exactly
+    val spans = SimHash.chunkSpans(9)
+    assert(spans.map(_._2).sum == 64 && spans.head._1 == 0)
+    assert(spans.sliding(2).forall { case Seq((o1, w1), (o2, _)) => o2 == o1 + w1 })
+  }
 }
