@@ -22,7 +22,11 @@ object Bench {
     // Optional comma-separated subset for focused iteration runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // `*_portable` twins are correctness artifacts (md5-based hashing
+    // an oracle engine can replay) of the native-hash operators already
+    // benchmarked under their primary keys — not production paths.
     val queries = SparkEntry.queries
+      .filter { case (name, _) => !name.endsWith("_portable") }
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // Warm JIT/codegen per query plan on the smallest SF so timed runs

@@ -47,6 +47,15 @@ object MinHashLSH {
     transform(TextDedup.shingleHashes64(textCol, n),
       h => pmod(h, lit(Prime)))
 
+  /** Engine-portable shingle hashes: md5 of the n-gram STRING (first 8
+    * hex chars) mod P — DuckDB computes the identical value, enabling
+    * a full SQL oracle over the whole LSH pipeline. Slower than the
+    * native mix (allocates the n-gram strings); the default path stays
+    * xxhash64-based. */
+  def shingleHashesPortable(textCol: Column, n: Int = 3): Column =
+    transform(TextDedup.shingles(textCol, n),
+      s => pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(Prime)))
+
   /** k min-hash values as an array column — ONE fold over the shingle
     * array updating all k minima per element (k separate
     * `array_min(transform(...))` expressions would re-walk the array k
@@ -73,9 +82,13 @@ object MinHashLSH {
 
   /** As bandBuckets, over a precomputed (doc, sh: array<long>) frame —
     * lets callers share one (persisted) shingle-hash pass between
-    * banding and Jaccard verification. */
+    * banding and Jaccard verification. With `portableBandKey` the band
+    * bucket key is the comma-joined signature slice (a string any
+    * engine reproduces) instead of xxhash64 — identical bucketing
+    * semantics, SQL-checkable. */
   def bandBucketsFromHashes(docHashes: DataFrame, numPerm: Int = 64,
-      bands: Int = 16, seed: Long = 42L): DataFrame = {
+      bands: Int = 16, seed: Long = 42L,
+      portableBandKey: Boolean = false): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
     val perms = permutations(numPerm, seed)
@@ -86,10 +99,13 @@ object MinHashLSH {
         call_function("minhash_sig", col("sh"))
       else signature(col("sh"), perms)
     val withSig = docHashes.select(col("doc"), sigExpr.as("sig"))
+    def bandKey(j: Int): Column = {
+      val vals = (0 until r).map(i => element_at(col("sig"), j * r + i + 1))
+      if (portableBandKey) concat_ws(",", vals.map(_.cast("string")): _*)
+      else xxhash64((lit(j) +: vals): _*).cast("string")
+    }
     val bandStructs = array((0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64((lit(j) +: (0 until r).map(i =>
-          element_at(col("sig"), j * r + i + 1))): _*).as("band_hash"))
+      struct(lit(j).as("band"), bandKey(j).as("band_hash"))
     }: _*)
     // Materialize: the self-join in candidatePairs would otherwise
     // recompute every signature on both sides (at cluster scale this is
@@ -109,14 +125,20 @@ object MinHashLSH {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
 
-  /** Candidates verified with exact shingle-set Jaccard ≥ threshold. */
+  /** Candidates verified with exact shingle-set Jaccard ≥ threshold.
+    * `portable = true` switches shingle hashing and band keys to the
+    * md5/string forms an oracle engine reproduces bit-for-bit. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numPerm: Int = 64, bands: Int = 16,
-      shingleN: Int = 3, seed: Long = 42L): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"),
-      shingleHashes(col(textCol), shingleN).as("sh")).persist()
+      shingleN: Int = 3, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    val shingleExpr =
+      if (portable) shingleHashesPortable(col(textCol), shingleN)
+      else shingleHashes(col(textCol), shingleN)
+    val sh = docs.select(col(idCol).as("doc"), shingleExpr.as("sh")).persist()
     val pairs = candidatePairs(
-      bandBucketsFromHashes(sh, numPerm, bands, seed))
+      bandBucketsFromHashes(sh, numPerm, bands, seed,
+        portableBandKey = portable))
     pairs
       .join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

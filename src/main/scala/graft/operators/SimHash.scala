@@ -99,7 +99,10 @@ object SimHash {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
-      .distinct()
+      // verify BEFORE dedup: the Hamming filter kills the vast
+      // majority of chunk candidates map-side, so the distinct()
+      // shuffle carries only qualifying pairs
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

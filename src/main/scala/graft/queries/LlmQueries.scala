@@ -27,8 +27,10 @@ object LlmQueries {
       .orderBy("text_hash")
   }
 
-  /** §2 #18 — MinHash banded-LSH near-dup pairs, Jaccard-verified.
-    * Rows-only (xxhash64 signatures are engine-specific); recall is
+  /** §2 #18 — MinHash banded-LSH near-dup pairs, Jaccard-verified
+    * (production path: native codegen'd shingle/signature hashing).
+    * Rows-only here — its full pipeline is oracle-checked through the
+    * portable twin [[q37MinhashPortable]]; recall is additionally
     * asserted in MinHashLSHSpec against the planted dups. */
   def q18MinhashPairs(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -37,10 +39,31 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
 
   /** §2 #18 — SimHash fingerprint near-dup pairs: ALL pairs at Hamming
-    * ≤ 8 over 64-bit charikar fingerprints (9-chunk pigeonhole
-    * candidates → exact recall), token hashes md5-derived so DuckDB
-    * reproduces the fingerprints bit-for-bit → full SQL oracle. */
+    * ≤ 8 (9-chunk pigeonhole candidates → exact recall, asserted vs
+    * all-pairs truth in spec). Production path (xxhash64 tokens);
+    * oracle-checked through the portable twin [[q38SimhashPortable]]. */
   def q19Simhash(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8)
+      .withColumn("hamming", col("hamming").cast("bigint"))
+      .orderBy("doc_a", "doc_b")
+
+  /** §2 #18 — q18's FULL pipeline (shingle → 64-perm signature → 16
+    * band buckets → candidate join → exact-Jaccard verify) with
+    * md5-portable hashes, so the DuckDB oracle replays every stage —
+    * including which candidate pairs the bands surface — bit-for-bit.
+    * A correctness artifact, not a production path (md5 string hashing
+    * is ~6× the native mix): Bench skips `*_portable` keys. */
+  def q37MinhashPortable(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, portable = true)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("doc_a", "doc_b")
+
+  /** §2 #18 — q19's pipeline with md5-portable token hashes: DuckDB
+    * recomputes every 64-bit fingerprint and the all-pairs Hamming
+    * truth it implies. Correctness artifact; Bench skips it. */
+  def q38SimhashPortable(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 8, tokenHash = SimHash.md5TokenHash)
       .withColumn("hamming", col("hamming").cast("bigint"))
@@ -123,6 +146,8 @@ object LlmQueries {
       .orderBy("split", "source")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_minhash_portable" -> (q37MinhashPortable _),
+    "q38_simhash_portable" -> (q38SimhashPortable _),
     "q36_hash_split" -> (q36HashSplit _),
     "q26_embed_neardup" -> (q26EmbedNearDup _),
     "q17_exact_dedup" -> (q17ExactDedup _),
@@ -139,8 +164,35 @@ object LlmQueries {
   private val toksSql =
     """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
 
+  /** The 64 (a,b) permutation constants (seed 42) inlined as a VALUES
+    * list so the oracle replays the exact signature arithmetic. */
+  private val permsValues: String =
+    MinHashLSH.permutations(64, 42L).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
   val oracleSql: Map[String, String] = Map(
-    "q19_simhash" ->
+    "q37_minhash_portable" ->
+      s"""WITH perms(i, a, b) AS (VALUES $permsValues),
+         |w AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |d3 AS (SELECT doc_id,
+         |  list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, greatest(len(w)-2, 1))]) AS shs FROM w),
+         |sh AS (SELECT doc_id, unnest(shs) AS s FROM d3),
+         |hashes AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS h FROM sh),
+         |sigs AS (SELECT doc_id, i, min((h * a + b) % 2147483647) AS m
+         |         FROM hashes CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 4 AS band, string_agg(m, ',' ORDER BY i) AS bkey
+         |          FROM sigs GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hashes GROUP BY doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |        CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |          / CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS jac
+         |      FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+         |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q38_simhash_portable" ->
       s"""WITH w AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
          |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS uh FROM tok),
