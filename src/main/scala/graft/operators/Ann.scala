@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -11,14 +13,49 @@ import graft.functions.VectorFunctions
   * (no global sort materialization); correct, and fine for a single
   * query over any corpus a scan can cover.
   *
-  * Scale path: random-hyperplane LSH — each vector gets an nPlanes-bit
-  * bucket id computed row-local; a query probes only buckets within
-  * Hamming distance `probe` of its own bucket. At 100 TB the table is
-  * written partitioned/bucketed by `bucket`, so a probe reads a handful
-  * of partitions instead of the corpus (partition pruning on the bucket
-  * predicate); nothing here is a crossJoin.
+  * Scale path: IVF — a coarse quantizer is TRAINED ONCE on a sampled
+  * subset ([[trainCentroids]]; never inside a query), persisted as a
+  * k×dim matrix, and every query probes only the `nprobe` cells
+  * nearest to it. At 100 TB the table is written partitioned/bucketed
+  * by cell id (ParquetSink.writeIvfPartitioned), so a probe reads
+  * nprobe/k of the corpus via partition pruning; nothing here is a
+  * crossJoin. A random-hyperplane LSH variant is included.
   */
 object Ann {
+
+  /** Element-wise running (sum, count) over equal-length double arrays —
+    * ONE aggregate expression regardless of dimensionality. The
+    * alternative (`dim` separate `avg(element_at(vec, i))` aggregates)
+    * plans an expression per dimension and overflows the codegen
+    * method budget at real embedding widths (768+). Partial buffers
+    * merge map-side, so a Lloyd step shuffles k×(dim+1) doubles. */
+  private class VecMeanAgg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+    def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+    def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) =
+      if (v == null) b
+      else if (b._2 == 0L) (v.toArray, 1L)
+      else {
+        val s = b._1
+        var i = 0
+        while (i < s.length) { s(i) += v(i); i += 1 }
+        (s, b._2 + 1L)
+      }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
+      if (x._2 == 0L) y
+      else if (y._2 == 0L) x
+      else {
+        val s = x._1
+        var i = 0
+        while (i < s.length) { s(i) += y._1(i); i += 1 }
+        (s, x._2 + y._2)
+      }
+    def finish(b: (Array[Double], Long)): Seq[Double] =
+      if (b._2 == 0L) Seq.empty[Double]
+      else b._1.toSeq.map(_ / b._2.toDouble)
+    def bufferEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.product[(Array[Double], Long)]
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  }
 
   /** Per-row cosine against the single-row `query` frame (broadcast —
     * stays in-plan, no driver collect). */
@@ -44,36 +81,47 @@ object Ann {
       when(VectorFunctions.dotConst(vecCol, p) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** IVF coarse quantizer: k centroids, deterministic init (first k
-    * vectors by id — a uniform sample under hashed ids), optional
-    * distributed Lloyd refinement. Only the k×dim centroid matrix ever
-    * reaches the driver — standard sample-based quantizer training; the
-    * corpus itself is never collected. */
-  def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 0): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = embeddings.orderBy(idCol).limit(k)
-      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    val dim = cents.headOption.map(_.length).getOrElse(0)
-    for (_ <- 0 until iters) {
-      // Per-dimension avg aggregates (codegen'd, map-side combined):
-      // the shuffle moves k×dim partial sums, not rows×dim exploded
-      // elements as a posexplode formulation would.
-      val dimAggs = (0 until dim).map(j =>
-        avg(element_at(col(vecCol), j + 1).cast("double")).as(s"m$j"))
-      val means = embeddings
-        .withColumn("__c", clusterOf(col(vecCol), cents))
-        .groupBy("__c").agg(dimAggs.head, dimAggs.tail: _*)
-        .collect()
-      val byCluster = means.map(r => r.getInt(0) -> r).toMap
-      cents = cents.indices.map { j =>
-        byCluster.get(j) match {
-          case Some(r) => Array.tabulate(dim)(d => r.getDouble(d + 1))
-          case None => cents(j) // empty cluster keeps its centroid
-        }
-      }.toArray
-    }
-    cents
+  /** Train the IVF coarse quantizer: k centroids, deterministic init
+    * (first k sampled vectors by id — a uniform pick under hashed
+    * ids), Lloyd refinement over a deterministic hash-sample
+    * (`1/sampleMod` of the corpus — quantizer quality needs a sample,
+    * never a full scan). Only the k×dim centroid matrix reaches the
+    * driver. Train ONCE, persist the matrix, pass it to [[ivfTopK]] /
+    * [[cosineNearDupPairs]] — never retrain per query: at 100 TB a
+    * per-query Lloyd pass is `iters` extra corpus scans. Returns
+    * empty when the (sampled) frame is empty. */
+  def trainCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 0, sampleMod: Int = 1): Array[Array[Double]] = {
+    val sampled =
+      if (sampleMod > 1)
+        embeddings.where(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+      else embeddings
+    val vecs = sampled.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    if (iters <= 0)
+      return vecs.orderBy("__id").limit(k)
+        .collect().map(_.getSeq[Double](1).toArray)
+    val cached = vecs.persist()
+    try {
+      var cents = cached.orderBy("__id").limit(k)
+        .collect().map(_.getSeq[Double](1).toArray)
+      if (cents.isEmpty) return Array.empty
+      val vecMean = udaf(new VecMeanAgg)
+      for (_ <- 0 until iters) {
+        val means = cached
+          .withColumn("__c", clusterOf(col("__v"), cents))
+          .groupBy("__c").agg(vecMean(col("__v")).as("m"))
+          .collect()
+        val byCluster = means.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        cents = cents.indices.map { j =>
+          byCluster.get(j).filter(_.nonEmpty) match {
+            case Some(m) => m.toArray
+            case None => cents(j) // empty cluster keeps its centroid
+          }
+        }.toArray
+      }
+      cents
+    } finally { cached.unpersist(); () }
   }
 
   /** Nearest-centroid index for a vector (row-local argmin over k
@@ -83,21 +131,25 @@ object Ann {
       struct(VectorFunctions.l2sqConst(vecCol, c).as("d"), lit(i).as("i"))
     }: _*)).getField("i")
 
-  /** IVF ANN: assign rows to centroids, probe the `nprobe` centroids
-    * nearest the query, brute-force cosine only inside those cells.
-    * At 100 TB the table is written bucketed by cluster id, so a probe
-    * is a partition-pruned read of nprobe/k of the corpus. */
+  /** IVF ANN over a pretrained quantizer: assign rows to centroids,
+    * probe the `nprobe` centroids nearest the query, brute-force
+    * cosine only inside those cells — ONE corpus pass, no training
+    * jobs in the query path. At 100 TB the table is written bucketed
+    * by cluster id, so a probe is a partition-pruned read of
+    * nprobe/k of the corpus. */
   def ivfTopK(embeddings: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nClusters: Int = 16, nprobe: Int = 4, iters: Int = 0): DataFrame = {
-    val cents = ivfCentroids(embeddings, idCol, vecCol, nClusters, iters)
-    val probes = slice(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    if (centroids.isEmpty)
+      // degenerate (empty training frame): no cells to probe
+      return embeddings.select(col(idCol), lit(0.0).as("cos_sim")).limit(0)
+    val probes = slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
       struct(VectorFunctions.l2sqConst(col("__qv"), c).as("d"), lit(i).as("i"))
     }: _*)), 1, nprobe)
     val q = broadcast(query.select(col(vecCol).as("__qv"))
       .withColumn("__probes", transform(probes, s => s.getField("i"))))
     embeddings
-      .withColumn("__c", clusterOf(col(vecCol), cents))
+      .withColumn("__c", clusterOf(col(vecCol), centroids))
       .crossJoin(q)
       .where(array_contains(col("__probes"), col("__c")))
       .withColumn("cos_sim", VectorFunctions.cosine(col(vecCol), col("__qv")))
@@ -106,6 +158,15 @@ object Ann {
       .limit(k)
   }
 
+  /** Convenience form that trains the quantizer inline (tests /
+    * exploratory use — production paths pretrain via
+    * [[trainCentroids]] and call the pretrained overload). */
+  def ivfTopK(embeddings: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nClusters: Int, nprobe: Int, iters: Int): DataFrame =
+    ivfTopK(embeddings, query, idCol, vecCol, k,
+      trainCentroids(embeddings, idCol, vecCol, nClusters, iters), nprobe)
+
   /** Embedding-cosine near-duplicate pairs, IVF-cell-blocked: vectors
     * are compared only within their quantizer cell (one shuffle on the
     * cell id), never all-pairs. Recall is bounded by cell assignment —
@@ -113,11 +174,16 @@ object Ann {
     * ~cell-boundary distance of each other (AnnSpec measures soundness
     * + recall vs brute force). At 100 TB: cells are the partition key
     * (ParquetSink.writeIvfPartitioned), so each cell's pairing is a
-    * partition-local join. */
+    * partition-local join. Pass pretrained `centroids` to keep
+    * quantizer training out of the query path (null → deterministic
+    * first-k init, no Lloyd scans). */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String,
       vecCol: String, threshold: Double,
-      nClusters: Int = 16, iters: Int = 0): DataFrame = {
-    val cents = ivfCentroids(embeddings, idCol, vecCol, nClusters, iters)
+      nClusters: Int = 16,
+      centroids: Array[Array[Double]] = null): DataFrame = {
+    val cents =
+      if (centroids != null) centroids
+      else trainCentroids(embeddings, idCol, vecCol, nClusters)
     // Precompute each vector's norm once; the pairwise stage then does
     // only the dot product (≈3× less per-pair work than full cosine).
     val cells = embeddings

@@ -26,6 +26,36 @@ class AnnSpec extends SparkTestBase {
     assert(mean >= 0.8, s"mean recall@10 = $mean (per-query: $recalls)")
   }
 
+  test("q22 production path: sample-pretrained quantizer, recall@10 ≥ 0.8") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    // Train ONCE on a deterministic 1/4 hash-sample (q22's exact
+    // parameters), then run queries against the pretrained matrix —
+    // the query path must not launch training jobs.
+    val cents = Ann.trainCentroids(e.where(col("vec_id") =!= 7),
+      "vec_id", "embedding", k = 8, iters = 2, sampleMod = 4)
+    assert(cents.length == 8)
+    val recalls = Seq(3L, 7L, 11L, 42L).map { qid =>
+      val query = e.where(col("vec_id") === qid)
+      val rest = e.where(col("vec_id") =!= qid)
+      val brute = topIds(Ann.bruteForceTopK(rest, query, "vec_id", "embedding", 10))
+      val ivf = topIds(Ann.ivfTopK(rest, query, "vec_id", "embedding", 10,
+        cents, nprobe = 5))
+      brute.intersect(ivf).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 = $mean (per-query: $recalls)")
+  }
+
+  test("trainCentroids degrades gracefully on an empty frame") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val cents = Ann.trainCentroids(e.where(col("vec_id") < 0),
+      "vec_id", "embedding", k = 8, iters = 2)
+    assert(cents.isEmpty)
+    val out = Ann.ivfTopK(e.where(col("vec_id") =!= 7),
+      e.where(col("vec_id") === 7), "vec_id", "embedding", 10, cents, nprobe = 4)
+    assert(out.count() == 0)
+  }
+
   test("IVF scans only probed cells; Lloyd refinement keeps recall sane") {
     val e = Tables.load(spark, sf001, "embeddings")
     val query = e.where(col("vec_id") === 7)
