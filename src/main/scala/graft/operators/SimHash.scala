@@ -7,28 +7,61 @@ import graft.functions.TextFunctions
 
 /** SimHash near-duplicate fingerprinting.
   *
-  * 64-bit charikar fingerprint per document, computed in ONE pass over
-  * the token-hash array: a running 64-counter vector folded with
-  * `aggregate` + `zip_with` (row-local, codegen — no UDF, no shuffle).
-  * Near-dup candidates come from band buckets over the fingerprint —
-  * `maxHamming + 1` contiguous bit-chunks, so by pigeonhole every pair
-  * within the Hamming budget shares ≥1 identical chunk (EXACT recall,
-  * not best-effort) — and are verified with `bit_count(a XOR b)`;
-  * never an all-pairs scan.
+  * 128-bit charikar fingerprint per document, stored as two longs
+  * (`fp_hi`, `fp_lo`). Because the charikar construction is per-bit
+  * independent, a 128-bit fingerprint is exactly two independent
+  * 64-bit simhashes over two independent token-hash streams — so the
+  * native codegen'd `simhash64` expression is reused per half
+  * (row-local, no UDF, no shuffle).
+  *
+  * Near-dup candidates come from pigeonhole bucketing over the
+  * fingerprint (Manku/Jain/Sarma, "Detecting Near-Duplicates for Web
+  * Crawling", WWW'07 — the block-permutation scheme): cut the 128
+  * bits into `maxHamming + comboSize` chunks; a pair within the
+  * Hamming budget differs in ≤ maxHamming chunks, so it matches
+  * EXACTLY on ≥ comboSize chunks — bucketing each doc under every
+  * comboSize-subset of its chunk values (C(b, g) keys/doc) has exact
+  * recall. comboSize widens the bucket key: at budget 8, g=1 gives
+  * 9 keys/doc of ~14 bits (2^14 buckets — birthday-quadratic at
+  * billions of docs), g=2 gives 45 keys/doc of ~25 bits (3.4e7
+  * buckets — candidate volume stays ~linear in corpus size for
+  * corpora whose non-duplicate docs are fingerprint-independent).
+  * Pairs are verified with `bit_count(xor)` per half; never an
+  * all-pairs scan.
+  *
+  * Caveat the bound is honest about: on template-heavy corpora where
+  * typical NON-duplicate pairs already agree on most bits (shared
+  * boilerplate → inter-doc Hamming ≪ 64), bucket collisions — and the
+  * true qualifying-pair count itself — grow superlinearly; no
+  * exact-recall scheme avoids that, since the output is the quadratic
+  * object. The production mitigation is feature weighting (idf-style,
+  * as in Manku et al.): boilerplate tokens stop dominating the bit
+  * votes, restoring fingerprint independence between genuinely
+  * different docs.
   */
 object SimHash {
 
+  /** Bits per fingerprint half (one simhash64 each). */
   val Bits = 64
 
-  /** Portable signed-64 token hash from md5 (first 16 hex chars) —
-    * engine-reproducible (DuckDB computes the identical value), for
-    * oracle-checked simhash paths; xxhash64 stays the fast default. */
-  def md5TokenHash(t: Column): Column = {
-    val dec = conv(substring(md5(t), 1, 16), 16, 10).cast("decimal(20,0)")
+  /** Total fingerprint width. */
+  val FpBits = 128
+
+  private def signedFromHex16(hex: Column): Column = {
+    val dec = conv(hex, 16, 10).cast("decimal(20,0)")
     when(dec >= lit(BigDecimal("9223372036854775808")),
       (dec - lit(BigDecimal("18446744073709551616"))).cast("long"))
       .otherwise(dec.cast("long"))
   }
+
+  /** Portable signed-64 token hash from md5 (first 16 hex chars) —
+    * engine-reproducible (DuckDB computes the identical value), for
+    * oracle-checked simhash paths; xxhash64 stays the fast default. */
+  def md5TokenHash(t: Column): Column = signedFromHex16(substring(md5(t), 1, 16))
+
+  /** Second independent portable hash: the OTHER md5 half (hex chars
+    * 17–32) — gives the 128-bit fingerprint its hi stream. */
+  def md5TokenHashHi(t: Column): Column = signedFromHex16(substring(md5(t), 17, 16))
 
   /** 64-bit simhash of the token multiset. Uses the native codegen'd
     * expression when the session has GraftExtensions (bit-equal),
@@ -58,51 +91,107 @@ object SimHash {
       lit(0L), (acc, v) => acc + v)
   }
 
-  /** (doc, fingerprint) per row. */
+  /** (doc, fp) per row — the 64-bit fingerprint (lo half of the
+    * 128-bit one; kept for callers that only need a compact sketch). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column = xxhash64(_)): DataFrame =
     docs.select(col(idCol).as("doc"),
       simhash64(col(textCol), tokenHash).as("fp"))
 
-  /** Contiguous chunk boundaries covering 64 bits as evenly as
+  /** (doc, fp_hi, fp_lo) per row — the 128-bit fingerprint as two
+    * independent simhash64s. Fast path hashes each token twice with
+    * xxhash64 (seeded by an extra literal column for the hi stream);
+    * `portable = true` uses the two md5 halves so DuckDB can replay
+    * every bit. */
+  def fingerprints128(docs: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    val (hiHash, loHash): (Column => Column, Column => Column) =
+      if (portable) (md5TokenHashHi(_), md5TokenHash(_))
+      else ((t: Column) => xxhash64(t, lit(1)), (t: Column) => xxhash64(t))
+    docs.select(col(idCol).as("doc"),
+      simhash64(col(textCol), hiHash).as("fp_hi"),
+      simhash64(col(textCol), loHash).as("fp_lo"))
+  }
+
+  /** Contiguous chunk boundaries covering `bits` as evenly as
     * possible: (offset, width) per chunk. */
-  private[graft] def chunkSpans(nChunks: Int): Seq[(Int, Int)] = {
-    val base = Bits / nChunks
-    val extra = Bits % nChunks
+  private[graft] def chunkSpans(nChunks: Int, bits: Int = Bits): Seq[(Int, Int)] = {
+    val base = bits / nChunks
+    val extra = bits % nChunks
     val widths = Seq.tabulate(nChunks)(i => base + (if (i < extra) 1 else 0))
     widths.scanLeft(0)(_ + _).zip(widths)
   }
 
-  /** ALL pairs within Hamming distance ≤ maxHamming: fingerprints are
-    * cut into `maxHamming + 1` chunks (pigeonhole: ≤ maxHamming
-    * differing bits cannot touch every chunk, so any qualifying pair
-    * collides on ≥1 bucket — exact recall), candidates joined within
-    * (chunk, chunk_val) buckets only, then verified with bit_count. */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    require(maxHamming < Bits, "maxHamming must be < 64")
-    val fps = fingerprints(docs, idCol, textCol, tokenHash)
-    val spans = chunkSpans(maxHamming + 1)
-    val chunked = fps.select(col("doc"), col("fp"),
-      explode(array(spans.zipWithIndex.map { case ((off, w), j) =>
-        struct(lit(j).as("chunk"),
-          (shiftrightunsigned(col("fp"), off).bitwiseAND(lit((1L << w) - 1L)))
-            .as("chunk_val"))
-      }: _*)).as("cc"))
-      .select(col("doc"), col("fp"), col("cc.chunk"), col("cc.chunk_val"))
+  /** Low `w` bits set; wide-chunk-safe (1L << 64 wraps to 1 in JVM
+    * shift semantics, so w = 64 must short-circuit to -1L). */
+  private def lowMask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1L
+
+  /** Bits [off, off+w) of the 128-bit value (hi, lo), bit 0 = LSB of
+    * lo — handles chunks that straddle the half boundary. */
+  private[graft] def extract128(hi: Column, lo: Column, off: Int, w: Int): Column = {
+    val m = lit(lowMask(w))
+    if (off + w <= 64) shiftrightunsigned(lo, off).bitwiseAND(m)
+    else if (off >= 64) shiftrightunsigned(hi, off - 64).bitwiseAND(m)
+    else shiftrightunsigned(lo, off)
+      .bitwiseOR(shiftleft(hi, 64 - off)).bitwiseAND(m)
+  }
+
+  /** Hamming distance between two 128-bit fingerprints. */
+  private def hamming128(aHi: Column, aLo: Column, bHi: Column, bLo: Column): Column =
+    (bit_count(aHi.bitwiseXOR(bHi)) + bit_count(aLo.bitwiseXOR(bLo))).cast("int")
+
+  /** Raw bucket-collision candidates (pre-verify, pre-distinct):
+    * explode each doc into its C(b, g) (table, key) buckets, self-join
+    * within buckets. Exposed for the candidate-volume spec. */
+  private[graft] def chunkCandidates(fps: DataFrame,
+      maxHamming: Int, comboSize: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < FpBits,
+      s"maxHamming must be in [1, ${FpBits - 1}]")
+    require(comboSize >= 1, "comboSize must be >= 1")
+    val nChunks = maxHamming + comboSize
+    require(nChunks <= FpBits, s"maxHamming + comboSize must be <= $FpBits")
+    val spans = chunkSpans(nChunks, FpBits)
+    val combos = spans.indices.combinations(comboSize).toSeq
+    combos.foreach { cs =>
+      require(cs.map(spans(_)._2).sum <= 63,
+        "combined bucket key must fit a signed long")
+    }
+    val tables = combos.zipWithIndex.map { case (cs, ti) =>
+      // key = chunk values of this combo packed into one long
+      val key = cs.foldLeft(lit(0L)) { (acc, j) =>
+        val (off, w) = spans(j)
+        shiftleft(acc, w).bitwiseOR(extract128(col("fp_hi"), col("fp_lo"), off, w))
+      }
+      struct(lit(ti).as("tbl"), key.as("tkey"))
+    }
+    val bucketed = fps.select(col("doc"), col("fp_hi"), col("fp_lo"),
+        explode(array(tables: _*)).as("tk"))
+      .select(col("doc"), col("fp_hi"), col("fp_lo"),
+        col("tk.tbl"), col("tk.tkey"))
       .persist() // fingerprints are not recomputed per join side
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+          col("a.tkey") === col("b.tkey") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+        hamming128(col("a.fp_hi"), col("a.fp_lo"),
+          col("b.fp_hi"), col("b.fp_lo")).as("hamming"))
+  }
+
+  /** ALL pairs within Hamming distance ≤ maxHamming on the 128-bit
+    * fingerprint: pigeonhole candidates (exact recall — see object
+    * doc), verified with bit_count per half. `comboSize` trades
+    * keys/doc (C(maxHamming+g, g)) for bucket-key width; 2 keeps the
+    * budget-8 key ~25 bits wide, the 100 TB-shaped setting. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, comboSize: Int = 1,
+      portable: Boolean = false): DataFrame =
+    chunkCandidates(fingerprints128(docs, idCol, textCol, portable),
+        maxHamming, comboSize)
       // verify BEFORE dedup: the Hamming filter kills the vast
-      // majority of chunk candidates map-side, so the distinct()
+      // majority of bucket candidates map-side, so the distinct()
       // shuffle carries only qualifying pairs
       .where(col("hamming") <= maxHamming)
       .distinct()
-  }
 }

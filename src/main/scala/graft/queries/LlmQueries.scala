@@ -38,13 +38,16 @@ object LlmQueries {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
 
-  /** §2 #18 — SimHash fingerprint near-dup pairs: ALL pairs at Hamming
-    * ≤ 8 (9-chunk pigeonhole candidates → exact recall, asserted vs
-    * all-pairs truth in spec). Production path (xxhash64 tokens);
-    * oracle-checked through the portable twin [[q38SimhashPortable]]. */
+  /** §2 #18 — SimHash near-dup pairs: ALL pairs at Hamming ≤ 8 on the
+    * 128-bit fingerprint (Manku-style combo-pigeonhole candidates,
+    * comboSize=2 → 45 buckets/doc of ~25-bit keys, exact recall
+    * asserted vs all-pairs truth in spec; candidate volume stays
+    * ~linear in corpus size — VERDICT r3 item 2). Production path
+    * (xxhash64 tokens); oracle-checked through the portable twin
+    * [[q38SimhashPortable]]. */
   def q19Simhash(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 8)
+        maxHamming = 8, comboSize = 2)
       .withColumn("hamming", col("hamming").cast("bigint"))
       .orderBy("doc_a", "doc_b")
 
@@ -60,12 +63,13 @@ object LlmQueries {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
 
-  /** §2 #18 — q19's pipeline with md5-portable token hashes: DuckDB
-    * recomputes every 64-bit fingerprint and the all-pairs Hamming
-    * truth it implies. Correctness artifact; Bench skips it. */
+  /** §2 #18 — q19's pipeline with md5-portable token hashes (the two
+    * md5 halves drive the two fingerprint halves): DuckDB recomputes
+    * every 128-bit fingerprint and the all-pairs Hamming truth it
+    * implies. Correctness artifact; Bench skips it. */
   def q38SimhashPortable(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 8, tokenHash = SimHash.md5TokenHash)
+        maxHamming = 8, comboSize = 2, portable = true)
       .withColumn("hamming", col("hamming").cast("bigint"))
       .orderBy("doc_a", "doc_b")
 
@@ -211,21 +215,27 @@ object LlmQueries {
     "q38_simhash_portable" ->
       s"""WITH w AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS uh FROM tok),
+         |h AS (SELECT doc_id,
+         |    ('0x' || substr(md5(t), 1, 16))::UBIGINT AS uh_lo,
+         |    ('0x' || substr(md5(t), 17, 16))::UBIGINT AS uh_hi FROM tok),
          |bits AS (
          |  SELECT doc_id, g.b AS b,
-         |    sum(CASE WHEN (uh >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         |    sum(CASE WHEN (uh_lo >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt_lo,
+         |    sum(CASE WHEN (uh_hi >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt_hi
          |  FROM h, generate_series(0, 63) AS g(b) GROUP BY doc_id, g.b),
          |fp0 AS (SELECT doc_id,
-         |    sum(CASE WHEN cnt > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS ufp
+         |    sum(CASE WHEN cnt_lo > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS ufp_lo,
+         |    sum(CASE WHEN cnt_hi > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS ufp_hi
          |  FROM bits GROUP BY doc_id),
          |fp AS (SELECT doc_id,
-         |    (CASE WHEN ufp >= 9223372036854775808 THEN ufp - 18446744073709551616
-         |          ELSE ufp END)::BIGINT AS f FROM fp0)
+         |    (CASE WHEN ufp_lo >= 9223372036854775808 THEN ufp_lo - 18446744073709551616
+         |          ELSE ufp_lo END)::BIGINT AS f_lo,
+         |    (CASE WHEN ufp_hi >= 9223372036854775808 THEN ufp_hi - 18446744073709551616
+         |          ELSE ufp_hi END)::BIGINT AS f_hi FROM fp0)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+         |  CAST(bit_count(xor(a.f_lo, b.f_lo)) + bit_count(xor(a.f_hi, b.f_hi)) AS BIGINT) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.f, b.f)) <= 8
+         |WHERE bit_count(xor(a.f_lo, b.f_lo)) + bit_count(xor(a.f_hi, b.f_hi)) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q17_exact_dedup" ->
       s"""WITH all_docs AS (

@@ -60,19 +60,53 @@ class MinHashLSHSpec extends SparkTestBase {
     assert(maxH <= 10, s"planted near-dup at hamming $maxH — fingerprint too noisy")
   }
 
-  test("simhash chunk candidates have EXACT recall vs all-pairs hamming") {
+  test("simhash combo candidates have EXACT recall vs all-pairs hamming") {
     val docs = Tables.load(spark, sf0001, "documents")
-    val fps = SimHash.fingerprints(docs, "doc_id", "text")
+    val fps = SimHash.fingerprints128(docs, "doc_id", "text")
+    val ham = bit_count(col("a.fp_hi").bitwiseXOR(col("b.fp_hi"))) +
+      bit_count(col("a.fp_lo").bitwiseXOR(col("b.fp_lo")))
     val brute = fps.as("a").join(fps.as("b"), col("a.doc") < col("b.doc"))
-      .where(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= 8)
-      .count()
-    val viaChunks = SimHash.nearDupPairs(docs, "doc_id", "text",
-      maxHamming = 8).count()
-    assert(viaChunks == brute,
-      s"pigeonhole chunks found $viaChunks pairs, all-pairs truth is $brute")
-    // chunk spans must tile all 64 bits exactly
-    val spans = SimHash.chunkSpans(9)
-    assert(spans.map(_._2).sum == 64 && spans.head._1 == 0)
+      .where(ham <= 8).count()
+    // exact recall must hold for EVERY comboSize, not just the default
+    for (g <- Seq(1, 2)) {
+      val viaBuckets = SimHash.nearDupPairs(docs, "doc_id", "text",
+        maxHamming = 8, comboSize = g).count()
+      assert(viaBuckets == brute,
+        s"comboSize=$g pigeonhole found $viaBuckets pairs, all-pairs truth is $brute")
+    }
+    // chunk spans must tile all 128 bits exactly
+    val spans = SimHash.chunkSpans(10, SimHash.FpBits)
+    assert(spans.map(_._2).sum == 128 && spans.head._1 == 0)
     assert(spans.sliding(2).forall { case Seq((o1, w1), (o2, _)) => o2 == o1 + w1 })
+  }
+
+  test("combo-pigeonhole candidate volume grows ~linearly, not quadratically") {
+    // Doubling the corpus must not ~quadruple the bucket candidates.
+    // Corpus: deterministic docs of 30 md5-derived tokens (distinct
+    // across docs, so fingerprints are uniform — the regime the
+    // pigeonhole bound targets; see SimHash object doc for the
+    // clustered-corpus caveat) + a near-dup planted every 20th doc
+    // (one token changed). With comboSize=2 the budget-8 bucket keys
+    // are ~25 bits wide, so random birthday collisions stay negligible
+    // and candidates track the (linear) planted-dup count.
+    def corpus(n: Int) = {
+      val base = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)),
+          i => substring(md5(concat(col("id"), lit("_"), i)), 1, 8))).as("text"))
+      val dups = base.where(col("doc_id") % 20 === 0).select(
+        (col("doc_id") + n).as("doc_id"),
+        concat(substring(col("text"), 1, 30 * 9 - 10), lit("deadbeef")).as("text"))
+      base.unionByName(dups)
+    }
+    def candidates(n: Int): Long =
+      SimHash.chunkCandidates(
+          SimHash.fingerprints128(corpus(n), "doc_id", "text"),
+          maxHamming = 8, comboSize = 2)
+        .select("doc_a", "doc_b").distinct().count()
+    val c1 = candidates(2000)
+    val c2 = candidates(4000)
+    assert(c1 >= 50, s"expected planted-dup candidates, got $c1")
+    assert(c2 <= 3 * c1 + 50,
+      s"candidates grew superlinearly: $c1 -> $c2 when corpus doubled")
   }
 }

@@ -8,6 +8,7 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestBase.session
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+  val sf01 = "/root/testdata/sf0.1"
 }
 
 object SparkTestBase {
