@@ -17,6 +17,23 @@ import graft.functions.TextFunctions
   * shingle sets for candidate pairs only. Nothing is ever all-pairs —
   * cost is Σ bucket², bounded by band width (r) choice. Recall for
   * Jaccard s is 1−(1−s^r)^b (r=4, b=16 ⇒ ~0.99 at s=0.7).
+  *
+  * Hot-shingle robustness: a corpus-wide boilerplate shingle IS a
+  * band-bucket risk — if its permuted hash happens to be small, it
+  * wins that permutation's minimum in a large fraction of docs, and a
+  * band whose r minima all land on such values groups
+  * non-duplicates into one bucket (measured: a 12-token boilerplate
+  * prefix shared by 300 docs produced a 62-doc bucket). The
+  * mitigation is a STOP-SHINGLE list (`maxDf`): shingles present in
+  * more than maxDf·N docs are removed from every set before
+  * sketching AND verification — the list is provably tiny
+  * (≤ avg-set-size / maxDf entries), so it broadcasts as an
+  * `array_except` literal and the filter stays row-local; similarity
+  * becomes "Jaccard over non-ubiquitous shingles", which is the
+  * measure a boilerplate-heavy dedup wants anyway. Candidate rows are
+  * a join output (never a collected array), so a genuinely large
+  * duplicate cluster shuffles flat pair rows that AQE can split, not
+  * one unbounded bucket row.
   */
 object MinHashLSH {
 
@@ -125,17 +142,43 @@ object MinHashLSH {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
 
+  /** Shingle-hash values present in more than maxDf·nDocs documents.
+    * Bounded by construction: Σ df(s) = Σ |set|, so at most
+    * avg-set-size / maxDf values qualify — safe to collect and inline
+    * as a broadcast literal. */
+  def stopShingles(docShingles: DataFrame, maxDf: Double): Array[Long] = {
+    val nDocs = docShingles.count()
+    docShingles.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("c"))
+      .where(col("c") > lit(maxDf) * nDocs)
+      .collect().map(_.getLong(0))
+  }
+
   /** Candidates verified with exact shingle-set Jaccard ≥ threshold.
     * `portable = true` switches shingle hashing and band keys to the
-    * md5/string forms an oracle engine reproduces bit-for-bit. */
+    * md5/string forms an oracle engine reproduces bit-for-bit.
+    * `maxDf < 1` drops stop-shingles (df > maxDf·N) from every set
+    * before sketching and verification — see object doc. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numPerm: Int = 64, bands: Int = 16,
       shingleN: Int = 3, seed: Long = 42L,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, maxDf: Double = 1.0): DataFrame = {
     val shingleExpr =
       if (portable) shingleHashesPortable(col(textCol), shingleN)
       else shingleHashes(col(textCol), shingleN)
-    val sh = docs.select(col(idCol).as("doc"), shingleExpr.as("sh")).persist()
+    val raw = docs.select(col(idCol).as("doc"), shingleExpr.as("sh"))
+    val filtered =
+      if (maxDf >= 1.0) raw
+      else {
+        val cached = raw.persist()
+        val hot = stopShingles(cached, maxDf)
+        val out =
+          if (hot.isEmpty) cached
+          else cached.select(col("doc"),
+            array_except(col("sh"), lit(hot)).as("sh"))
+        out
+      }
+    val sh = filtered.persist()
     val pairs = candidatePairs(
       bandBucketsFromHashes(sh, numPerm, bands, seed,
         portableBandKey = portable))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -11,7 +12,13 @@ import graft.functions.TextFunctions
   * text). Jaccard pairing is BLOCKED (within a blocking key such as
   * `source`) — pairwise comparison only ever happens inside a block,
   * never as a corpus-wide crossJoin; for unblocked corpora use
-  * [[MinHashLSH]], whose bands provide the blocks.
+  * [[MinHashLSH]], whose bands provide the blocks. Candidate buckets
+  * are additionally PREFIX-FILTERED (Chaudhuri/Ganti/Kaushik ICDE'06,
+  * Bayardo et al. WWW'07): each doc indexes only its
+  * |S| − ⌈t·|S|⌉ + 1 globally-rarest shingles, which is recall-exact
+  * for Jaccard ≥ t and deletes hot-shingle buckets (a stopword
+  * trigram shared by 10⁶ docs sorts last in the frequency order and
+  * lands in nobody's prefix).
   */
 object TextDedup {
 
@@ -45,26 +52,57 @@ object TextDedup {
     else
       transform(shingles(textCol, n), s => xxhash64(s))
 
-  /** Exact n-gram Jaccard for all pairs INSIDE a blocking key: group
-    * postings by (block, shingle), expand each bucket's doc list into
-    * ordered pairs inline, count pair occurrences = |A∩B|, then
-    * |A∪B| = |A|+|B|−∩. Each doc's shingle-set size is row-local
-    * (`size` of the distinct shingle array, computed before the
-    * explode) and rides along the postings into the pair counts, so
-    * the whole operator is ONE scan and TWO hash shuffles (bucket
-    * groupBy + pair groupBy) — no persisted postings, no sizes join;
-    * a self-join formulation needs three shuffles and materializes
-    * the join rows. Cost is Σ_block Σ_shingle C(bucket,2), never
-    * |corpus|². Shingles are carried as 64-bit hashes (collision odds
-    * ~|S|²/2⁶⁵ — negligible against the exact-string semantics the
-    * oracle computes). */
+  /** Prefix-filtered postings: (doc, block, sz, sh), keeping per doc
+    * only its |S| − ⌈t·|S|⌉ + 1 rarest shingles under the global
+    * (block-local) order (document frequency asc, hash asc).
+    *
+    * Recall-exactness (prefix-filtering principle): under ANY total
+    * order, if |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ — implied by J(A,B) ≥ t —
+    * then the (|X| − ⌈t·|X|⌉ + 1)-prefixes of A and B share at least
+    * one element; otherwise every common element would lie past one
+    * prefix end, capping the intersection at ⌈t·|X|⌉ − 1. Ordering by
+    * document frequency makes the surviving buckets the RARE-shingle
+    * ones. Ranking runs over the FULL universe — a doc's singleton
+    * shingles sort first and soak up its prefix slots, keeping hot
+    * shingles out (dropping singletons before ranking would backfire:
+    * docs whose rare shingles are all unique would fill their prefix
+    * with the hot ones). Singletons are dropped AFTER prefix
+    * selection instead — they cannot be shared, so removing them is
+    * recall-free and spares the bucket shuffle. */
+  private[graft] def prefixIndex(base: DataFrame, minJaccard: Double): DataFrame = {
+    val postings = base.select(col("doc"), col("block"), col("sz"),
+      explode(col("shs")).as("sh"))
+    val dfreq = postings.groupBy("block", "sh")
+      .agg(count(lit(1)).as("dfreq"))
+    val rk = row_number().over(
+      Window.partitionBy("doc").orderBy(col("dfreq"), col("sh")))
+    postings.join(dfreq, Seq("block", "sh"))
+      .withColumn("rk", rk)
+      .where(col("rk") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .where(col("dfreq") > 1)
+      .select("doc", "block", "sz", "sh")
+  }
+
+  /** Exact n-gram Jaccard ≥ minJaccard for all pairs INSIDE a blocking
+    * key: prefix-filtered postings → (block, shingle) buckets → ordered
+    * pair expansion with a length filter (J ≥ t forces
+    * |A| ≥ t·|B|) → exact verify via `array_intersect` on the full
+    * per-doc shingle-hash arrays (bucket counts under-count the
+    * intersection once prefixes are indexed, so verification reads the
+    * persisted arrays instead). Cost is Σ_block Σ_rare-shingle
+    * C(bucket,2) — hot shingles sort out of every prefix, so no
+    * unbounded bucket rows — plus two hash joins for the (small)
+    * verified candidate set; never |corpus|². Shingles are carried as
+    * 64-bit hashes (collision odds ~|S|²/2⁶⁵ — negligible against the
+    * exact-string semantics the oracle computes). */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"), col(blockCol).as("block"),
+    val base = docs.select(col(idCol).as("doc"), col(blockCol).as("block"),
         shingleHashes64(col(textCol), n).as("shs"))
-      .select(col("doc"), col("block"),
-        size(col("shs")).cast("long").as("sz"), explode(col("shs")).as("sh"))
-    val buckets = sh.groupBy("block", "sh")
+      .withColumn("sz", size(col("shs")).cast("long"))
+      .persist() // shared by the candidate and verification stages
+    val buckets = prefixIndex(base, minJaccard)
+      .groupBy("block", "sh")
       .agg(sort_array(collect_list(struct(col("doc"), col("sz")))).as("ds"))
       .where(size(col("ds")) > 1)
     // ordered pairs (ds[i], ds[j]) for i<j — ds is a plain attribute,
@@ -78,16 +116,20 @@ object TextDedup {
           element_at(col("ds"), i + 1).getField("sz").as("sz_a"),
           d.getField("doc").as("doc_b"),
           d.getField("sz").as("sz_b")))))
-    buckets.select(explode(pairCombos).as("p"))
-      // length filter (prefix-filtering family): J(A,B) ≥ t forces
-      // |A| ≥ t·|B|, so size-incompatible pairs are dropped BEFORE the
-      // pair-count shuffle — at corpus scale most cross-length pairs
-      // die here for free.
+    val cands = buckets.select(explode(pairCombos).as("p"))
+      // length filter: size-incompatible pairs die BEFORE the distinct
+      // shuffle and the verify joins.
       .where(least(col("p.sz_a"), col("p.sz_b")) >=
         lit(minJaccard) * greatest(col("p.sz_a"), col("p.sz_b")))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    cands
+      .join(base.select(col("doc").as("doc_a"), col("shs").as("shs_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(base.select(col("doc").as("doc_b"), col("shs").as("shs_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))

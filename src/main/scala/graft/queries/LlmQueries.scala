@@ -34,7 +34,7 @@ object LlmQueries {
     * asserted in MinHashLSHSpec against the planted dups. */
   def q18MinhashPairs(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5)
+        threshold = 0.5, maxDf = 0.5)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
 
@@ -59,7 +59,7 @@ object LlmQueries {
     * is ~6× the native mix): Bench skips `*_portable` keys. */
   def q37MinhashPortable(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, portable = true)
+        threshold = 0.5, portable = true, maxDf = 0.5)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
 
@@ -197,7 +197,10 @@ object LlmQueries {
          |d3 AS (SELECT doc_id,
          |  list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, greatest(len(w)-2, 1))]) AS shs FROM w),
          |sh AS (SELECT doc_id, unnest(shs) AS s FROM d3),
-         |hashes AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS h FROM sh),
+         |hashes0 AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS h FROM sh),
+         |hdf AS (SELECT h, count(*) AS c FROM hashes0 GROUP BY h),
+         |hashes AS (SELECT doc_id, h FROM hashes0 JOIN hdf USING (h)
+         |           WHERE c <= 0.5 * (SELECT count(*) FROM documents)),
          |sigs AS (SELECT doc_id, i, min((h * a + b) % 2147483647) AS m
          |         FROM hashes CROSS JOIN perms GROUP BY doc_id, i),
          |bands AS (SELECT doc_id, i // 4 AS band, string_agg(m, ',' ORDER BY i) AS bkey

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{MinHashLSH, SimHash}
+import graft.operators.{MinHashLSH, SimHash, TextDedup}
 
 class MinHashLSHSpec extends SparkTestBase {
 
@@ -78,6 +78,80 @@ class MinHashLSHSpec extends SparkTestBase {
     val spans = SimHash.chunkSpans(10, SimHash.FpBits)
     assert(spans.map(_._2).sum == 128 && spans.head._1 == 0)
     assert(spans.sliding(2).forall { case Seq((o1, w1), (o2, _)) => o2 == o1 + w1 })
+  }
+
+  /** Stopword-heavy corpus: every doc opens with the same 12-token
+    * boilerplate (10 hot trigrams shared by ALL docs), then 20 unique
+    * md5-derived tokens; every 10th doc gets a near-dup (last token
+    * changed). The hot trigrams are what used to produce one
+    * corpus-sized bucket per boilerplate shingle. */
+  private def stopwordCorpus(n: Int) = {
+    val boiler = "the quick brown fox jumps over the lazy dog and then some"
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      lit("s").as("source"),
+      concat(lit(boiler + " "),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          i => substring(md5(concat(col("id"), lit("_"), i)), 1, 8)))).as("text"))
+    val dups = base.where(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + n).as("doc_id"), col("source"),
+      concat(substring(col("text"), lit(1), length(col("text")) - 8),
+        lit("deadbeef")).as("text"))
+    base.unionByName(dups)
+  }
+
+  test("prefix filtering kills hot-shingle buckets (>=10x) without losing pairs") {
+    val docs = stopwordCorpus(300)
+    val base = docs.select(col("doc_id").as("doc"), col("source").as("block"),
+        TextDedup.shingleHashes64(col("text"), 3).as("shs"))
+      .withColumn("sz", size(col("shs")).cast("long"))
+    def pairVolume(postings: org.apache.spark.sql.DataFrame): Long =
+      postings.groupBy("block", "sh").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")).head().getLong(0)
+    val naive = pairVolume(
+      base.select(col("doc"), col("block"), explode(col("shs")).as("sh")))
+    val filtered = pairVolume(
+      TextDedup.prefixIndex(base, minJaccard = 0.5))
+    assert(naive >= 10 * filtered,
+      s"prefix filter only cut bucket pair volume $naive -> $filtered (<10x)")
+    // and the filtered operator still finds every planted near-dup
+    val found = TextDedup.blockedJaccardPairs(docs, "doc_id", "text",
+      blockCol = "source", n = 3, minJaccard = 0.5).select("doc_a", "doc_b")
+    val planted = docs.where(col("doc_id") >= 300)
+      .select((col("doc_id") - 300).as("doc_a"), col("doc_id").as("doc_b"))
+    val missed = planted.except(found).count()
+    assert(missed == 0, s"prefix-filtered Jaccard missed $missed planted pairs")
+  }
+
+  test("stop-shingle filter keeps band buckets small; recall survives") {
+    // Same stopword corpus: every doc shares 10 hot trigrams. WITHOUT
+    // the filter a lucky-small boilerplate hash wins permutations
+    // across most docs (measured: a 62-doc bucket at n=300); WITH
+    // maxDf=0.5 the hot shingles leave every set before sketching.
+    val docs = stopwordCorpus(300)
+    val raw = docs.select(col("doc_id").as("doc"),
+      MinHashLSH.shingleHashes(col("text")).as("sh"))
+    val hot = MinHashLSH.stopShingles(raw, maxDf = 0.5)
+    assert(hot.length >= 5 && hot.length <= 60,
+      s"expected a small boilerplate stop-set, got ${hot.length}")
+    val filtered = raw.select(col("doc"),
+      array_except(col("sh"), lit(hot)).as("sh"))
+    val unfilteredMax = MinHashLSH.bandBucketsFromHashes(raw)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    val filteredMax = MinHashLSH.bandBucketsFromHashes(filtered)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(filteredMax <= 10,
+      s"a band bucket holds $filteredMax docs after stop-shingle filtering " +
+        s"(unfiltered max: $unfilteredMax)")
+    // planted near-dups still found through the q18 path (maxDf = 0.5)
+    val found = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxDf = 0.5).select("doc_a", "doc_b")
+    val planted = docs.where(col("doc_id") >= 300)
+      .select((col("doc_id") - 300).as("doc_a"), col("doc_id").as("doc_b"))
+    val missed = planted.except(found).count()
+    assert(missed == 0, s"stop-shingle LSH missed $missed planted pairs")
   }
 
   test("combo-pigeonhole candidate volume grows ~linearly, not quadratically") {
