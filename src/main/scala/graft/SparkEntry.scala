@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, EcommerceQueries, LlmQueries}
+import graft.queries.{AnalyticsQueries, EcommerceQueries, LlmQueries, QualityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§5. */
 object SparkEntry {
@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EcommerceQueries.queries ++ LlmQueries.queries ++ AnalyticsQueries.queries
+    EcommerceQueries.queries ++ LlmQueries.queries ++ AnalyticsQueries.queries ++
+      QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EcommerceQueries.oracleSql ++ LlmQueries.oracleSql ++ AnalyticsQueries.oracleSql
+    EcommerceQueries.oracleSql ++ LlmQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      QualityQueries.oracleSql
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation gates.
+  *
+  * The reference validates frames before/after every load with ad-hoc
+  * imperative checks (misa_crm_loader.py:1021 expected-vs-loaded
+  * counts, misa_crm_transformer.py:771 flatten invariants,
+  * tiktok_shop_transformer.py:451 required columns + null keys). Here
+  * the checks are DATA: a list of [[Expectation]]s compiled into ONE
+  * aggregate pass over the frame (conditional sums + count_distinct —
+  * map-side combined, no per-expectation jobs), exploded into a
+  * per-expectation violations report. A 100 TB batch pays one scan
+  * for its whole quality gate.
+  *
+  * Report schema: (expectation, column, n_rows, n_bad, bad_rate,
+  * threshold, passed) — one row per expectation, SQL-replayable for
+  * the oracle. [[requireValid]] is the fail-the-batch form.
+  */
+object Validate {
+
+  sealed trait Expectation {
+    def label: String
+    def column: String
+    def threshold: Double
+  }
+
+  /** Null rate of `column` must be ≤ maxNullRate. */
+  case class NotNull(column: String, maxNullRate: Double = 0.0)
+      extends Expectation {
+    val label = "not_null"; val threshold = maxNullRate
+  }
+
+  /** Non-null values must cast cleanly to `dataType` (try_cast
+    * semantics) at a failure rate ≤ maxBadRate. */
+  case class TypeConforms(column: String, dataType: String,
+      maxBadRate: Double = 0.0) extends Expectation {
+    val label = "type_conforms"; val threshold = maxBadRate
+  }
+
+  /** Non-null values must be one of `allowed` at a failure rate
+    * ≤ maxBadRate. */
+  case class InSet(column: String, allowed: Seq[String],
+      maxBadRate: Double = 0.0) extends Expectation {
+    val label = "in_set"; val threshold = maxBadRate
+  }
+
+  /** Non-null values must lie in [min, max] (None = unbounded) at a
+    * failure rate ≤ maxBadRate. */
+  case class InRange(column: String, min: Option[Double],
+      max: Option[Double], maxBadRate: Double = 0.0) extends Expectation {
+    val label = "in_range"; val threshold = maxBadRate
+  }
+
+  /** Duplicate rate of non-null values must be ≤ maxDupRate
+    * (n_bad = non-null count − distinct count). */
+  case class Unique(column: String, maxDupRate: Double = 0.0)
+      extends Expectation {
+    val label = "unique"; val threshold = maxDupRate
+  }
+
+  /** Total row count must lie in [minRows, maxRows] — the
+    * expected-vs-loaded check; for an incremental batch, derive the
+    * bounds from the prior batch's audited count (Stats.auditLog). */
+  case class RowCountBetween(minRows: Long, maxRows: Long)
+      extends Expectation {
+    val label = "row_count"; val column = ""
+    val threshold = 0.0
+  }
+
+  /** Per-expectation violation counter (null-safe: sums coalesce to 0
+    * on an empty frame). */
+  private def badCount(e: Expectation): org.apache.spark.sql.Column = e match {
+    case NotNull(c, _) =>
+      coalesce(sum(when(col(c).isNull, 1L)), lit(0L))
+    case TypeConforms(c, t, _) =>
+      coalesce(sum(when(col(c).isNotNull && col(c).try_cast(t).isNull, 1L)), lit(0L))
+    case InSet(c, allowed, _) =>
+      coalesce(sum(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1L)), lit(0L))
+    case InRange(c, mn, mx, _) =>
+      val out = (mn.map(col(c) < lit(_)) ++ mx.map(col(c) > lit(_)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      coalesce(sum(when(col(c).isNotNull && out, 1L)), lit(0L))
+    case Unique(c, _) =>
+      coalesce(count(col(c)) - count_distinct(col(c)), lit(0L))
+    case RowCountBetween(_, _) => lit(0L)
+  }
+
+  /** Run every expectation in one aggregate pass; returns the
+    * violations report ordered by (expectation, column). */
+  def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "no expectations given")
+    val aggs = expectations.zipWithIndex.map { case (e, i) =>
+      badCount(e).as(s"__bad$i")
+    }
+    val agged = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val reportRows = expectations.zipWithIndex.map { case (e, i) =>
+      val n = col("__n")
+      val bad = col(s"__bad$i")
+      val (nBad, rate, passed) = e match {
+        case RowCountBetween(mn, mx) =>
+          val ok = n >= mn && n <= mx
+          (lit(0L), when(ok, 0.0).otherwise(1.0), ok)
+        case _ =>
+          val r = round(bad.cast("double") / greatest(n, lit(1L)).cast("double"), 6)
+          (bad, r, r <= e.threshold)
+      }
+      struct(lit(e.label).as("expectation"), lit(e.column).as("column"),
+        n.as("n_rows"), nBad.as("n_bad"), rate.as("bad_rate"),
+        lit(e.threshold).as("threshold"), passed.as("passed"))
+    }
+    agged.select(explode(array(reportRows: _*)).as("r"))
+      .select("r.*")
+      .orderBy("expectation", "column")
+  }
+
+  /** True iff every expectation in the report passed. */
+  def passed(report: DataFrame): Boolean =
+    report.where(!col("passed")).limit(1).count() == 0
+
+  /** Fail-the-batch form: throws with the violating rows rendered. */
+  def requireValid(df: DataFrame, expectations: Seq[Expectation]): Unit = {
+    val report = check(df, expectations).cache()
+    try {
+      val bad = report.where(!col("passed")).collect()
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          "data-quality gate failed:\n" + bad.mkString("\n"))
+    } finally { report.unpersist(); () }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Validate
+import graft.operators.Validate._
+
+/** Data-quality gates (reference: misa_crm_loader.py:1021
+  * validate_loaded_data, misa_crm_transformer.py:771,
+  * tiktok_shop_transformer.py:451 — imperative checks re-expressed as
+  * declarative expectations over one aggregate pass). */
+object QualityQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Violation-seeded orders batch: deterministic key-derived nulls,
+    * out-of-set statuses, negative totals, uncastable codes and
+    * duplicated keys — so the quality report has known pass AND fail
+    * rows the oracle recomputes. */
+  private def seededOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.unionByName(o.where(col("o_orderkey") % 499 === 0))
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 97 === 0, lit(null).cast("bigint"))
+          .otherwise(col("o_custkey")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 101 === 0, lit("Z"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 103 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .withColumn("ship_code",
+        when(col("o_orderkey") % 89 === 0, lit("XX"))
+          .otherwise(col("o_orderkey").cast("string")))
+  }
+
+  /** New-in-r4 — declarative data-quality gate: 7 expectations
+    * (null-rate, set/range conformance, try_cast type conformance,
+    * key uniqueness, row-count bounds) evaluated in ONE aggregate
+    * pass; report has seeded failures (o_custkey nulls, negative
+    * totals, duplicate keys) and passes. */
+  def q39QualityGate(s: SparkSession, dir: String): DataFrame =
+    Validate.check(seededOrders(s, dir), Seq(
+        NotNull("o_custkey", maxNullRate = 0.005),
+        NotNull("o_orderkey"),
+        InSet("o_orderstatus", Seq("O", "F", "P"), maxBadRate = 0.02),
+        InRange("o_totalprice", min = Some(0.0), max = None, maxBadRate = 0.005),
+        TypeConforms("ship_code", "bigint", maxBadRate = 0.02),
+        Unique("o_orderkey"),
+        RowCountBetween(1000L, 100000000L)))
+      .withColumn("passed", col("passed").cast("string"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_quality_gate" -> (q39QualityGate _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q39_quality_gate" ->
+      """WITH seeded AS (
+        |  SELECT
+        |    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 103 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN 'XX' ELSE CAST(o_orderkey AS VARCHAR) END AS ship_code,
+        |    o_orderkey
+        |  FROM (SELECT * FROM orders
+        |        UNION ALL SELECT * FROM orders WHERE o_orderkey % 499 = 0)),
+        |m AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 END), 0) AS BIGINT) AS bad_cust,
+        |    CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 END), 0) AS BIGINT) AS bad_okey,
+        |    CAST(coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 END), 0) AS BIGINT) AS bad_status,
+        |    CAST(coalesce(sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0.0 THEN 1 END), 0) AS BIGINT) AS bad_price,
+        |    CAST(coalesce(sum(CASE WHEN ship_code IS NOT NULL AND try_cast(ship_code AS BIGINT) IS NULL THEN 1 END), 0) AS BIGINT) AS bad_ship,
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS bad_uni
+        |  FROM seeded),
+        |rep AS (
+        |  SELECT 'not_null' AS expectation, 'o_custkey' AS "column", n AS n_rows,
+        |    bad_cust AS n_bad, round(bad_cust / greatest(n, 1), 6) AS bad_rate,
+        |    0.005 AS threshold FROM m
+        |  UNION ALL SELECT 'not_null', 'o_orderkey', n, bad_okey,
+        |    round(bad_okey / greatest(n, 1), 6), 0.0 FROM m
+        |  UNION ALL SELECT 'in_set', 'o_orderstatus', n, bad_status,
+        |    round(bad_status / greatest(n, 1), 6), 0.02 FROM m
+        |  UNION ALL SELECT 'in_range', 'o_totalprice', n, bad_price,
+        |    round(bad_price / greatest(n, 1), 6), 0.005 FROM m
+        |  UNION ALL SELECT 'type_conforms', 'ship_code', n, bad_ship,
+        |    round(bad_ship / greatest(n, 1), 6), 0.02 FROM m
+        |  UNION ALL SELECT 'unique', 'o_orderkey', n, bad_uni,
+        |    round(bad_uni / greatest(n, 1), 6), 0.0 FROM m
+        |  UNION ALL SELECT 'row_count', '', n, CAST(0 AS BIGINT),
+        |    CASE WHEN n BETWEEN 1000 AND 100000000 THEN 0.0 ELSE 1.0 END, 0.0 FROM m)
+        |SELECT expectation, "column", n_rows, n_bad,
+        |  CAST(bad_rate AS DOUBLE) AS bad_rate, CAST(threshold AS DOUBLE) AS threshold,
+        |  CAST(bad_rate <= threshold AS VARCHAR) AS passed
+        |FROM rep ORDER BY expectation, "column"""".stripMargin
+  )
+}

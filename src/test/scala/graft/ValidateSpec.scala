@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Validate
+import graft.operators.Validate._
+
+class ValidateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def frame = Seq(
+    (1L, Some("a"), "10", 5.0),
+    (2L, None, "20", -1.0),
+    (3L, Some("c"), "xx", 7.0),
+    (3L, Some("a"), "30", 2.0)
+  ).toDF("id", "cat", "code", "amount")
+
+  test("one aggregate pass yields a per-expectation report") {
+    val report = Validate.check(frame, Seq(
+      NotNull("cat", maxNullRate = 0.3),
+      NotNull("id"),
+      TypeConforms("code", "bigint"),
+      InSet("cat", Seq("a", "c")),
+      InRange("amount", Some(0.0), Some(100.0)),
+      Unique("id"),
+      RowCountBetween(1, 10)))
+    val byKey = report.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byKey(("not_null", "cat")).getBoolean(6))   // 1/4 = 0.25 <= 0.3
+    assert(byKey(("not_null", "id")).getBoolean(6))
+    assert(!byKey(("type_conforms", "code")).getBoolean(6)) // "xx"
+    assert(byKey(("in_set", "cat")).getBoolean(6))     // nulls don't count
+    assert(!byKey(("in_range", "amount")).getBoolean(6)) // -1.0
+    assert(!byKey(("unique", "id")).getBoolean(6))     // id 3 twice
+    assert(byKey(("row_count", "")).getBoolean(6))
+    assert(byKey(("unique", "id")).getLong(3) == 1L)
+    assert(!Validate.passed(report))
+  }
+
+  test("empty frame: rate checks pass, row-count floor fails") {
+    val report = Validate.check(frame.where(lit(false)), Seq(
+      NotNull("cat"), Unique("id"), RowCountBetween(1, 10)))
+    val byKey = report.collect().map(r => r.getString(0) -> r).toMap
+    assert(byKey("not_null").getBoolean(6))
+    assert(byKey("unique").getBoolean(6))
+    assert(!byKey("row_count").getBoolean(6))
+  }
+
+  test("requireValid throws with the violating expectations") {
+    val e = intercept[IllegalStateException] {
+      Validate.requireValid(frame, Seq(InRange("amount", Some(0.0), None)))
+    }
+    assert(e.getMessage.contains("in_range"))
+    Validate.requireValid(frame, Seq(NotNull("id"))) // passes: no throw
+  }
+
+  test("whole gate is one aggregate job (single scan)") {
+    val report = Validate.check(frame, Seq(
+      NotNull("cat"), TypeConforms("code", "bigint"), InSet("cat", Seq("a", "c")),
+      InRange("amount", Some(0.0), None), RowCountBetween(1, 10)))
+    val scans = report.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan"))
+    assert(scans <= 1, s"expected a single scan, plan has $scans")
+  }
+}
