@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.ParquetSink
+
+/** The etl_control watermark cycle that makes incremental runs
+  * self-driving (reference: sql/00_master_setup.sql:65-95 —
+  * etl_control.batch_runs / data_sources.last_extract_time — and
+  * dags/incremental_etl_dag.py:59-84, which reads the last successful
+  * run to size its window and writes the new watermark back after
+  * load).
+  *
+  * Control table: an append-only parquet log of batch commits,
+  * (source_id, batch_id, watermark_us, records_loaded, status). The
+  * effective watermark of a source is the MAX over its SUCCESS rows —
+  * append-only means a crashed run (no commit row) simply leaves the
+  * watermark where it was.
+  *
+  * Exactly-once: the window filter is INCLUSIVE of the stored
+  * watermark (`ts >= wm`) and the new watermark is max(ts) actually
+  * seen, so the boundary row is re-read on the next run; the load is
+  * an upsert (MERGE) on the business key, so the overlap — and any
+  * crash-replay of a whole window — lands every row exactly once.
+  * Commit ordering is load-then-watermark: a crash between them
+  * replays the window, never skips it.
+  */
+object EtlControl {
+
+  /** Last committed watermark (epoch micros) for `sourceId`, or
+    * `defaultUs` if the control table has no SUCCESS rows for it. */
+  def lastWatermarkMicros(spark: SparkSession, controlDir: String,
+      sourceId: String, defaultUs: Long): Long = {
+    val fs = new org.apache.hadoop.fs.Path(controlDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(controlDir))) return defaultUs
+    val row = spark.read.parquet(controlDir)
+      .where(col("source_id") === sourceId && col("status") === "SUCCESS")
+      .agg(max("watermark_us")).head()
+    if (row.isNullAt(0)) defaultUs else row.getLong(0)
+  }
+
+  /** Append one commit row to the control log (the batch_runs insert —
+    * append-only, so commits from concurrent sources never rewrite
+    * each other). */
+  def commitRun(spark: SparkSession, controlDir: String, sourceId: String,
+      batchId: String, watermarkUs: Long, recordsLoaded: Long,
+      status: String = "SUCCESS"): Unit = {
+    import spark.implicits._
+    Seq((sourceId, batchId, watermarkUs, recordsLoaded, status))
+      .toDF("source_id", "batch_id", "watermark_us", "records_loaded", "status")
+      .withColumn("committed_at", current_timestamp())
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(controlDir)
+  }
+
+  /** One self-driving incremental cycle against a parquet target:
+    * read watermark → pushed-down window scan → MERGE into target
+    * (staged atomic swap) → commit new watermark. Returns
+    * (newWatermarkUs, deltaRows).
+    *
+    * `failBeforeCommit` is a crash-injection hook for the
+    * exactly-once spec: it stops after the target is published but
+    * before the watermark commit — the worst-ordered crash, which the
+    * next cycle must absorb by replaying the window. */
+  def runIncrementalCycle(spark: SparkSession, controlDir: String,
+      sourceId: String, source: DataFrame, tsCol: String,
+      keys: Seq[String], targetDir: String, defaultWatermarkUs: Long,
+      batchId: String, failBeforeCommit: Boolean = false): (Long, Long) = {
+    val wm = lastWatermarkMicros(spark, controlDir, sourceId, defaultWatermarkUs)
+    // literal timestamp predicate on the scan column → PushedFilters
+    val delta = source.where(col(tsCol) >= timestamp_micros(lit(wm)))
+    val stats = delta.agg(
+      count(lit(1)).as("n"), max(unix_micros(col(tsCol))).as("mx")).head()
+    val (nRows, newWm) =
+      (stats.getLong(0), if (stats.isNullAt(1)) wm else stats.getLong(1))
+    if (nRows > 0) {
+      val fs = new org.apache.hadoop.fs.Path(targetDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val merged =
+        if (fs.exists(new org.apache.hadoop.fs.Path(targetDir))) {
+          val target = spark.read.parquet(targetDir)
+          Incremental.upsert(target, delta.select(target.columns.map(col).toSeq: _*),
+            keys, order = Seq(col(tsCol)))
+        } else delta
+      // merged reads the live target, so materialize to staging BEFORE
+      // the swap (atomicReplace stages for exactly this reason)
+      ParquetSink.atomicReplace(spark, targetDir)(
+        staging => merged.write.parquet(staging))
+    }
+    if (!failBeforeCommit)
+      commitRun(spark, controlDir, sourceId, batchId, newWm, nRows)
+    (newWm, nRows)
+  }
+}

@@ -59,4 +59,58 @@ object ParquetSink {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Retention cleanup as a METADATA-ONLY partition drop (reference:
+    * misa_crm_loader.py:1166 cleanup_old_data, which DELETEs rows
+    * older than N days — on the date-partitioned layout the same
+    * age-out is a directory unlink: no scan, no rewrite, survivors'
+    * files untouched byte-for-byte). Partition values must be
+    * zero-padded ISO dates (writeDatePartitioned's format), so
+    * lexical comparison IS date comparison. Returns the dropped
+    * partition values. */
+  def dropExpiredPartitions(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, partitionCol: String, keepFrom: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val prefix = partitionCol + "="
+    val expired = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix(prefix)))
+      .filter(_._2 < keepFrom)
+      .sortBy(_._2)
+    expired.foreach { case (p, _) => fs.delete(p, true) }
+    expired.map(_._2)
+  }
+
+  /** Replace `targetDir` with whatever `write` produces, without ever
+    * deleting the live copy before its successor exists: write to a
+    * staging dir, move the old target ASIDE (rename, not delete),
+    * rename the staging dir in, delete the old copy last. A crash at
+    * any step leaves either the old or the new target resolvable —
+    * never neither (the remaining window is the single non-atomic
+    * aside+rename pair, the best plain-FS parquet can do; a lakehouse
+    * table format turns this into a metadata commit). Filesystem is
+    * resolved from the TARGET's scheme, not the default FS. */
+  def atomicReplace(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String)(write: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = dst.getFileSystem(conf)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(targetDir + s"__staged_$tag")
+    val aside = new org.apache.hadoop.fs.Path(targetDir + s"__old_$tag")
+    write(staging.toString)
+    val hadOld = fs.exists(dst)
+    if (hadOld) {
+      require(fs.rename(dst, aside), s"could not move $dst aside")
+    }
+    if (!fs.rename(staging, dst)) {
+      // restore the old target before failing — never leave it missing
+      if (hadOld) fs.rename(aside, dst)
+      throw new java.io.IOException(s"could not publish $staging to $dst")
+    }
+    if (hadOld) fs.delete(aside, true)
+    ()
+  }
 }

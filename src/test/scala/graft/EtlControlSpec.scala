@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.EtlControl
+
+class EtlControlSpec extends SparkTestBase {
+
+  private def feed(upTo: String) =
+    Tables.loadEvents(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .where(col("ts") < lit(upTo).cast("timestamp"))
+
+  test("two incremental cycles + crash-replay land every row exactly once") {
+    val dir = Files.createTempDirectory("etlctl").toString
+    val control = s"$dir/control"
+    val target = s"$dir/target"
+    val t0 = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+
+    // cycle 1: source has the first ~third of the feed
+    val (wm1, n1) = EtlControl.runIncrementalCycle(spark, control, "events",
+      feed("2024-01-10"), "ts", Seq("event_id"), target, t0, "b1")
+    val after1 = spark.read.parquet(target)
+    assert(n1 > 0 && after1.count() == feed("2024-01-10").count())
+
+    // cycle 2: more data arrived; window starts at wm1 (inclusive)
+    val (wm2, n2) = EtlControl.runIncrementalCycle(spark, control, "events",
+      feed("2024-01-20"), "ts", Seq("event_id"), target, t0, "b2")
+    assert(wm2 > wm1 && n2 > 0)
+    val after2 = spark.read.parquet(target)
+    assert(after2.count() == feed("2024-01-20").count())
+    assert(after2.select("event_id").distinct().count() == after2.count())
+
+    // cycle 3 CRASHES after the target is published, before the
+    // watermark commit — the worst ordering
+    EtlControl.runIncrementalCycle(spark, control, "events",
+      feed("2024-02-01"), "ts", Seq("event_id"), target, t0, "b3",
+      failBeforeCommit = true)
+    assert(EtlControl.lastWatermarkMicros(spark, control, "events", t0) == wm2,
+      "crashed run must not advance the watermark")
+
+    // replay of cycle 3: window re-reads everything since wm2, upsert
+    // absorbs the rows the crashed run already published
+    val (wm3, _) = EtlControl.runIncrementalCycle(spark, control, "events",
+      feed("2024-02-01"), "ts", Seq("event_id"), target, t0, "b3r")
+    val after3 = spark.read.parquet(target)
+    val full = feed("2024-02-01")
+    assert(after3.count() == full.count(), "replay duplicated or lost rows")
+    assert(after3.select("event_id").distinct().count() == after3.count())
+    assert(after3.except(full).count() == 0 && full.except(after3).count() == 0)
+    assert(wm3 > wm2)
+
+    // control log: 3 SUCCESS commits (crashed b3 left no row)
+    val log = spark.read.parquet(control)
+    assert(log.where(col("status") === "SUCCESS").count() == 3)
+    assert(log.where(col("batch_id") === "b3").count() == 0)
+  }
+
+  test("retention drop removes expired partitions without touching survivors") {
+    import graft.sources.ParquetSink
+    val dir = Files.createTempDirectory("retention").toString + "/events"
+    val ev = Tables.loadEvents(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ParquetSink.writeDatePartitioned(ev, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(_.getPath.getName.startsWith("event_date="))
+    val before = partDirs.map(_.getPath.getName).sorted
+    // fingerprint survivors' data files BEFORE the drop
+    def fileStamps(day: String) = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/event_date=$day"))
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSeq.sorted
+    val survivorStamps = fileStamps("2024-01-20")
+    val dropped = ParquetSink.dropExpiredPartitions(spark, dir,
+      "event_date", keepFrom = "2024-01-15")
+    assert(dropped.nonEmpty && dropped.forall(_ < "2024-01-15"))
+    val after = partDirs.map(_.getPath.getName).sorted
+    assert(after == before.filter(_.stripPrefix("event_date=") >= "2024-01-15"))
+    // survivors untouched byte-for-byte (same files, sizes, mtimes —
+    // nothing scanned or rewritten them)
+    assert(fileStamps("2024-01-20") == survivorStamps)
+    // and the table still reads cleanly with only surviving dates
+    val remaining = spark.read.parquet(dir)
+    assert(remaining.agg(min("event_date")).head().getDate(0).toString >= "2024-01-15")
+  }
+
+  test("empty window advances nothing and commits the same watermark") {
+    val dir = Files.createTempDirectory("etlctl2").toString
+    val control = s"$dir/control"
+    val target = s"$dir/target"
+    val t0 = 1704067200000000L
+    val (wm1, _) = EtlControl.runIncrementalCycle(spark, control, "events",
+      feed("2024-01-10"), "ts", Seq("event_id"), target, t0, "b1")
+    val before = spark.read.parquet(target).count()
+    // same source again: only the boundary row is in the window; the
+    // upsert must keep the target identical
+    val (wm2, n2) = EtlControl.runIncrementalCycle(spark, control, "events",
+      feed("2024-01-10"), "ts", Seq("event_id"), target, t0, "b2")
+    assert(wm2 == wm1 && n2 == 1) // the inclusive boundary row replays
+    assert(spark.read.parquet(target).count() == before)
+  }
+}
