@@ -18,17 +18,20 @@ import graft.operators.{Dedup, Incremental}
   * whole feed (asserted in StreamingSinkSpec), which is the
   * "exactness-preserving" contract a lake MERGE needs.
   *
-  * Scale: the per-batch work is one broadcast-able anti-join + union
-  * rewrite of only the touched partitions at real lake layouts; here
-  * (plain parquet, no table format) we rewrite the target whole, which
-  * is the honest local-mode stand-in — the operator boundary
-  * (`Incremental.upsert`) is what a Delta/Iceberg MERGE would replace.
+  * Scale: [[upsertSinkPartitioned]] rewrites only the key-hash
+  * partition directories a batch touches (dynamic partition
+  * overwrite) — per-batch cost O(touched/nBuckets of the target).
+  * [[upsertSink]] is the simpler whole-rewrite form. Either way the
+  * operator boundary (`Incremental.upsert` semantics) is what a
+  * Delta/Iceberg MERGE would replace on a lakehouse.
   */
 object StreamingSink {
 
   /** Attach a foreachBatch upsert sink to `updates`. `targetDir` is
     * created on first batch; subsequent batches merge on `keyCols`
-    * keep-last by `seqCol`. */
+    * keep-last by `seqCol`. Rewrites the WHOLE target per batch — the
+    * simplest stand-in; [[upsertSinkPartitioned]] is the scale-shaped
+    * variant that rewrites only touched key-buckets. */
   def upsertSink(spark: SparkSession, updates: DataFrame,
       targetDir: String, keyCols: Seq[String], seqCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream
@@ -36,8 +39,8 @@ object StreamingSink {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
+        val fs = new org.apache.hadoop.fs.Path(targetDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(targetDir)
         // keep-last WITHIN the batch first (a batch can carry several
         // versions of one key), then merge against the target.
@@ -51,15 +54,65 @@ object StreamingSink {
             Dedup.keepLast(
               target.unionByName(batchWinners), keyCols, Seq(col(seqCol)))
           } else batchWinners
-        val tmp = new org.apache.hadoop.fs.Path(targetDir + "__staged")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        // parquet has no transactional MERGE — stage then swap so a
-        // failed batch never leaves a half-written target (a lakehouse
-        // table format would make this a metadata commit instead).
-        fs.delete(dst, true)
-        fs.rename(tmp, dst)
+        // parquet has no transactional MERGE — stage, move the old
+        // copy aside, publish, delete last (ParquetSink.atomicReplace):
+        // no crash point leaves the target missing; the residual
+        // non-atomic window is the aside+publish rename pair, the best
+        // a plain FS offers (a lakehouse table format would make this
+        // a metadata commit instead).
+        graft.sources.ParquetSink.atomicReplace(spark, targetDir)(
+          staging => merged.write.parquet(staging))
         ()
       }
+
+  /** Scale-shaped upsert sink: the target is laid out in `nBuckets`
+    * key-hash partition directories (`__kb=<pmod(xxhash64(keys))>`),
+    * and each micro-batch rewrites ONLY the buckets its keys touch —
+    * dynamic partition overwrite replaces exactly the partitions
+    * present in the written frame, so untouched buckets stay
+    * byte-identical on disk (asserted in StreamingSinkSpec). Per-batch
+    * cost is O(touched-buckets / nBuckets of the target), not
+    * O(target): the partition-pruned read of touched buckets + the
+    * same seq-aware keep-last merge. The merged frame is
+    * localCheckpoint-ed to break lineage before overwriting the
+    * directories it was read from. Reads of the target see an extra
+    * `__kb` int column (drop it, or read through [[readPartitioned]]). */
+  def upsertSinkPartitioned(spark: SparkSession, updates: DataFrame,
+      targetDir: String, keyCols: Seq[String], seqCol: String,
+      nBuckets: Int = 32): DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(targetDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bucketOf = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong))
+          .cast("int")
+        val batchWinners = Dedup.keepLast(batch, keyCols, Seq(col(seqCol)))
+          .withColumn("__kb", bucketOf)
+        val exists = fs.exists(new org.apache.hadoop.fs.Path(targetDir))
+        val merged =
+          if (exists) {
+            val touched = batchWinners.select("__kb").distinct()
+              .collect().map(_.getInt(0)).toSeq // bounded by nBuckets
+            val existing = spark.read.parquet(targetDir)
+              .where(col("__kb").isin(touched: _*)) // partition-pruned
+            Dedup.keepLast(existing.unionByName(batchWinners),
+              keyCols, Seq(col(seqCol)))
+          } else batchWinners
+        merged.localCheckpoint(true)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__kb")
+          .parquet(targetDir)
+        ()
+      }
+
+  /** Read a [[upsertSinkPartitioned]] target without its layout
+    * column. */
+  def readPartitioned(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(targetDir).drop("__kb")
 
   /** Stream enriched with a static dimension via broadcast hash join —
     * no state, no shuffle of the stream side; the static side ships to

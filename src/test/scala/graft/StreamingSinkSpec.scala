@@ -52,6 +52,70 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(first == second, "replaying the feed must not change the target")
   }
 
+  private def runPartitionedBatches(target: String, batches: Seq[Seq[Upd]],
+      nBuckets: Int): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Upd]
+    batches.foreach(b => input.addData(b))
+    val query = StreamingSink.upsertSinkPartitioned(spark, input.toDF(), target,
+      Seq("key"), "seq", nBuckets).start()
+    try query.awaitTermination() finally query.stop()
+  }
+
+  test("partitioned sink: keep-last semantics + replay idempotence") {
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_psink").toString + "/t"
+    val feed = Seq(
+      (1L to 40L).map(k => Upd(k, 1L, "created", k.toDouble)),
+      Seq(Upd(1L, 2L, "paid", 12.0), Upd(41L, 1L, "created", 7.0)),
+      Seq(Upd(1L, 1L, "created", 10.0))) // stale replay must lose
+    runPartitionedBatches(target, feed, nBuckets = 8)
+    import spark.implicits._
+    val got = StreamingSink.readPartitioned(spark, target)
+      .as[Upd].collect().sortBy(_.key).toSeq
+    val expected = Dedup.keepLast(
+        feed.flatten.toDF(), Seq("key"), Seq(col("seq")))
+      .as[Upd].collect().sortBy(_.key).toSeq
+    assert(got == expected)
+    val first = got
+    runPartitionedBatches(target, feed, nBuckets = 8) // full replay
+    val second = StreamingSink.readPartitioned(spark, target)
+      .as[Upd].collect().sortBy(_.key).toSeq
+    assert(second == first, "replaying the feed must not change the target")
+  }
+
+  test("partitioned sink rewrites only touched buckets; others byte-identical") {
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_psink2").toString + "/t"
+    // batch 1 populates many buckets; batch 2 touches exactly one key
+    runPartitionedBatches(target,
+      Seq((1L to 60L).map(k => Upd(k, 1L, "created", k.toDouble))),
+      nBuckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamps: Map[String, Seq[(String, Long, Long)]] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(target)).toSeq
+      .filter(_.getPath.getName.startsWith("__kb="))
+      .map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath).toSeq
+          .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+          .sorted
+      }.toMap
+    val before = stamps
+    assert(before.size > 1, s"expected several buckets, got ${before.keys}")
+    runPartitionedBatches(target,
+      Seq(Seq(Upd(7L, 2L, "paid", 1.0))), nBuckets = 8)
+    val after = stamps
+    val touched = before.keys.filter(k => before(k) != after.getOrElse(k, Nil))
+    assert(touched.size == 1,
+      s"exactly one bucket dir should change, got ${touched.toSeq.sorted}")
+    // untouched buckets: same files, sizes, mtimes — never rewritten
+    (before.keySet - touched.head).foreach { k =>
+      assert(before(k) == after(k), s"bucket $k was rewritten")
+    }
+  }
+
   test("stream-static dim enrichment plans a broadcast join, no stream shuffle") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
