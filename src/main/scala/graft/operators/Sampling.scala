@@ -23,15 +23,19 @@ object Sampling {
       .cast("long") % buckets).cast("int")
 
   /** Adds a `split` column: "train"/"val"/"test" by cumulative
-    * percentage cut points (e.g. 80/10/10 → trainPct=80, valPct=10). */
+    * percentage cut points (e.g. 80/10/10 → trainPct=80, valPct=10).
+    * Percentages are scaled to the bucket count, so a non-default
+    * `buckets` changes split granularity, not the split fractions. */
   def hashSplit(df: DataFrame, idCol: String,
       trainPct: Int = 80, valPct: Int = 10,
       buckets: Int = 100): DataFrame = {
-    require(trainPct + valPct < buckets, "train+val must leave room for test")
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val cutTrain = trainPct * buckets / 100
+    val cutVal = (trainPct + valPct) * buckets / 100
     val b = hashBucket(col(idCol), buckets)
     df.withColumn("split",
-      when(b < trainPct, lit("train"))
-        .when(b < trainPct + valPct, lit("val"))
+      when(b < cutTrain, lit("train"))
+        .when(b < cutVal, lit("val"))
         .otherwise(lit("test")))
   }
 

@@ -154,6 +154,12 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(a("train").toDouble / n - 0.8) < 0.05, s"train share ${a("train")}/$n")
     assert(math.abs(a("val").toDouble / n - 0.1) < 0.04)
     assert(math.abs(a("test").toDouble / n - 0.1) < 0.04)
+    // percentages hold under a non-default bucket count (cut points
+    // scale with buckets; they are NOT raw bucket indices)
+    val c = Sampling.hashSplit(docs, "doc_id", buckets = 200)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(c("train").toDouble / n - 0.8) < 0.05,
+      s"train share with buckets=200: ${c("train")}/$n")
   }
 
   test("stratifiedSample: per-stratum rates honor fractions, seeded-deterministic") {
