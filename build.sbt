@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// One suite at a time: suites share one SparkSession (and its
+// CacheManager), so concurrent suites could swap InMemoryTableScans
+// into each other's plans — GoldenPlanSpec needs plans reproducible.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.queries.{AnalyticsQueries, EcommerceQueries, LlmQueries}
+
+/** Golden physical-plan snapshots for the headline queries: a
+  * broadcast→shuffle flip, a lost PushedFilters, a new exchange, or a
+  * cartesian sneaking into any of these plans fails the build with a
+  * line-level diff (VERDICT r3 item 7).
+  *
+  * Regenerate intentionally with
+  * `SPARK_GRAFT_UPDATE_GOLDENS=1 sbt "testOnly graft.GoldenPlanSpec"`
+  * and review the golden diff like any other code change.
+  *
+  * Normalization strips what varies run-to-run without changing plan
+  * shape: expression/plan ids, float literals (q22 inlines trained
+  * centroid matrices), and file-index locations. The suite clears the
+  * SQL cache before each snapshot so earlier suites' persisted frames
+  * cannot substitute InMemoryTableScans into these plans
+  * (Test/parallelExecution is off for the same reason).
+  */
+class GoldenPlanSpec extends SparkTestBase {
+
+  private val goldenDir: Path = Paths.get("src/test/resources/plans")
+
+  private def normalize(plan: String): String =
+    plan
+      .replaceAll("#\\d+", "#_")
+      .replaceAll("\\bx_\\d+", "x_") // lambda vars use a session-global counter
+      .replaceAll("plan_id=\\d+", "plan_id=_")
+      .replaceAll("-?\\d+\\.\\d+(E-?\\d+)?", "<f>")
+      .replaceAll("Location: [^\\n]*", "Location: <loc>")
+      .linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n")
+      .trim
+
+  private def snapshot(name: String, mk: => DataFrame): Unit = test(s"golden plan: $name") {
+    spark.catalog.clearCache()
+    val plan = normalize(
+      mk.queryExecution.explainString(ExplainMode.fromString("formatted")))
+    val file = goldenDir.resolve(s"$name.txt")
+    if (sys.env.contains("SPARK_GRAFT_UPDATE_GOLDENS")) {
+      Files.createDirectories(goldenDir)
+      Files.write(file, plan.getBytes(StandardCharsets.UTF_8))
+    } else {
+      assert(Files.exists(file),
+        s"no golden plan for $name — run SPARK_GRAFT_UPDATE_GOLDENS=1 " +
+          "sbt 'testOnly graft.GoldenPlanSpec' and commit the file")
+      val golden = new String(Files.readAllBytes(file), StandardCharsets.UTF_8).trim
+      if (golden != plan) {
+        val gl = golden.linesIterator.toVector
+        val pl = plan.linesIterator.toVector
+        val firstDiff = gl.zipAll(pl, "<missing>", "<missing>")
+          .indexWhere { case (a, b) => a != b }
+        fail(s"plan for $name drifted from golden at line ${firstDiff + 1}:\n" +
+          s"  golden: ${gl.lift(firstDiff).getOrElse("<missing>")}\n" +
+          s"  actual: ${pl.lift(firstDiff).getOrElse("<missing>")}\n" +
+          "If intentional, regenerate with SPARK_GRAFT_UPDATE_GOLDENS=1.")
+      }
+    }
+  }
+
+  snapshot("q09_incremental_agg", EcommerceQueries.q09IncrementalAgg(spark, sf0001))
+  snapshot("q10_star_join", EcommerceQueries.q10StarJoin(spark, sf0001))
+  snapshot("q28_asof_join", AnalyticsQueries.q28AsofJoin(spark, sf0001))
+  snapshot("q19_simhash", LlmQueries.q19Simhash(spark, sf0001))
+  snapshot("q20_ngram_jaccard", LlmQueries.q20NgramJaccard(spark, sf0001))
+  snapshot("q22_ann_lsh", LlmQueries.q22AnnLsh(spark, sf0001))
+}
