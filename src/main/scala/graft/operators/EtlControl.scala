@@ -55,6 +55,28 @@ object EtlControl {
       .write.mode(SaveMode.Append).parquet(controlDir)
   }
 
+  /** Row-count bounds for the next batch derived from the control
+    * log's history (the "row-count delta vs prior batch" gate the
+    * reference checks by hand): bounds are the last SUCCESS batch's
+    * records_loaded ± tolerance. Returns None when no history exists
+    * (first batch — nothing to compare against). Feed the result to
+    * [[Validate.RowCountBetween]]. */
+  def expectedRowBounds(spark: SparkSession, controlDir: String,
+      sourceId: String, tolerance: Double = 0.5): Option[(Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(controlDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(controlDir))) return None
+    val rows = spark.read.parquet(controlDir)
+      .where(col("source_id") === sourceId && col("status") === "SUCCESS")
+      .orderBy(desc("watermark_us"))
+      .select("records_loaded").limit(1).collect()
+    rows.headOption.map { r =>
+      val n = r.getLong(0).toDouble
+      (math.floor(n * (1 - tolerance)).toLong,
+        math.ceil(n * (1 + tolerance)).toLong)
+    }
+  }
+
   /** One self-driving incremental cycle against a parquet target:
     * read watermark → pushed-down window scan → MERGE into target
     * (staged atomic swap) → commit new watermark. Returns

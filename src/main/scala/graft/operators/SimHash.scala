@@ -7,12 +7,23 @@ import graft.functions.TextFunctions
 
 /** SimHash near-duplicate fingerprinting.
   *
-  * 128-bit charikar fingerprint per document, stored as two longs
-  * (`fp_hi`, `fp_lo`). Because the charikar construction is per-bit
-  * independent, a 128-bit fingerprint is exactly two independent
-  * 64-bit simhashes over two independent token-hash streams — so the
-  * native codegen'd `simhash64` expression is reused per half
-  * (row-local, no UDF, no shuffle).
+  * 128-bit charikar fingerprint per document over its word 3-gram
+  * SHINGLE set, stored as two longs (`fp_hi`, `fp_lo`). Because the
+  * charikar construction is per-bit independent, a 128-bit
+  * fingerprint is exactly two independent 64-bit simhashes over two
+  * independent feature-hash streams — so the native codegen'd
+  * `simhash64` expression is reused per half (row-local, no UDF, no
+  * shuffle).
+  *
+  * Features are shingles, not unigram tokens, deliberately: on a
+  * small-vocabulary or template-heavy corpus every doc shares most
+  * TOKENS, so token-simhash degenerates into a fingerprint of the
+  * vocabulary distribution and non-duplicate docs correlate (measured
+  * on the test corpus: planted-dup and random-pair Hamming ranges
+  * overlap). Shingles are positional n-grams — diverse across docs —
+  * which pushes random pairs to Hamming ≈ 64 of 128 (measured: 1st
+  * percentile 51) while true near-dups stay under ~10. This is also
+  * Manku et al.'s choice (phrase features, WWW'07).
   *
   * Near-dup candidates come from pigeonhole bucketing over the
   * fingerprint (Manku/Jain/Sarma, "Detecting Near-Duplicates for Web
@@ -29,15 +40,16 @@ import graft.functions.TextFunctions
   * Pairs are verified with `bit_count(xor)` per half; never an
   * all-pairs scan.
   *
-  * Caveat the bound is honest about: on template-heavy corpora where
-  * typical NON-duplicate pairs already agree on most bits (shared
-  * boilerplate → inter-doc Hamming ≪ 64), bucket collisions — and the
-  * true qualifying-pair count itself — grow superlinearly; no
-  * exact-recall scheme avoids that, since the output is the quadratic
-  * object. The production mitigation is feature weighting (idf-style,
-  * as in Manku et al.): boilerplate tokens stop dominating the bit
-  * votes, restoring fingerprint independence between genuinely
-  * different docs.
+  * Residual caveat: a corpus whose docs share most SHINGLES (heavy
+  * repeated boilerplate sentences) re-correlates fingerprints; the
+  * mitigation is the stop-shingle filter (`maxDf` /
+  * [[stopFeatureHashes]] — the cheap end of the idf-weighting family
+  * Manku et al. use): shingles present in more than maxDf·N docs stop
+  * voting on bits. The hot list is bounded (≤ avg-set-size / maxDf),
+  * broadcasts as an in-plan literal, and the filter stays row-local;
+  * similarity becomes "Hamming over non-ubiquitous content", which is
+  * what boilerplate-heavy dedup wants (measured in MinHashLSHSpec's
+  * template-corpus test).
   */
 object SimHash {
 
@@ -98,19 +110,64 @@ object SimHash {
     docs.select(col(idCol).as("doc"),
       simhash64(col(textCol), tokenHash).as("fp"))
 
-  /** (doc, fp_hi, fp_lo) per row — the 128-bit fingerprint as two
-    * independent simhash64s. Fast path hashes each token twice with
-    * xxhash64 (seeded by an extra literal column for the hi stream);
-    * `portable = true` uses the two md5 halves so DuckDB can replay
-    * every bit. */
+  /** Lo-stream hashes of a doc's shingle features: the native
+    * codegen'd window-mix over token hashes on the fast path, md5 of
+    * the shingle string on the portable path. This array is the
+    * canonical feature representation — the hi stream and the
+    * stop-filter both derive from it. */
+  private def loFeatureHashes(textCol: Column, shingleN: Int,
+      portable: Boolean): Column =
+    if (portable) transform(TextDedup.shingles(textCol, shingleN),
+      s => md5TokenHash(s))
+    else TextDedup.shingleHashes64(textCol, shingleN)
+
+  /** Lo-hash values of shingles present in more than maxDf·nDocs
+    * documents — the repeated-boilerplate features that re-correlate
+    * template-corpus fingerprints (see object doc). Bounded by
+    * construction (≤ avg-shingles-per-doc / maxDf values), sorted for
+    * deterministic plans; compute ONCE per corpus and reuse, like a
+    * pretrained quantizer. */
+  def stopFeatureHashes(docs: DataFrame, textCol: String, maxDf: Double,
+      shingleN: Int = 3, portable: Boolean = false): Array[Long] = {
+    val n = docs.count()
+    docs.select(explode(array_distinct(
+        loFeatureHashes(col(textCol), shingleN, portable))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .where(col("c") > lit(maxDf) * n)
+      .collect().map(_.getLong(0)).sorted
+  }
+
+  /** (doc, fp_hi, fp_lo) per row — the 128-bit shingle-feature
+    * fingerprint as two independent simhash64s. Fast path: native
+    * shingle-hash mix for the lo stream, xxhash64 re-mix of each lo
+    * hash for the hi stream; `portable = true` uses the two md5
+    * halves of the shingle STRING so DuckDB can replay every bit. A
+    * non-empty `stop` list (lo-hash domain) drops those shingles
+    * before voting (row-local `filter`, list broadcast in-plan). */
   def fingerprints128(docs: DataFrame, idCol: String, textCol: String,
-      portable: Boolean = false): DataFrame = {
-    val (hiHash, loHash): (Column => Column, Column => Column) =
-      if (portable) (md5TokenHashHi(_), md5TokenHash(_))
-      else ((t: Column) => xxhash64(t, lit(1)), (t: Column) => xxhash64(t))
+      portable: Boolean = false, shingleN: Int = 3,
+      stop: Array[Long] = Array.empty): DataFrame = {
+    def sh(hashes: Column): Column =
+      if (graft.plans.GraftExtensions.nativeAvailable)
+        call_function("simhash64", hashes)
+      else simhash64Hof(hashes)
+    val (loH, hiH): (Column, Column) =
+      if (portable) {
+        val shs0 = TextDedup.shingles(col(textCol), shingleN)
+        val shs =
+          if (stop.isEmpty) shs0
+          else filter(shs0, s => !array_contains(lit(stop), md5TokenHash(s)))
+        (transform(shs, s => md5TokenHash(s)),
+          transform(shs, s => md5TokenHashHi(s)))
+      } else {
+        val lo0 = TextDedup.shingleHashes64(col(textCol), shingleN)
+        val lo =
+          if (stop.isEmpty) lo0
+          else filter(lo0, h => !array_contains(lit(stop), h))
+        (lo, transform(lo, h => xxhash64(h)))
+      }
     docs.select(col(idCol).as("doc"),
-      simhash64(col(textCol), hiHash).as("fp_hi"),
-      simhash64(col(textCol), loHash).as("fp_lo"))
+      sh(hiH).as("fp_hi"), sh(loH).as("fp_lo"))
   }
 
   /** Contiguous chunk boundaries covering `bits` as evenly as
@@ -180,18 +237,29 @@ object SimHash {
   }
 
   /** ALL pairs within Hamming distance ≤ maxHamming on the 128-bit
-    * fingerprint: pigeonhole candidates (exact recall — see object
-    * doc), verified with bit_count per half. `comboSize` trades
-    * keys/doc (C(maxHamming+g, g)) for bucket-key width; 2 keeps the
-    * budget-8 key ~25 bits wide, the 100 TB-shaped setting. */
+    * shingle-feature fingerprint: pigeonhole candidates (exact recall
+    * — see object doc), verified with bit_count per half. `comboSize`
+    * trades keys/doc (C(maxHamming+g, g)) for bucket-key width; 2
+    * keeps the budget-8 key ~25 bits wide, the 100 TB-shaped setting.
+    * `maxDf < 1` drops stop-shingles before fingerprinting (pass a
+    * precomputed `stop` list instead to keep the query path one
+    * pass). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, comboSize: Int = 1,
-      portable: Boolean = false): DataFrame =
-    chunkCandidates(fingerprints128(docs, idCol, textCol, portable),
+      portable: Boolean = false, shingleN: Int = 3,
+      maxDf: Double = 1.0, stop: Array[Long] = null): DataFrame = {
+    val stopList =
+      if (stop != null) stop
+      else if (maxDf < 1.0)
+        stopFeatureHashes(docs, textCol, maxDf, shingleN, portable)
+      else Array.empty[Long]
+    chunkCandidates(
+        fingerprints128(docs, idCol, textCol, portable, shingleN, stopList),
         maxHamming, comboSize)
       // verify BEFORE dedup: the Hamming filter kills the vast
       // majority of bucket candidates map-side, so the distinct()
       // shuffle carries only qualifying pairs
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
 }

@@ -38,16 +38,35 @@ object LlmQueries {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
 
+  /** Per-corpus stop-shingle lists (shingles in > half the docs;
+    * lo-hash domain, one per hash path), computed once per dir and
+    * reused — like the pretrained IVF quantizer, a corpus-level
+    * artifact that at 100 TB is persisted next to the table, never
+    * recomputed per query. Empty on this corpus (max shingle df is
+    * 7/500) — the filter is exercised by the template-corpus spec. */
+  private val stopCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private def docStopShingles(s: SparkSession, dir: String,
+      portable: Boolean): Array[Long] =
+    stopCache.computeIfAbsent(s"$dir#$portable",
+      _ => SimHash.stopFeatureHashes(t(s, dir, "documents"), "text",
+        maxDf = 0.5, shingleN = 3, portable = portable))
+
   /** §2 #18 — SimHash near-dup pairs: ALL pairs at Hamming ≤ 8 on the
-    * 128-bit fingerprint (Manku-style combo-pigeonhole candidates,
-    * comboSize=2 → 45 buckets/doc of ~25-bit keys, exact recall
-    * asserted vs all-pairs truth in spec; candidate volume stays
-    * ~linear in corpus size — VERDICT r3 item 2). Production path
-    * (xxhash64 tokens); oracle-checked through the portable twin
-    * [[q38SimhashPortable]]. */
+    * 128-bit SHINGLE-feature fingerprint (tokens would correlate on
+    * this small-vocab corpus — see SimHash object doc; random pairs
+    * sit at Hamming ~64, true near-dups under ~10). Manku-style
+    * combo-pigeonhole candidates, comboSize=2 → 45 buckets/doc of
+    * ~25-bit keys, exact recall asserted vs all-pairs truth in spec;
+    * candidate volume stays ~linear in corpus size (VERDICT r3 item
+    * 2). Stop-shingles (df > 0.5·N, precomputed per corpus) keep
+    * repeated boilerplate from voting. Production path (native
+    * codegen'd shingle hashing); oracle-checked through the portable
+    * twin [[q38SimhashPortable]]. */
   def q19Simhash(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 8, comboSize = 2)
+        maxHamming = 8, comboSize = 2,
+        stop = docStopShingles(s, dir, portable = false))
       .withColumn("hamming", col("hamming").cast("bigint"))
       .orderBy("doc_a", "doc_b")
 
@@ -63,13 +82,15 @@ object LlmQueries {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
 
-  /** §2 #18 — q19's pipeline with md5-portable token hashes (the two
-    * md5 halves drive the two fingerprint halves): DuckDB recomputes
-    * every 128-bit fingerprint and the all-pairs Hamming truth it
-    * implies. Correctness artifact; Bench skips it. */
+  /** §2 #18 — q19's pipeline with md5-portable shingle hashes (the
+    * two md5 halves of each shingle string drive the two fingerprint
+    * halves) and the same stop-shingle filter: DuckDB recomputes the
+    * stop list, every 128-bit fingerprint, and the all-pairs Hamming
+    * truth they imply. Correctness artifact; Bench skips it. */
   def q38SimhashPortable(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 8, comboSize = 2, portable = true)
+        maxHamming = 8, comboSize = 2, portable = true,
+        stop = docStopShingles(s, dir, portable = true))
       .withColumn("hamming", col("hamming").cast("bigint"))
       .orderBy("doc_a", "doc_b")
 
@@ -216,11 +237,16 @@ object LlmQueries {
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
          |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "q38_simhash_portable" ->
-      s"""WITH w AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
-         |h AS (SELECT doc_id,
-         |    ('0x' || substr(md5(t), 1, 16))::UBIGINT AS uh_lo,
-         |    ('0x' || substr(md5(t), 17, 16))::UBIGINT AS uh_hi FROM tok),
+      s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |d3 AS (SELECT doc_id,
+         |  list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, greatest(len(w)-2, 1))]) AS shs FROM w),
+         |sh AS (SELECT doc_id, unnest(shs) AS s FROM d3),
+         |h0 AS (SELECT doc_id,
+         |    ('0x' || substr(md5(s), 1, 16))::UBIGINT AS uh_lo,
+         |    ('0x' || substr(md5(s), 17, 16))::UBIGINT AS uh_hi FROM sh),
+         |hdf AS (SELECT uh_lo, count(*) AS c FROM h0 GROUP BY uh_lo),
+         |h AS (SELECT doc_id, uh_lo, uh_hi FROM h0 JOIN hdf USING (uh_lo)
+         |      WHERE c <= 0.5 * (SELECT count(*) FROM documents)),
          |bits AS (
          |  SELECT doc_id, g.b AS b,
          |    sum(CASE WHEN (uh_lo >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt_lo,

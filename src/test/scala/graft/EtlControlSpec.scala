@@ -86,6 +86,27 @@ class EtlControlSpec extends SparkTestBase {
     assert(remaining.agg(min("event_date")).head().getDate(0).toString >= "2024-01-15")
   }
 
+  test("expectedRowBounds derives the delta gate from the prior batch") {
+    import graft.operators.Validate
+    val dir = Files.createTempDirectory("etlctl3").toString
+    val control = s"$dir/control"
+    val target = s"$dir/target"
+    val t0 = 1704067200000000L
+    assert(EtlControl.expectedRowBounds(spark, control, "events").isEmpty,
+      "no history -> no bounds")
+    val (_, n1) = EtlControl.runIncrementalCycle(spark, control, "events",
+      feed("2024-01-10"), "ts", Seq("event_id"), target, t0, "b1")
+    val Some((lo, hi)) = EtlControl.expectedRowBounds(spark, control, "events")
+    assert(lo == math.floor(n1 * 0.5).toLong && hi == math.ceil(n1 * 1.5).toLong)
+    // a comparable next batch passes the derived gate; a collapsed one fails
+    val nextBatch = feed("2024-01-20").where(col("ts") >= lit("2024-01-10").cast("timestamp"))
+    val gate = Validate.check(nextBatch, Seq(Validate.RowCountBetween(lo, hi)))
+    assert(Validate.passed(gate), s"normal delta batch should pass [$lo,$hi]")
+    val collapsed = nextBatch.limit((lo / 2).toInt)
+    assert(!Validate.passed(
+      Validate.check(collapsed, Seq(Validate.RowCountBetween(lo, hi)))))
+  }
+
   test("empty window advances nothing and commits the same watermark") {
     val dir = Files.createTempDirectory("etlctl2").toString
     val control = s"$dir/control"

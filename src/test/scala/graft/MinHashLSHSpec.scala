@@ -154,6 +154,27 @@ class MinHashLSHSpec extends SparkTestBase {
     assert(missed == 0, s"stop-shingle LSH missed $missed planted pairs")
   }
 
+  test("stop-shingle filter decorrelates simhash on a boilerplate corpus") {
+    val docs = stopwordCorpus(300)
+    val hot = SimHash.stopFeatureHashes(docs, "text", maxDf = 0.5)
+    assert(hot.length >= 5 && hot.length <= 30,
+      s"expected the ~10 boilerplate shingles, got ${hot.length}")
+    def cands(stop: Array[Long]): Long =
+      SimHash.chunkCandidates(
+          SimHash.fingerprints128(docs, "doc_id", "text", stop = stop),
+          maxHamming = 8, comboSize = 2)
+        .select("doc_a", "doc_b").distinct().count()
+    val without = cands(Array.empty)
+    val withStop = cands(hot)
+    assert(withStop <= without,
+      s"stop filter must not add candidates: $without -> $withStop")
+    // boilerplate votes removed -> non-dup fingerprints decorrelate,
+    // so bucket collisions shrink toward the planted-dup count
+    assert(withStop <= 120,
+      s"stop-filtered candidates should be ~planted-dup volume, got $withStop " +
+        s"(unfiltered: $without)")
+  }
+
   test("combo-pigeonhole candidate volume grows ~linearly, not quadratically") {
     // Doubling the corpus must not ~quadruple the bucket candidates.
     // Corpus: deterministic docs of 30 md5-derived tokens (distinct
