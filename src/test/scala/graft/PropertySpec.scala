@@ -109,6 +109,46 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("extract128 reassembles the fingerprint for any chunking") {
+    // property: concatenating every chunk of any (budget, comboSize)
+    // chunking reproduces the 128-bit value exactly — i.e. the chunk
+    // extractor (incl. the half-boundary straddle and the w=64 mask
+    // edge) loses no bits and overlaps none.
+    import graft.operators.SimHash
+    val fpGen = for {
+      hi <- Gen.choose(Long.MinValue, Long.MaxValue)
+      lo <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (hi, lo)
+    val pairs = samples(fpGen, 12)
+    val df = pairs.toDF("fp_hi", "fp_lo")
+    for (nChunks <- Seq(2, 4, 9, 10, 14)) {
+      val spans = SimHash.chunkSpans(nChunks, SimHash.FpBits)
+      assert(spans.map(_._2).sum == 128 && spans.head._1 == 0)
+      assert(spans.sliding(2).forall {
+        case Seq((o1, w1), (o2, _)) => o2 == o1 + w1
+        case _ => true
+      })
+      // rebuild (hi, lo) from the extracted chunk values row-locally
+      val rebuilt = spans.foldLeft((lit(0L), lit(0L))) {
+        case ((accHi, accLo), (off, w)) =>
+          val v = SimHash.extract128(col("fp_hi"), col("fp_lo"), off, w)
+          val addLo =
+            if (off >= 64) lit(0L)
+            else shiftleft(v, off)
+          val addHi =
+            if (off + w <= 64) lit(0L)
+            else if (off >= 64) shiftleft(v, off - 64)
+            else shiftrightunsigned(v, 64 - off)
+          (accHi.bitwiseOR(addHi), accLo.bitwiseOR(addLo))
+      }
+      val bad = df.select(col("fp_hi"), col("fp_lo"),
+          rebuilt._1.as("rhi"), rebuilt._2.as("rlo"))
+        .where(col("fp_hi") =!= col("rhi") || col("fp_lo") =!= col("rlo"))
+        .count()
+      assert(bad == 0, s"chunking $nChunks dropped/duplicated bits on $bad rows")
+    }
+  }
+
   test("deleteInsert preserves non-delta rows exactly") {
     samples(rowsGen.flatMap(a => rowsGen.map(b => (a, b))), 6).foreach { case (baseRows, deltaRows) =>
       val base = baseRows.toDF("k", "seq", "v")
