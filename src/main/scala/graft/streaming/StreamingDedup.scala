@@ -57,5 +57,29 @@ object StreamingDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each left row matches right rows
+    * with the same key whose timestamp lies in
+    * [leftTs + lowerBound, leftTs + upperBound]. BOTH sides carry
+    * watermarks and the join condition bounds event time in both
+    * directions, so Spark derives a state-eviction horizon for each
+    * side — state is bounded, the join runs forever (the streaming
+    * form of the batch as-of/attribution lookup; e.g. orders joined
+    * to the click events that preceded them by ≤ 1 hour). Append
+    * mode: a match emits once both watermarks pass it. */
+  def intervalJoin(leftStream: org.apache.spark.sql.DataFrame,
+      rightStream: org.apache.spark.sql.DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      lowerBound: String, upperBound: String,
+      watermark: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val l = leftStream.withWatermark(leftTs, watermark).alias("l")
+    val r = rightStream.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") + expr(s"INTERVAL $lowerBound") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperBound"))
+      .drop(col(s"r.$key"))
+  }
+
   val outputMode: OutputMode = OutputMode.Update()
 }

@@ -83,4 +83,42 @@ class StreamingDedupSpec extends SparkTestBase {
       assert(n == 2, s"expected 2 unique keys, got $n")
     } finally query.stop()
   }
+
+  test("stream-stream interval join: clicks within the hour before the order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val orders = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamingDedup.intervalJoin(
+      orders.toDF().toDF("user_id", "order_ts"),
+      clicks.toDF().toDF("user_id", "click_ts", "page"),
+      key = "user_id", leftTs = "order_ts", rightTs = "click_ts",
+      lowerBound = "-1 hours", upperBound = "0 seconds")
+    val query = joined.writeStream
+      .format("memory").queryName("ivjoin_out").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      orders.addData((1L, ts("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 09:30:00"), "pdp"),   // inside the hour
+        (1L, ts("2024-01-01 08:30:00"), "home"),  // too early
+        (1L, ts("2024-01-01 10:30:00"), "post"),  // after the order
+        (2L, ts("2024-01-01 09:45:00"), "pdp"))   // other user
+      query.processAllAvailable()
+      // far-future rows push BOTH watermarks past the matches above
+      orders.addData((99L, ts("2024-01-01 20:00:00")))
+      clicks.addData((99L, ts("2024-01-01 20:00:00"), "x"))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, page FROM ivjoin_out WHERE user_id = 1 ORDER BY page")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "pdp")),
+        s"expected only the in-window click, got ${rows.mkString(",")}")
+      // state must be evicted behind the watermark: plan carries
+      // event-time range conditions on both sides
+      val plan = joined.queryExecution.analyzed.toString
+      assert(plan.contains("order_ts") && plan.contains("click_ts"))
+    } finally query.stop()
+  }
 }
