@@ -151,33 +151,35 @@ object MinHashLSH {
     docShingles.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("c"))
       .where(col("c") > lit(maxDf) * nDocs)
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).sorted
   }
 
   /** Candidates verified with exact shingle-set Jaccard ≥ threshold.
     * `portable = true` switches shingle hashing and band keys to the
     * md5/string forms an oracle engine reproduces bit-for-bit.
     * `maxDf < 1` drops stop-shingles (df > maxDf·N) from every set
-    * before sketching and verification — see object doc. */
+    * before sketching and verification — see object doc; pass a
+    * precomputed `stop` list (from [[stopShingles]], per hash path)
+    * to keep the query path free of the df jobs — the corpus-level-
+    * artifact pattern (compute once, persist next to the table). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numPerm: Int = 64, bands: Int = 16,
       shingleN: Int = 3, seed: Long = 42L,
-      portable: Boolean = false, maxDf: Double = 1.0): DataFrame = {
+      portable: Boolean = false, maxDf: Double = 1.0,
+      stop: Array[Long] = null): DataFrame = {
     val shingleExpr =
       if (portable) shingleHashesPortable(col(textCol), shingleN)
       else shingleHashes(col(textCol), shingleN)
     val raw = docs.select(col(idCol).as("doc"), shingleExpr.as("sh"))
+    val hot =
+      if (stop != null) stop
+      else if (maxDf < 1.0) stopShingles(raw, maxDf)
+      else Array.empty[Long]
     val filtered =
-      if (maxDf >= 1.0) raw
-      else {
-        val cached = raw.persist()
-        val hot = stopShingles(cached, maxDf)
-        val out =
-          if (hot.isEmpty) cached
-          else cached.select(col("doc"),
-            array_except(col("sh"), lit(hot)).as("sh"))
-        out
-      }
+      if (hot.isEmpty) raw
+      else raw.select(col("doc"),
+        // filter keeps the array a set already (shingles are distinct)
+        filter(col("sh"), h => !array_contains(lit(hot), h)).as("sh"))
     val sh = filtered.persist()
     val pairs = candidatePairs(
       bandBucketsFromHashes(sh, numPerm, bands, seed,

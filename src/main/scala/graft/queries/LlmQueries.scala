@@ -34,9 +34,26 @@ object LlmQueries {
     * asserted in MinHashLSHSpec against the planted dups. */
   def q18MinhashPairs(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, maxDf = 0.5)
+        threshold = 0.5, maxDf = 0.5,
+        stop = minhashStop(s, dir, portable = false))
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
+
+  /** Per-corpus MinHash stop-shingle lists (shingle-hash domain, one
+    * per hash path) — computed once per dir, reused by every q18/q37
+    * run; empty on this corpus (max shingle df 7/500). */
+  private val minhashStopCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private def minhashStop(s: SparkSession, dir: String,
+      portable: Boolean): Array[Long] =
+    minhashStopCache.computeIfAbsent(s"$dir#$portable", _ => {
+      val docs = t(s, dir, "documents")
+      val shingleExpr =
+        if (portable) MinHashLSH.shingleHashesPortable(col("text"), 3)
+        else MinHashLSH.shingleHashes(col("text"), 3)
+      MinHashLSH.stopShingles(
+        docs.select(col("doc_id").as("doc"), shingleExpr.as("sh")), 0.5)
+    })
 
   /** Per-corpus stop-shingle lists (shingles in > half the docs;
     * lo-hash domain, one per hash path), computed once per dir and
@@ -78,7 +95,8 @@ object LlmQueries {
     * is ~6× the native mix): Bench skips `*_portable` keys. */
   def q37MinhashPortable(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, portable = true, maxDf = 0.5)
+        threshold = 0.5, portable = true, maxDf = 0.5,
+        stop = minhashStop(s, dir, portable = true))
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
 
