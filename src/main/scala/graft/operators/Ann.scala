@@ -36,8 +36,11 @@ object Ann {
       else if (b._2 == 0L) (v.toArray, 1L)
       else {
         val s = b._1
+        // min-length guard: a ragged (malformed) embedding must not
+        // crash quantizer training; extra/missing dims are ignored
+        val n = math.min(s.length, v.length)
         var i = 0
-        while (i < s.length) { s(i) += v(i); i += 1 }
+        while (i < n) { s(i) += v(i); i += 1 }
         (s, b._2 + 1L)
       }
     def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
@@ -45,8 +48,9 @@ object Ann {
       else if (y._2 == 0L) x
       else {
         val s = x._1
+        val n = math.min(s.length, y._1.length)
         var i = 0
-        while (i < s.length) { s(i) += y._1(i); i += 1 }
+        while (i < n) { s(i) += y._1(i); i += 1 }
         (s, x._2 + y._2)
       }
     def finish(b: (Array[Double], Long)): Seq[Double] =
@@ -184,6 +188,10 @@ object Ann {
     val cents =
       if (centroids != null) centroids
       else trainCentroids(embeddings, idCol, vecCol, nClusters)
+    if (cents.isEmpty)
+      // degenerate (empty corpus / empty training frame): no cells
+      return embeddings.select(col(idCol).as("id_a"),
+        col(idCol).as("id_b"), lit(0.0).as("cos_sim")).limit(0)
     // Precompute each vector's norm once; the pairwise stage then does
     // only the dot product (≈3× less per-pair work than full cosine).
     val cells = embeddings

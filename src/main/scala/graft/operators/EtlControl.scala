@@ -58,9 +58,12 @@ object EtlControl {
   /** Row-count bounds for the next batch derived from the control
     * log's history (the "row-count delta vs prior batch" gate the
     * reference checks by hand): bounds are the last SUCCESS batch's
-    * records_loaded ± tolerance. Returns None when no history exists
-    * (first batch — nothing to compare against). Feed the result to
-    * [[Validate.RowCountBetween]]. */
+    * records_loaded ± tolerance. IDLE commits (cycles that saw no new
+    * rows — see [[runIncrementalCycle]]) are excluded, so a quiet
+    * period cannot poison the bounds; the watermark+commit-time sort
+    * is deterministic under replayed-boundary ties. Returns None when
+    * no history exists (first batch — nothing to compare against).
+    * Feed the result to [[Validate.RowCountBetween]]. */
   def expectedRowBounds(spark: SparkSession, controlDir: String,
       sourceId: String, tolerance: Double = 0.5): Option[(Long, Long)] = {
     val fs = new org.apache.hadoop.fs.Path(controlDir)
@@ -68,7 +71,7 @@ object EtlControl {
     if (!fs.exists(new org.apache.hadoop.fs.Path(controlDir))) return None
     val rows = spark.read.parquet(controlDir)
       .where(col("source_id") === sourceId && col("status") === "SUCCESS")
-      .orderBy(desc("watermark_us"))
+      .orderBy(desc("watermark_us"), desc("committed_at"))
       .select("records_loaded").limit(1).collect()
     rows.headOption.map { r =>
       val n = r.getLong(0).toDouble
@@ -94,9 +97,11 @@ object EtlControl {
     // literal timestamp predicate on the scan column → PushedFilters
     val delta = source.where(col(tsCol) >= timestamp_micros(lit(wm)))
     val stats = delta.agg(
-      count(lit(1)).as("n"), max(unix_micros(col(tsCol))).as("mx")).head()
+      count(lit(1)).as("n"), max(unix_micros(col(tsCol))).as("mx"),
+      count(when(unix_micros(col(tsCol)) > wm, 1)).as("nNew")).head()
     val (nRows, newWm) =
       (stats.getLong(0), if (stats.isNullAt(1)) wm else stats.getLong(1))
+    val nNew = stats.getLong(2)
     if (nRows > 0) {
       val fs = new org.apache.hadoop.fs.Path(targetDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -105,14 +110,22 @@ object EtlControl {
           val target = spark.read.parquet(targetDir)
           Incremental.upsert(target, delta.select(target.columns.map(col).toSeq: _*),
             keys, order = Seq(col(tsCol)))
-        } else delta
+        } else
+          // bootstrap load: the first window can already carry several
+          // versions of one key — same keep-last contract as the MERGE
+          Dedup.keepLast(delta, keys, Seq(col(tsCol)))
       // merged reads the live target, so materialize to staging BEFORE
       // the swap (atomicReplace stages for exactly this reason)
       ParquetSink.atomicReplace(spark, targetDir)(
         staging => merged.write.parquet(staging))
     }
+    // a cycle that saw only the replayed boundary rows commits as IDLE:
+    // audit-visible, but excluded from the watermark read and from
+    // expectedRowBounds (an idle period must not poison the row-count
+    // gate or tie-break against the real prior batch)
+    val status = if (nNew > 0) "SUCCESS" else "IDLE"
     if (!failBeforeCommit)
-      commitRun(spark, controlDir, sourceId, batchId, newWm, nRows)
+      commitRun(spark, controlDir, sourceId, batchId, newWm, nRows, status)
     (newWm, nRows)
   }
 }

@@ -32,6 +32,11 @@ object Sampling {
     require(trainPct + valPct < 100, "train+val must leave room for test")
     val cutTrain = trainPct * buckets / 100
     val cutVal = (trainPct + valPct) * buckets / 100
+    // integer-truncated cuts must not silently erase a requested split
+    require(trainPct == 0 || cutTrain > 0,
+      s"buckets=$buckets too coarse for trainPct=$trainPct")
+    require(valPct == 0 || cutVal > cutTrain,
+      s"buckets=$buckets too coarse for valPct=$valPct")
     val b = hashBucket(col(idCol), buckets)
     df.withColumn("split",
       when(b < cutTrain, lit("train"))

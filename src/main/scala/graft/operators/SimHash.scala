@@ -143,7 +143,12 @@ object SimHash {
     * hash for the hi stream; `portable = true` uses the two md5
     * halves of the shingle STRING so DuckDB can replay every bit. A
     * non-empty `stop` list (lo-hash domain) drops those shingles
-    * before voting (row-local `filter`, list broadcast in-plan). */
+    * before voting (row-local `filter`, list broadcast in-plan).
+    * Docs whose EVERY feature is stop-filtered are dropped — an
+    * all-boilerplate doc has no content signal, and keeping it would
+    * pair every such doc with every other at Hamming 0 (the DuckDB
+    * twin loses those docs in its df-filter join, so dropping also
+    * keeps oracle parity). */
   def fingerprints128(docs: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false, shingleN: Int = 3,
       stop: Array[Long] = Array.empty): DataFrame = {
@@ -166,8 +171,9 @@ object SimHash {
           else filter(lo0, h => !array_contains(lit(stop), h))
         (lo, transform(lo, h => xxhash64(h)))
       }
-    docs.select(col(idCol).as("doc"),
-      sh(hiH).as("fp_hi"), sh(loH).as("fp_lo"))
+    docs.select(col(idCol).as("doc"), loH.as("__lo"), hiH.as("__hi"))
+      .where(size(col("__lo")) > 0)
+      .select(col("doc"), sh(col("__hi")).as("fp_hi"), sh(col("__lo")).as("fp_lo"))
   }
 
   /** Contiguous chunk boundaries covering `bits` as evenly as
@@ -199,7 +205,11 @@ object SimHash {
 
   /** Raw bucket-collision candidates (pre-verify, pre-distinct):
     * explode each doc into its C(b, g) (table, key) buckets, self-join
-    * within buckets. Exposed for the candidate-volume spec. */
+    * within buckets. Exposed for the candidate-volume spec. The
+    * returned plan references the persisted bucket frame (both join
+    * sides share it — recomputing would double the fingerprint work);
+    * it stays cached for the frame's lifetime, evictable under
+    * pressure. */
   private[graft] def chunkCandidates(fps: DataFrame,
       maxHamming: Int, comboSize: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming < FpBits,

@@ -94,7 +94,11 @@ object TextDedup {
     * unbounded bucket rows — plus two hash joins for the (small)
     * verified candidate set; never |corpus|². Shingles are carried as
     * 64-bit hashes (collision odds ~|S|²/2⁶⁵ — negligible against the
-    * exact-string semantics the oracle computes). */
+    * exact-string semantics the oracle computes). The returned plan
+    * references a persisted shingle frame (shared by the candidate and
+    * verify stages — recomputing it would double the scan); it stays
+    * cached for the frame's lifetime, sized MEMORY_AND_DISK so
+    * pressure evicts it; long-lived sessions can clearCache(). */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     val base = docs.select(col(idCol).as("doc"), col(blockCol).as("block"),

@@ -34,7 +34,7 @@ object LlmQueries {
     * asserted in MinHashLSHSpec against the planted dups. */
   def q18MinhashPairs(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, maxDf = 0.5,
+        threshold = 0.5,
         stop = minhashStop(s, dir, portable = false))
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
@@ -95,7 +95,7 @@ object LlmQueries {
     * is ~6× the native mix): Bench skips `*_portable` keys. */
   def q37MinhashPortable(s: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, portable = true, maxDf = 0.5,
+        threshold = 0.5, portable = true,
         stop = minhashStop(s, dir, portable = true))
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")

@@ -95,11 +95,13 @@ object ParquetSink {
   def atomicReplace(spark: org.apache.spark.sql.SparkSession,
       targetDir: String)(write: String => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // Path normalizes trailing slashes — siblings MUST derive from the
+    // normalized form, or "/data/t/" would stage INSIDE the target
     val dst = new org.apache.hadoop.fs.Path(targetDir)
     val fs = dst.getFileSystem(conf)
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    val staging = new org.apache.hadoop.fs.Path(targetDir + s"__staged_$tag")
-    val aside = new org.apache.hadoop.fs.Path(targetDir + s"__old_$tag")
+    val staging = new org.apache.hadoop.fs.Path(dst.toString + s"__staged_$tag")
+    val aside = new org.apache.hadoop.fs.Path(dst.toString + s"__old_$tag")
     write(staging.toString)
     val hadOld = fs.exists(dst)
     if (hadOld) {
