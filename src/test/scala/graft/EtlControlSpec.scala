@@ -105,6 +105,36 @@ class EtlControlSpec extends SparkTestBase {
     val collapsed = nextBatch.limit((lo / 2).toInt)
     assert(!Validate.passed(
       Validate.check(collapsed, Seq(Validate.RowCountBetween(lo, hi)))))
+    // an idle cycle (boundary replay only) commits as IDLE and must
+    // NOT poison the bounds for the next real batch
+    EtlControl.runIncrementalCycle(spark, control, "events",
+      feed("2024-01-10"), "ts", Seq("event_id"), target, t0, "b-idle")
+    val log = spark.read.parquet(control)
+    assert(log.where(col("batch_id") === "b-idle" &&
+      col("status") === "IDLE").count() == 1)
+    assert(EtlControl.expectedRowBounds(spark, control, "events")
+      .contains((lo, hi)), "idle cycle changed the row bounds")
+  }
+
+  test("atomicReplace handles trailing slashes and preserves the old copy on failure") {
+    import graft.sources.ParquetSink
+    val base = Files.createTempDirectory("swap").toString
+    val target = s"$base/t/" // trailing slash: staging must be a SIBLING
+    spark.range(5).write.parquet(target)
+    ParquetSink.atomicReplace(spark, target)(
+      staging => spark.range(9).write.parquet(staging))
+    assert(spark.read.parquet(target).count() == 9)
+    // no stray __staged/__old dirs inside or next to the target
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .map(_.getPath.getName).toSeq
+    assert(names == Seq("t"), s"leftover dirs: $names")
+    // a failing write leaves the live copy untouched
+    intercept[RuntimeException] {
+      ParquetSink.atomicReplace(spark, target)(_ => throw new RuntimeException("boom"))
+    }
+    assert(spark.read.parquet(target).count() == 9)
   }
 
   test("empty window advances nothing and commits the same watermark") {

@@ -173,6 +173,14 @@ class MinHashLSHSpec extends SparkTestBase {
     assert(withStop <= 120,
       s"stop-filtered candidates should be ~planted-dup volume, got $withStop " +
         s"(unfiltered: $without)")
+    // docs whose EVERY shingle is stop-filtered are dropped, not
+    // emitted as fingerprint (0,0) Hamming-0 pairs of each other
+    val boilerOnly = docs.limit(60).select(col("doc_id"),
+      lit("the quick brown fox jumps over the lazy dog and then some").as("text"))
+    val allHot = SimHash.stopFeatureHashes(boilerOnly, "text", maxDf = 0.5)
+    val fps = SimHash.fingerprints128(boilerOnly, "doc_id", "text", stop = allHot)
+    assert(fps.count() == 0,
+      "all-boilerplate docs must vanish, not collide at hamming 0")
   }
 
   test("combo-pigeonhole candidate volume grows ~linearly, not quadratically") {
