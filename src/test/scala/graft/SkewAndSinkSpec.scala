@@ -44,6 +44,30 @@ class SkewAndSinkSpec extends SparkTestBase {
     assert(pruned.count() == expected)
   }
 
+  test("IVF-partitioned layout: a probe reads only its cells (partition pruning)") {
+    import graft.operators.Ann
+    val dir = Files.createTempDirectory("graft-ivf").toFile.getAbsolutePath
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val cents = Ann.trainCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
+    // assign each vector its quantizer cell and lay the corpus out as
+    // one directory per cell — the ANN scale path's write side
+    val celled = emb.withColumn("__c", Ann.clusterOf(col("embedding"), cents))
+    ParquetSink.writeIvfPartitioned(celled, dir)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("__c=")))
+    val probes = Seq(0, 2)
+    val pruned = spark.read.parquet(dir).where(col("__c").isin(probes: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__c"),
+      s"probe did not prune cells:\n$plan")
+    val expected = celled.where(col("__c").isin(probes: _*)).count()
+    assert(pruned.count() == expected && expected > 0)
+    // the probe touches only the probed cell directories
+    val files = pruned.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(f => probes.exists(p => f.contains(s"__c=$p"))),
+      s"probe read non-probed cells: ${files.mkString(",")}")
+  }
+
   test("key-clustered layout round-trips and keeps files key-ranged") {
     val dir = Files.createTempDirectory("graft-clustered").toFile.getAbsolutePath
     val orders = Tables.load(spark, sf0001, "orders")
