@@ -137,6 +137,36 @@ class EtlControlSpec extends SparkTestBase {
     assert(spark.read.parquet(target).count() == 9)
   }
 
+  test("historical backfill through the same incremental cycle converges") {
+    // The reference replays day-windows through its incremental path
+    // (scripts/ backfill). Same composition here: backfillWindows
+    // plans the windows, each one runs the watermark cycle against a
+    // source clipped to that window's end — the final target equals a
+    // single full load, and the watermark lands at the feed's max ts.
+    import graft.operators.Incremental
+    val dir = Files.createTempDirectory("backfill").toString
+    val control = s"$dir/control"
+    val target = s"$dir/target"
+    val t0 = 1704067200000000L
+    val windows = Incremental.backfillWindows(
+      java.time.Instant.parse("2024-01-01T00:00:00Z"),
+      java.time.Instant.parse("2024-02-01T00:00:00Z"),
+      java.time.Duration.ofDays(10))
+    assert(windows.size == 4 && windows.last._2.toString.startsWith("2024-02-01"))
+    windows.zipWithIndex.foreach { case ((_, end), i) =>
+      EtlControl.runIncrementalCycle(spark, control, "events",
+        feed(end.toString.replace("T", " ").replace("Z", "")),
+        "ts", Seq("event_id"), target, t0, s"bf$i")
+    }
+    val full = feed("2024-02-01")
+    val got = spark.read.parquet(target)
+    assert(got.count() == full.count())
+    assert(got.except(full).count() == 0 && full.except(got).count() == 0)
+    val wm = EtlControl.lastWatermarkMicros(spark, control, "events", t0)
+    val expectWm = full.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    assert(wm == expectWm, "watermark must land at the feed's max ts")
+  }
+
   test("empty window advances nothing and commits the same watermark") {
     val dir = Files.createTempDirectory("etlctl2").toString
     val control = s"$dir/control"
