@@ -156,24 +156,39 @@ object SimHash {
       if (graft.plans.GraftExtensions.nativeAvailable)
         call_function("simhash64", hashes)
       else simhash64Hof(hashes)
-    val (loH, hiH): (Column, Column) =
-      if (portable) {
-        val shs0 = TextDedup.shingles(col(textCol), shingleN)
-        val shs =
-          if (stop.isEmpty) shs0
-          else filter(shs0, s => !array_contains(lit(stop), md5TokenHash(s)))
-        (transform(shs, s => md5TokenHash(s)),
-          transform(shs, s => md5TokenHashHi(s)))
-      } else {
-        val lo0 = TextDedup.shingleHashes64(col(textCol), shingleN)
-        val lo =
-          if (stop.isEmpty) lo0
-          else filter(lo0, h => !array_contains(lit(stop), h))
-        (lo, transform(lo, h => xxhash64(h)))
-      }
-    docs.select(col(idCol).as("doc"), loH.as("__lo"), hiH.as("__hi"))
-      .where(size(col("__lo")) > 0)
-      .select(col("doc"), sh(col("__hi")).as("fp_hi"), sh(col("__lo")).as("fp_lo"))
+    if (!portable) {
+      val lo0 = TextDedup.shingleHashes64(col(textCol), shingleN)
+      val lo =
+        if (stop.isEmpty) lo0
+        else filter(lo0, h => !array_contains(lit(stop), h))
+      val base = docs.select(col(idCol).as("doc"), lo.as("__lo"))
+        .where(size(col("__lo")) > 0)
+      if (graft.plans.GraftExtensions.nativeAvailable)
+        // fused kernel: ONE pass maintains all 128 counters, deriving
+        // the hi-stream hash inline — no materialized hi array, no
+        // second fold (bit-equal to the two-call form, asserted in
+        // GraftExtensionsSpec)
+        base.select(col("doc"),
+            call_function("simhash128", col("__lo")).as("__fp"))
+          .select(col("doc"),
+            element_at(col("__fp"), 1).as("fp_hi"),
+            element_at(col("__fp"), 2).as("fp_lo"))
+      else
+        base.select(col("doc"),
+          sh(transform(col("__lo"), h => xxhash64(h))).as("fp_hi"),
+          sh(col("__lo")).as("fp_lo"))
+    } else {
+      val shs0 = TextDedup.shingles(col(textCol), shingleN)
+      val shs =
+        if (stop.isEmpty) shs0
+        else filter(shs0, s => !array_contains(lit(stop), md5TokenHash(s)))
+      docs.select(col(idCol).as("doc"),
+          transform(shs, s => md5TokenHash(s)).as("__lo"),
+          transform(shs, s => md5TokenHashHi(s)).as("__hi"))
+        .where(size(col("__lo")) > 0)
+        .select(col("doc"),
+          sh(col("__hi")).as("fp_hi"), sh(col("__lo")).as("fp_lo"))
+    }
   }
 
   /** Contiguous chunk boundaries covering `bits` as evenly as

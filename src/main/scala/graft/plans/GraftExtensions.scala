@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("simhash128"),
+      new ExpressionInfo(classOf[SimHash128].getName, "simhash128"),
+      (args: Seq[Expression]) => SimHash128(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (args: Seq[Expression]) => ShingleHashes(args(0), args(1))))

@@ -37,6 +37,28 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(diff == 0, s"$diff rows diverge between native and HOF simhash")
   }
 
+  test("native simhash128 ≡ two simhash64 calls + xxhash64 hi stream") {
+    import graft.operators.TextDedup
+    val docs = Tables.load(spark, sf0001, "documents")
+    val lo = TextDedup.shingleHashes64(col("text"), 3)
+    val both = docs
+      .select(col("doc_id"), lo.as("__lo"),
+        call_function("simhash128", lo).as("fused"))
+      .select(col("doc_id"), col("fused"),
+        call_function("simhash64", transform(col("__lo"), h => xxhash64(h))).as("hi2"),
+        call_function("simhash64", col("__lo")).as("lo2"))
+    val diff = both.where(
+      element_at(col("fused"), 1) =!= col("hi2") ||
+        element_at(col("fused"), 2) =!= col("lo2")).count()
+    assert(diff == 0, s"$diff rows diverge between fused and two-call simhash128")
+    // and the HOF fallback agrees with the native per-half form
+    val hofDiff = docs.select(
+        call_function("simhash64", lo).as("n"),
+        graft.operators.SimHash.simhash64Hof(lo).as("h"))
+      .where(col("n") =!= col("h")).count()
+    assert(hofDiff == 0)
+  }
+
   test("native vec_dot / vec_l2sq ≡ HOF folds, bit-equal on the corpus") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val hofDot = aggregate(
