@@ -72,6 +72,14 @@ object TextDedup {
   private[graft] def prefixIndex(base: DataFrame, minJaccard: Double): DataFrame = {
     val postings = base.select(col("doc"), col("block"), col("sz"),
       explode(col("shs")).as("sh"))
+    // dfreq deliberately uses groupBy + join-back, NOT a
+    // whole-partition window count: the window formulation saves one
+    // shuffle locally but puts every posting of a hot shingle in ONE
+    // window partition, and AQE splits skewed JOIN partitions, not
+    // skewed WINDOW partitions — on the boilerplate corpora this
+    // operator defends against, that is a straggler cliff. The
+    // groupBy combines map-side (hot shingle → one row per map task)
+    // and the join-back is AQE-skew-splittable.
     val dfreq = postings.groupBy("block", "sh")
       .agg(count(lit(1)).as("dfreq"))
     val rk = row_number().over(
