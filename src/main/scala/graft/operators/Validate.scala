@@ -116,6 +116,33 @@ object Validate {
       .orderBy("expectation", "column")
   }
 
+  /** Referential-integrity gate: the rate of non-null child keys with
+    * no matching parent key must be ≤ maxOrphanRate (nulls are not FK
+    * violations — SQL FK semantics). Same report schema as [[check]],
+    * so the rows union into one quality report. One anti-join on the
+    * key — shuffled on both sides at scale, AQE-skew-splittable;
+    * Catalyst broadcasts the parent side when it is small. */
+  def checkFk(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String,
+      maxOrphanRate: Double = 0.0): DataFrame = {
+    val parentKeys = parent.select(col(parentKey).as(childKey)).distinct()
+    val stats = child.agg(count(lit(1)).as("__n")).crossJoin(
+      child.where(col(childKey).isNotNull)
+        .join(parentKeys, Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("__bad")))
+    stats.select(
+      lit("fk_integrity").as("expectation"),
+      lit(childKey).as("column"),
+      col("__n").as("n_rows"),
+      col("__bad").as("n_bad"),
+      round(col("__bad").cast("double") /
+        greatest(col("__n"), lit(1L)).cast("double"), 6).as("bad_rate"),
+      lit(maxOrphanRate).as("threshold"),
+      (round(col("__bad").cast("double") /
+        greatest(col("__n"), lit(1L)).cast("double"), 6) <= maxOrphanRate)
+        .as("passed"))
+  }
+
   /** True iff every expectation in the report passed. */
   def passed(report: DataFrame): Boolean =
     report.where(!col("passed")).limit(1).count() == 0

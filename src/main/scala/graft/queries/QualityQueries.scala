@@ -52,8 +52,27 @@ object QualityQueries {
         RowCountBetween(1000L, 100000000L)))
       .withColumn("passed", col("passed").cast("string"))
 
+  /** New-in-r4 — referential-integrity gate (the FK concern behind the
+    * reference's cascade-ordered loads): lineitem→orders checked twice,
+    * once with seeded orphans (every 211th key negated → FAIL at 0.1%)
+    * and once clean (PASS); one anti-join each, same report schema as
+    * q39 so the rows union into one quality report. */
+  def q40FkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val orders = t(s, dir, "orders")
+    val seeded = li.withColumn("l_orderkey_bad",
+      when(col("l_orderkey") % 211 === 0, -col("l_orderkey") - 1)
+        .otherwise(col("l_orderkey")))
+    Validate.checkFk(seeded, orders, "l_orderkey_bad", "o_orderkey",
+        maxOrphanRate = 0.001)
+      .unionByName(Validate.checkFk(li, orders, "l_orderkey", "o_orderkey"))
+      .withColumn("passed", col("passed").cast("string"))
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q39_quality_gate" -> (q39QualityGate _)
+    "q39_quality_gate" -> (q39QualityGate _),
+    "q40_fk_integrity" -> (q40FkIntegrity _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -95,6 +114,29 @@ object QualityQueries {
         |SELECT expectation, "column", n_rows, n_bad,
         |  CAST(bad_rate AS DOUBLE) AS bad_rate, CAST(threshold AS DOUBLE) AS threshold,
         |  CAST(bad_rate <= threshold AS VARCHAR) AS passed
-        |FROM rep ORDER BY expectation, "column"""".stripMargin
+        |FROM rep ORDER BY expectation, "column"""".stripMargin,
+
+    "q40_fk_integrity" ->
+      """WITH pk AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL),
+        |seeded AS (SELECT CASE WHEN l_orderkey % 211 = 0 THEN -l_orderkey - 1
+        |                       ELSE l_orderkey END AS k FROM lineitem),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CASE WHEN k IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM pk WHERE pk.o_orderkey = k)
+        |    THEN 1 END), 0) AS BIGINT) AS bad FROM seeded),
+        |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CASE WHEN l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM pk WHERE pk.o_orderkey = l_orderkey)
+        |    THEN 1 END), 0) AS BIGINT) AS bad FROM lineitem),
+        |rep AS (
+        |  SELECT 'fk_integrity' AS expectation, 'l_orderkey' AS "column",
+        |    n AS n_rows, bad AS n_bad, round(bad / greatest(n, 1), 6) AS bad_rate,
+        |    0.0 AS threshold FROM s2
+        |  UNION ALL SELECT 'fk_integrity', 'l_orderkey_bad', n, bad,
+        |    round(bad / greatest(n, 1), 6), 0.001 FROM s1)
+        |SELECT expectation, "column", n_rows, n_bad,
+        |  CAST(bad_rate AS DOUBLE) AS bad_rate, CAST(threshold AS DOUBLE) AS threshold,
+        |  CAST(bad_rate <= threshold AS VARCHAR) AS passed
+        |FROM rep ORDER BY "column"""".stripMargin
   )
 }

@@ -53,6 +53,21 @@ class ValidateSpec extends SparkTestBase {
     Validate.requireValid(frame, Seq(NotNull("id"))) // passes: no throw
   }
 
+  test("checkFk counts orphans, ignores null keys, unions with check reports") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val report = Validate.checkFk(child, parent, "fk", "pk", maxOrphanRate = 0.1)
+    val r = report.head()
+    assert(r.getString(0) == "fk_integrity" && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 1L, "one orphan (9); null is not an FK violation")
+    assert(!r.getBoolean(6)) // 0.25 > 0.1
+    // same schema as check() → rows union into one quality report
+    val combined = Validate.check(child, Seq(NotNull("fk", 0.5)))
+      .unionByName(report)
+    assert(combined.count() == 2 && combined.columns.toSeq ==
+      Seq("expectation", "column", "n_rows", "n_bad", "bad_rate", "threshold", "passed"))
+  }
+
   test("whole gate is one aggregate job (single scan)") {
     val report = Validate.check(frame, Seq(
       NotNull("cat"), TypeConforms("code", "bigint"), InSet("cat", Seq("a", "c")),
