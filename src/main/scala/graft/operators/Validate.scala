@@ -125,11 +125,15 @@ object Validate {
   def checkFk(child: DataFrame, parent: DataFrame,
       childKey: String, parentKey: String,
       maxOrphanRate: Double = 0.0): DataFrame = {
-    val parentKeys = parent.select(col(parentKey).as(childKey)).distinct()
-    val stats = child.agg(count(lit(1)).as("__n")).crossJoin(
-      child.where(col(childKey).isNotNull)
-        .join(parentKeys, Seq(childKey), "left_anti")
-        .agg(count(lit(1)).as("__bad")))
+    // one child scan: left join against distinct parent keys, count
+    // misses conditionally (an agg + anti-join pair would scan twice)
+    val pk = parent.where(col(parentKey).isNotNull)
+      .select(col(parentKey).as("__pk")).distinct()
+    val stats = child.select(col(childKey).as("__ck"))
+      .join(pk, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(col("__ck").isNotNull && col("__pk").isNull, 1L)),
+          lit(0L)).as("__bad"))
     stats.select(
       lit("fk_integrity").as("expectation"),
       lit(childKey).as("column"),
