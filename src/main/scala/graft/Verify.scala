@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // LSH/ANN queries persist intermediates (bucket frames shared by
+      // both self-join sides); drop them once the query is written so
+      // 40 queries don't accumulate 40 cache entries
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -29,18 +29,20 @@ object Ann {
     * plans an expression per dimension and overflows the codegen
     * method budget at real embedding widths (768+). Partial buffers
     * merge map-side, so a Lloyd step shuffles k×(dim+1) doubles. */
-  private class VecMeanAgg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+  private class VecMeanAgg(dim: Int)
+      extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
     def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
     def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) =
-      if (v == null) b
+      // ragged (malformed) embeddings are DROPPED, not truncated-to:
+      // summing over min-length would let one short row silently shrink
+      // a centroid's dimensionality to its own (the buffer's length was
+      // fixed by whichever row a partition reduced first)
+      if (v == null || v.length != dim) b
       else if (b._2 == 0L) (v.toArray, 1L)
       else {
         val s = b._1
-        // min-length guard: a ragged (malformed) embedding must not
-        // crash quantizer training; extra/missing dims are ignored
-        val n = math.min(s.length, v.length)
         var i = 0
-        while (i < n) { s(i) += v(i); i += 1 }
+        while (i < dim) { s(i) += v(i); i += 1 }
         (s, b._2 + 1L)
       }
     def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
@@ -48,9 +50,8 @@ object Ann {
       else if (y._2 == 0L) x
       else {
         val s = x._1
-        val n = math.min(s.length, y._1.length)
         var i = 0
-        while (i < n) { s(i) += y._1(i); i += 1 }
+        while (i < dim) { s(i) += y._1(i); i += 1 }
         (s, x._2 + y._2)
       }
     def finish(b: (Array[Double], Long)): Seq[Double] =
@@ -110,7 +111,9 @@ object Ann {
       var cents = cached.orderBy("__id").limit(k)
         .collect().map(_.getSeq[Double](1).toArray)
       if (cents.isEmpty) return Array.empty
-      val vecMean = udaf(new VecMeanAgg)
+      // expected dim = widest init vector (a malformed row is short,
+      // not long); Lloyd means then ignore every ragged row
+      val vecMean = udaf(new VecMeanAgg(cents.map(_.length).max))
       for (_ <- 0 until iters) {
         val means = cached
           .withColumn("__c", clusterOf(col("__v"), cents))

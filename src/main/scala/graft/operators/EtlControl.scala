@@ -125,7 +125,11 @@ object EtlControl {
     // gate or tie-break against the real prior batch)
     val status = if (nNew > 0) "SUCCESS" else "IDLE"
     if (!failBeforeCommit)
-      commitRun(spark, controlDir, sourceId, batchId, newWm, nRows, status)
+      // records_loaded = rows strictly above the prior watermark: the
+      // replayed inclusive-boundary rows are MERGE no-ops, and counting
+      // them would inflate the baseline expectedRowBounds derives for
+      // the next batch's row-count gate
+      commitRun(spark, controlDir, sourceId, batchId, newWm, nNew, status)
     (newWm, nRows)
   }
 }

@@ -227,16 +227,32 @@ object SimHash {
     * pressure. */
   private[graft] def chunkCandidates(fps: DataFrame,
       maxHamming: Int, comboSize: Int): DataFrame = {
-    require(maxHamming >= 1 && maxHamming < FpBits,
-      s"maxHamming must be in [1, ${FpBits - 1}]")
+    require(maxHamming >= 0 && maxHamming < FpBits,
+      s"maxHamming must be in [0, ${FpBits - 1}]")
     require(comboSize >= 1, "comboSize must be >= 1")
+    if (maxHamming == 0) {
+      // exact-fingerprint dedup: a pair within budget 0 IS equal on
+      // both halves — bucket on the whole fingerprint, no chunk tables
+      val f = fps.persist()
+      return f.as("a")
+        .join(f.as("b"),
+          col("a.fp_hi") === col("b.fp_hi") &&
+            col("a.fp_lo") === col("b.fp_lo") &&
+            col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+          lit(0).as("hamming"))
+    }
     val nChunks = maxHamming + comboSize
     require(nChunks <= FpBits, s"maxHamming + comboSize must be <= $FpBits")
     val spans = chunkSpans(nChunks, FpBits)
     val combos = spans.indices.combinations(comboSize).toSeq
+    // ≤ 64 is exact-fit: the packed key stays injective in one long
+    // (a lone 64-bit chunk IS the long; shiftleft(0L, 64) on the empty
+    // accumulator is a no-op under JVM shift-mod semantics, and any
+    // MULTI-chunk combo under this bound has every width < 64)
     combos.foreach { cs =>
-      require(cs.map(spans(_)._2).sum <= 63,
-        "combined bucket key must fit a signed long")
+      require(cs.map(spans(_)._2).sum <= 64,
+        "combined bucket key must fit one long")
     }
     val tables = combos.zipWithIndex.map { case (cs, ti) =>
       // key = chunk values of this combo packed into one long

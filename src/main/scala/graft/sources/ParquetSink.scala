@@ -99,10 +99,32 @@ object ParquetSink {
     // normalized form, or "/data/t/" would stage INSIDE the target
     val dst = new org.apache.hadoop.fs.Path(targetDir)
     val fs = dst.getFileSystem(conf)
+    // sweep leftovers of earlier failed/crashed replaces (a partial
+    // __staged_ from a write that threw, an __old_ copy orphaned by a
+    // crash after publish) so retries don't accumulate stale siblings;
+    // single-writer-per-target is assumed, as for any plain-FS swap
+    if (fs.exists(dst.getParent)) {
+      val siblings = fs.listStatus(dst.getParent).toSeq.map(_.getPath)
+      val olds = siblings.filter(_.getName.startsWith(dst.getName + "__old_"))
+      // crash BETWEEN aside and publish: __old_ is the only surviving
+      // copy — restore it, never sweep it
+      if (!fs.exists(dst)) olds.sortBy(_.getName).headOption
+        .foreach(p => fs.rename(p, dst))
+      val stale =
+        siblings.filter(_.getName.startsWith(dst.getName + "__staged_")) ++ olds
+      // a restored __old_ was renamed away — exists() skips it
+      stale.foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    }
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(dst.toString + s"__staged_$tag")
     val aside = new org.apache.hadoop.fs.Path(dst.toString + s"__old_$tag")
-    write(staging.toString)
+    try write(staging.toString)
+    catch {
+      case e: Throwable =>
+        // never leave a half-written staging dir behind the live target
+        fs.delete(staging, true)
+        throw e
+    }
     val hadOld = fs.exists(dst)
     if (hadOld) {
       require(fs.rename(dst, aside), s"could not move $dst aside")

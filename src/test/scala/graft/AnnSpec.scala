@@ -106,4 +106,18 @@ class AnnSpec extends SparkTestBase {
     assert(out.length == 10)
     assert(out.sliding(2).forall(p => p(0) >= p(1)), "not sorted desc")
   }
+
+  test("a ragged embedding row cannot shrink centroid dimensionality") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (1L, Seq(9.0)), // malformed short row
+      (2L, Seq(5.0, 6.0, 7.0, 8.0)),
+      (3L, Seq(3.0, 4.0, 5.0, 6.0))).toDF("id", "emb")
+    val cents = Ann.trainCentroids(vecs, "id", "emb", k = 1, iters = 1)
+    assert(cents.length == 1 && cents.head.length == 4,
+      s"ragged row truncated the centroid: ${cents.map(_.toSeq).toSeq}")
+    // the Lloyd mean is over the full-length rows ONLY
+    assert(cents.head.toSeq == Seq(3.0, 4.0, 5.0, 6.0))
+  }
 }

@@ -182,4 +182,56 @@ class EtlControlSpec extends SparkTestBase {
     assert(wm2 == wm1 && n2 == 1) // the inclusive boundary row replays
     assert(spark.read.parquet(target).count() == before)
   }
+
+  test("records_loaded counts only rows above the prior watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("etlctl3").toString
+    val control = s"$dir/control"
+    val target = s"$dir/target"
+    def src(upToK: Int) = (1 to upToK)
+      .map(k => (k.toLong, s"2024-01-01 00:00:0$k"))
+      .toDF("k", "ts0")
+      .select(col("k"), col("ts0").cast("timestamp").as("ts"))
+    EtlControl.runIncrementalCycle(spark, control, "s", src(3), "ts",
+      Seq("k"), target, 0L, "b1")
+    // window 2 re-reads boundary row k=3 (inclusive) plus 2 new rows —
+    // the commit must record 2, not 3 (expectedRowBounds feeds on it)
+    EtlControl.runIncrementalCycle(spark, control, "s", src(5), "ts",
+      Seq("k"), target, 0L, "b2")
+    val loaded = spark.read.parquet(control).orderBy("batch_id")
+      .select("records_loaded").as[Long].collect().toSeq
+    assert(loaded == Seq(3L, 2L), s"records_loaded = $loaded")
+  }
+
+  test("atomicReplace sweeps stale siblings and restores a mid-swap crash") {
+    import graft.sources.ParquetSink
+    val base = Files.createTempDirectory("swap2").toString
+    val target = s"$base/t"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .map(_.getPath.getName).toSeq.sorted
+    spark.range(5).write.parquet(target)
+    // a failing write must not leave its partial __staged_ dir behind
+    intercept[RuntimeException] {
+      ParquetSink.atomicReplace(spark, target) { staging =>
+        spark.range(1).write.parquet(staging); throw new RuntimeException("boom")
+      }
+    }
+    assert(names == Seq("t"), s"staging leaked: $names")
+    // a crash AFTER publish can orphan an __old_ copy: swept on retry
+    spark.range(7).write.parquet(s"${target}__old_dead")
+    ParquetSink.atomicReplace(spark, target)(
+      staging => spark.range(9).write.parquet(staging))
+    assert(names == Seq("t") && spark.read.parquet(target).count() == 9)
+    // a crash BETWEEN aside and publish leaves ONLY __old_: the next
+    // replace restores it first, so a write that reads the live target
+    // (as the incremental MERGE does) still sees the data
+    fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(s"${target}__old_crash"))
+    ParquetSink.atomicReplace(spark, target) { staging =>
+      spark.read.parquet(target).limit(4).write.parquet(staging)
+    }
+    assert(names == Seq("t") && spark.read.parquet(target).count() == 4)
+  }
 }

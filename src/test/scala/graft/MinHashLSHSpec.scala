@@ -212,4 +212,25 @@ class MinHashLSHSpec extends SparkTestBase {
     assert(c2 <= 3 * c1 + 50,
       s"candidates grew superlinearly: $c1 -> $c2 when corpus doubled")
   }
+
+  test("simhash edge budgets: maxHamming 0 (exact) and 1 (64-bit chunks)") {
+    import spark.implicits._
+    val fps = Seq(
+      (1L, 0L, 0L),
+      (2L, 0L, 0L),              // identical to 1
+      (3L, 0L, 1L),              // hamming 1 from 1/2 (lo half)
+      (4L, Long.MinValue, 0L),   // hamming 1 from 1/2 (hi sign bit)
+      (5L, -1L, -1L)             // far from everything
+    ).toDF("doc", "fp_hi", "fp_lo")
+    def pairs(mh: Int, g: Int) =
+      SimHash.chunkCandidates(fps, mh, g)
+        .where(col("hamming") <= mh)
+        .select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // budget 0: only the exact-fingerprint pair
+    assert(pairs(0, 1) == Set((1L, 2L)))
+    // budget 1, comboSize 1 → two 64-bit chunks (the once-rejected
+    // width); exact recall over all Hamming-≤1 pairs
+    assert(pairs(1, 1) == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+  }
 }
