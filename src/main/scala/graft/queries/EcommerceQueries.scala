@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.{EtlMeta, SafeCasts}
 import graft.operators._
+import graft.sources.ParquetSink
 
 /** Driver-checked query set covering SURVEY.md §2 rows 1–16 (the
   * reference's ETL operator surface re-expressed on the test star
@@ -148,6 +149,56 @@ object EcommerceQueries {
       .orderBy("r_name", "l_returnflag")
   }
 
+  /** Once-per-corpus co-bucketed layout for the fact⋈fact join:
+    * orders and lineitem hash-clustered into the same bucket spec on
+    * the order key (ParquetSink.writeBucketedTable). Like the
+    * pretrained IVF quantizer, a WRITE-TIME artifact — the join's
+    * shuffle is paid once here, not per query; at 100 TB this is the
+    * daily-join layout (SURVEY §8). Returns (ordersTable,
+    * lineitemTable) catalog names. */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedCache.computeIfAbsent(dir, _ => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val oT = s"graft_bkt_orders_$tag"
+      val lT = s"graft_bkt_lineitem_$tag"
+      // a previous JVM may have left the managed dirs without catalog
+      // entries — clear both so saveAsTable recreates cleanly
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(oT, lT).foreach { n =>
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        fs.delete(new org.apache.hadoop.fs.Path(wh, n), true)
+      }
+      ParquetSink.writeBucketedTable(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        oT, "o_orderkey", 8)
+      ParquetSink.writeBucketedTable(
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        lT, "l_orderkey", 8)
+      (oT, lT)
+    })
+
+  /** New-in-r5 — the co-located join the bucketed layout buys: both
+    * sides read pre-clustered on the join key, so the merge hint
+    * plans a SortMergeJoin with ZERO exchanges below it (asserted in
+    * PlanAuditSpec) — the only shuffles left are the aggregate and
+    * the output sort. Same result as joining the flat parquet; the
+    * layout is the optimization. */
+  def q41ColocatedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (oT, lT) = bucketedTables(s, dir)
+    s.table(lT).hint("merge")
+      .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** §2 #10 — incremental upsert / MERGE on business key
     * (misa_crm_loader.py:215-500). */
   def q11Upsert(s: SparkSession, dir: String): DataFrame = {
@@ -238,6 +289,7 @@ object EcommerceQueries {
     "q08_etl_metadata" -> (q08EtlMetadata _),
     "q09_incremental_agg" -> (q09IncrementalAgg _),
     "q10_star_join" -> (q10StarJoin _),
+    "q41_colocated_join" -> (q41ColocatedJoin _),
     "q11_upsert" -> (q11Upsert _),
     "q12_delete_insert" -> (q12DeleteInsert _),
     "q13_cascade_order" -> (q13CascadeOrder _),
@@ -313,6 +365,13 @@ object EcommerceQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, l_returnflag ORDER BY r_name, l_returnflag""".stripMargin,
+
+    "q41_colocated_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q11_upsert" ->
       """WITH base AS (

@@ -43,6 +43,25 @@ class PlanAuditSpec extends SparkTestBase {
       s"watermark not pushed:\n$plan")
   }
 
+  test("co-located join: bucketed reads feed the SMJ with zero exchanges below it") {
+    val df = EcommerceQueries.q41ColocatedJoin(spark, sf0001)
+    val plan = executed(df)
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // the only shuffles are ABOVE the join (aggregate + output sort):
+    // the join itself rides the bucket layout paid at write time
+    val joinSub = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinSub.contains("Exchange"),
+      s"co-bucketed join must not shuffle its inputs:\n$plan")
+    // and the layout changes nothing semantically vs the flat parquet
+    val flat = Tables.load(spark, sf0001, "lineitem")
+      .join(Tables.load(spark, sf0001, "orders"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .count()
+    import org.apache.spark.sql.functions.sum
+    assert(df.agg(sum("n_items")).head().getLong(0) == flat)
+  }
+
   test("no cartesian products in any registered non-broadcast query") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = executed(fn(spark, sf0001))
