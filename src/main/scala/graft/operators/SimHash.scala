@@ -137,6 +137,118 @@ object SimHash {
       .collect().map(_.getLong(0)).sorted
   }
 
+  /** Weight every feature rarer than df·2^(DefaultWeight-1) gets —
+    * rare features carry the most identity signal (idf). */
+  val DefaultWeight = 8
+
+  /** Banded integer idf: the smallest k in [1, DefaultWeight] with
+    * df·2^k > n — a log₂-quantized idf that both engines compute with
+    * pure integer comparisons (no transcendental whose last-ulp could
+    * diverge between JVM and the oracle). df > n/2 → 1 (ubiquitous
+    * features barely vote), df ≤ n/2^DefaultWeight → DefaultWeight. */
+  private[graft] def bandWeight(df: Long, n: Long): Int = {
+    var k = 1
+    var m = 2L
+    while (k < DefaultWeight && df * m <= n) { k += 1; m <<= 1 }
+    k
+  }
+
+  /** (featureHash → weight) for the HOT tail only — features with
+    * df·2^(DefaultWeight-1) > n, the only ones whose weight differs
+    * from [[DefaultWeight]]. Bounded by construction (≤ 2^(DW-1) ×
+    * avg-features-per-doc entries), sorted for deterministic plans;
+    * like the stop list, computed ONCE per corpus and reused — the
+    * idf-weighting family's generalization of [[stopFeatureHashes]]
+    * (weight 0 ≡ stopped). */
+  def idfFeatureWeights(docs: DataFrame, textCol: String,
+      shingleN: Int = 3, portable: Boolean = false): Array[(Long, Int)] = {
+    val n = docs.count()
+    docs.select(explode(array_distinct(
+        loFeatureHashes(col(textCol), shingleN, portable))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .where(col("c") * (1L << (DefaultWeight - 1)) > n)
+      .collect().map(r => r.getLong(0) -> bandWeight(r.getLong(1), n))
+      .sortBy(_._1)
+  }
+
+  /** Portable weighted fold: counters[b] += w · (±1) per feature bit
+    * (the equivalence oracle for the native `simhash128w` kernel). */
+  def simhash64WeightedHof(hashes: Column, weights: Column): Column = {
+    val bitIdx = sequence(lit(0), lit(Bits - 1))
+    val counters = aggregate(
+      zip_with(hashes, weights, (h, w) => struct(h.as("h"), w.as("w"))),
+      array_repeat(lit(0L), Bits),
+      (acc, hw) => zip_with(acc, bitIdx,
+        (a, b) => a + hw.getField("w") *
+          (call_function("getbit", hw.getField("h"), b).cast("long") * lit(2L) - lit(1L))))
+    val powers = array((0 until Bits).map(b => lit(1L << b)): _*)
+    aggregate(
+      zip_with(counters, powers, (cnt, p) => when(cnt > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** (doc, fp_hi, fp_lo) with idf-WEIGHTED bit votes: each feature's
+    * ±1 votes are scaled by its banded-idf weight ([[bandWeight]]),
+    * so corpus-wide boilerplate shapes the fingerprint weakly and
+    * rare content dominates — the production decorrelation for
+    * template-heavy corpora (the stop-list is its 0/1 quantization).
+    * `hot` comes from [[idfFeatureWeights]] (pass the precomputed
+    * list to keep the query path one pass); everything not listed
+    * weighs [[DefaultWeight]]. Uniform weights reduce to the
+    * unweighted fingerprint (positive scaling never flips a sign). */
+  def fingerprints128Weighted(docs: DataFrame, idCol: String, textCol: String,
+      hot: Array[(Long, Int)], portable: Boolean = false,
+      shingleN: Int = 3): DataFrame = {
+    val wmap = typedLit(hot.toMap)
+    def wts(lo: Column): Column = transform(lo,
+      h => coalesce(element_at(wmap, h), lit(DefaultWeight)).cast("long"))
+    if (!portable) {
+      val base = docs.select(col(idCol).as("doc"),
+          TextDedup.shingleHashes64(col(textCol), shingleN).as("__lo"))
+        .where(size(col("__lo")) > 0)
+        .withColumn("__w", wts(col("__lo")))
+      if (graft.plans.GraftExtensions.nativeAvailable)
+        base.select(col("doc"),
+            call_function("simhash128w", col("__lo"), col("__w")).as("__fp"))
+          .select(col("doc"),
+            element_at(col("__fp"), 1).as("fp_hi"),
+            element_at(col("__fp"), 2).as("fp_lo"))
+      else
+        base.select(col("doc"),
+          simhash64WeightedHof(transform(col("__lo"), h => xxhash64(h)),
+            col("__w")).as("fp_hi"),
+          simhash64WeightedHof(col("__lo"), col("__w")).as("fp_lo"))
+    } else {
+      val shs = TextDedup.shingles(col(textCol), shingleN)
+      docs.select(col(idCol).as("doc"),
+          transform(shs, s => md5TokenHash(s)).as("__lo"),
+          transform(shs, s => md5TokenHashHi(s)).as("__hi"))
+        .where(size(col("__lo")) > 0)
+        .withColumn("__w", wts(col("__lo")))
+        .select(col("doc"),
+          simhash64WeightedHof(col("__hi"), col("__w")).as("fp_hi"),
+          simhash64WeightedHof(col("__lo"), col("__w")).as("fp_lo"))
+    }
+  }
+
+  /** [[nearDupPairs]] over idf-weighted fingerprints: same pigeonhole
+    * candidates + Hamming verify, but similarity is "Hamming over
+    * idf-weighted content" — boilerplate-robust without dropping any
+    * feature outright. */
+  def nearDupPairsWeighted(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, comboSize: Int = 1,
+      portable: Boolean = false, shingleN: Int = 3,
+      hot: Array[(Long, Int)] = null): DataFrame = {
+    val hotList =
+      if (hot != null) hot
+      else idfFeatureWeights(docs, textCol, shingleN, portable)
+    chunkCandidates(
+        fingerprints128Weighted(docs, idCol, textCol, hotList, portable, shingleN),
+        maxHamming, comboSize)
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** (doc, fp_hi, fp_lo) per row — the 128-bit shingle-feature
     * fingerprint as two independent simhash64s. Fast path: native
     * shingle-hash mix for the lo stream, xxhash64 re-mix of each lo

@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash128].getName, "simhash128"),
       (args: Seq[Expression]) => SimHash128(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("simhash128w"),
+      new ExpressionInfo(classOf[SimHash128Weighted].getName, "simhash128w"),
+      (args: Seq[Expression]) => SimHash128Weighted(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (args: Seq[Expression]) => ShingleHashes(args(0), args(1))))

@@ -112,6 +112,42 @@ object LlmQueries {
       .withColumn("hamming", col("hamming").cast("bigint"))
       .orderBy("doc_a", "doc_b")
 
+  /** Per-corpus banded-idf feature weights (hash → weight for the hot
+    * tail; everything rarer weighs SimHash.DefaultWeight) — computed
+    * once per dir like the stop lists; non-empty on this corpus
+    * (shingle df reaches 7/500 > N/128). */
+  private val idfWeightsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Int)]]()
+  private def idfWeights(s: SparkSession, dir: String,
+      portable: Boolean): Array[(Long, Int)] =
+    idfWeightsCache.computeIfAbsent(s"$dir#$portable",
+      _ => SimHash.idfFeatureWeights(t(s, dir, "documents"), "text",
+        shingleN = 3, portable = portable))
+
+  /** New-in-r5 — §2 #18's idf-weighted variant: same combo-pigeonhole
+    * candidates + Hamming verify, but each shingle's bit votes are
+    * scaled by its banded idf (SimHash.bandWeight — pure-integer log₂
+    * bands, so the oracle can replay it exactly), making frequent
+    * boilerplate shape the fingerprint weakly. Native kernel
+    * (`simhash128w`) path; rows-only here, full pipeline
+    * oracle-checked through [[q43SimhashIdfPortable]]. */
+  def q42SimhashIdf(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDupPairsWeighted(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8, comboSize = 2,
+        hot = idfWeights(s, dir, portable = false))
+      .withColumn("hamming", col("hamming").cast("bigint"))
+      .orderBy("doc_a", "doc_b")
+
+  /** New-in-r5 — q42's md5-portable twin: DuckDB recomputes the df
+    * bands, the weighted 128-bit votes, and the Hamming verify
+    * bit-for-bit (integer weights — no float vote arithmetic). */
+  def q43SimhashIdfPortable(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDupPairsWeighted(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8, comboSize = 2, portable = true,
+        hot = idfWeights(s, dir, portable = true))
+      .withColumn("hamming", col("hamming").cast("bigint"))
+      .orderBy("doc_a", "doc_b")
+
   /** §2 #18 — exact n-gram Jaccard within a blocking key (source):
     * pairwise only inside blocks, SQL-checkable. */
   def q20NgramJaccard(s: SparkSession, dir: String): DataFrame =
@@ -207,6 +243,8 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_minhash_portable" -> (q37MinhashPortable _),
     "q38_simhash_portable" -> (q38SimhashPortable _),
+    "q42_simhash_idf" -> (q42SimhashIdf _),
+    "q43_simhash_idf_portable" -> (q43SimhashIdfPortable _),
     "q36_hash_split" -> (q36HashSplit _),
     "q26_embed_neardup" -> (q26EmbedNearDup _),
     "q17_exact_dedup" -> (q17ExactDedup _),
@@ -270,6 +308,41 @@ object LlmQueries {
          |    sum(CASE WHEN (uh_lo >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt_lo,
          |    sum(CASE WHEN (uh_hi >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt_hi
          |  FROM h, generate_series(0, 63) AS g(b) GROUP BY doc_id, g.b),
+         |fp0 AS (SELECT doc_id,
+         |    sum(CASE WHEN cnt_lo > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS ufp_lo,
+         |    sum(CASE WHEN cnt_hi > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS ufp_hi
+         |  FROM bits GROUP BY doc_id),
+         |fp AS (SELECT doc_id,
+         |    (CASE WHEN ufp_lo >= 9223372036854775808 THEN ufp_lo - 18446744073709551616
+         |          ELSE ufp_lo END)::BIGINT AS f_lo,
+         |    (CASE WHEN ufp_hi >= 9223372036854775808 THEN ufp_hi - 18446744073709551616
+         |          ELSE ufp_hi END)::BIGINT AS f_hi FROM fp0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.f_lo, b.f_lo)) + bit_count(xor(a.f_hi, b.f_hi)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.f_lo, b.f_lo)) + bit_count(xor(a.f_hi, b.f_hi)) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q43_simhash_idf_portable" ->
+      s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |d3 AS (SELECT doc_id,
+         |  list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, greatest(len(w)-2, 1))]) AS shs FROM w),
+         |sh AS (SELECT doc_id, unnest(shs) AS s FROM d3),
+         |h0 AS (SELECT doc_id,
+         |    ('0x' || substr(md5(s), 1, 16))::UBIGINT AS uh_lo,
+         |    ('0x' || substr(md5(s), 17, 16))::UBIGINT AS uh_hi FROM sh),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |wt AS (SELECT uh_lo,
+         |    CASE WHEN c * 2 > n THEN 1 WHEN c * 4 > n THEN 2
+         |         WHEN c * 8 > n THEN 3 WHEN c * 16 > n THEN 4
+         |         WHEN c * 32 > n THEN 5 WHEN c * 64 > n THEN 6
+         |         WHEN c * 128 > n THEN 7 ELSE 8 END AS wgt
+         |  FROM (SELECT uh_lo, count(*) AS c FROM h0 GROUP BY uh_lo), nn),
+         |bits AS (
+         |  SELECT doc_id, g.b AS b,
+         |    sum(wgt * CASE WHEN (uh_lo >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt_lo,
+         |    sum(wgt * CASE WHEN (uh_hi >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt_hi
+         |  FROM h0 JOIN wt USING (uh_lo), generate_series(0, 63) AS g(b)
+         |  GROUP BY doc_id, g.b),
          |fp0 AS (SELECT doc_id,
          |    sum(CASE WHEN cnt_lo > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS ufp_lo,
          |    sum(CASE WHEN cnt_hi > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS ufp_hi

@@ -59,6 +59,32 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(hofDiff == 0)
   }
 
+  test("native simhash128w ≡ weighted HOF folds under varied weights") {
+    import graft.operators.TextDedup
+    val docs = Tables.load(spark, sf0001, "documents")
+    val lo = TextDedup.shingleHashes64(col("text"), 3)
+    val both = docs
+      .select(col("doc_id"), lo.as("__lo"))
+      .where(size(col("__lo")) > 0)
+      // deterministic non-uniform weights in [1, 8], derived per hash
+      .withColumn("__w", transform(col("__lo"),
+        h => (pmod(h, lit(8)) + 1).cast("long")))
+      .select(col("doc_id"),
+        call_function("simhash128w", col("__lo"), col("__w")).as("fused"),
+        graft.operators.SimHash.simhash64WeightedHof(
+          transform(col("__lo"), h => xxhash64(h)), col("__w")).as("hi2"),
+        graft.operators.SimHash.simhash64WeightedHof(
+          col("__lo"), col("__w")).as("lo2"))
+    val diff = both.where(
+      element_at(col("fused"), 1) =!= col("hi2") ||
+        element_at(col("fused"), 2) =!= col("lo2")).count()
+    assert(diff == 0, s"$diff rows diverge between native and HOF weighted simhash")
+    // a ragged weights array must surface as null, never truncate
+    val ragged = spark.sql(
+      "SELECT simhash128w(array(1L, 2L), array(1L)) AS fp").head()
+    assert(ragged.isNullAt(0), "length mismatch should yield null")
+  }
+
   test("native vec_dot / vec_l2sq ≡ HOF folds, bit-equal on the corpus") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val hofDot = aggregate(

@@ -183,6 +183,59 @@ class MinHashLSHSpec extends SparkTestBase {
       "all-boilerplate docs must vanish, not collide at hamming 0")
   }
 
+  test("idf-weighted simhash: uniform weights reduce to unweighted; bands decorrelate boilerplate") {
+    // weight bands are pure integer comparisons (oracle-replayable)
+    assert(SimHash.bandWeight(251, 500) == 1) // df > n/2
+    assert(SimHash.bandWeight(250, 500) == 2)
+    assert(SimHash.bandWeight(4, 500) == 7)   // df*128 > n, df*64 <= n
+    assert(SimHash.bandWeight(3, 500) == 8)   // rare -> DefaultWeight
+    // all-default weights == the unweighted fingerprint: positive
+    // scaling never flips a vote-sum sign
+    val docs = Tables.load(spark, sf001, "documents")
+    val plain = SimHash.fingerprints128(docs, "doc_id", "text")
+    val uniform = SimHash.fingerprints128Weighted(docs, "doc_id", "text",
+      hot = Array.empty)
+    assert(plain.except(uniform).count() == 0 &&
+      uniform.except(plain).count() == 0)
+
+    // boilerplate corpus: the ~10 ubiquitous trigrams drop to weight 1
+    // while per-doc content keeps weight 8, so non-dup fingerprints
+    // decorrelate and bucket collisions shrink toward planted volume
+    val corpus = stopwordCorpus(300)
+    val hot = SimHash.idfFeatureWeights(corpus, "text")
+    assert(hot.nonEmpty && hot.forall(_._2 < SimHash.DefaultWeight),
+      s"expected down-weighted boilerplate, got ${hot.take(5).toSeq}")
+    def cands(fps: org.apache.spark.sql.DataFrame): Long =
+      SimHash.chunkCandidates(fps, maxHamming = 8, comboSize = 2)
+        .select("doc_a", "doc_b").distinct().count()
+    val unweighted = cands(SimHash.fingerprints128(corpus, "doc_id", "text"))
+    val weighted = cands(
+      SimHash.fingerprints128Weighted(corpus, "doc_id", "text", hot))
+    assert(weighted <= unweighted,
+      s"idf weighting must not add candidates: $unweighted -> $weighted")
+    assert(weighted <= 150,
+      s"weighted candidates should be ~planted-dup volume, got $weighted " +
+        s"(unweighted: $unweighted)")
+    // boilerplate-robustness, the semantic the weighting buys: a dup
+    // that differs ONLY in the boilerplate (down-weighted features)
+    // stays within a tight Hamming budget, while a rare-content edit
+    // now moves the fingerprint MORE (by design — similarity is
+    // "Hamming over idf-weighted content")
+    val boilerEdit = corpus.where(col("doc_id") < 300 && col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 600).as("doc_id"), col("source"),
+        regexp_replace(col("text"), "quick", "quiet").as("text"))
+    val corpus2 = corpus.unionByName(boilerEdit)
+    val hot2 = SimHash.idfFeatureWeights(corpus2, "text")
+    // measured separation: boiler-edit pairs at weighted Hamming 3–11,
+    // random pairs at 51–74 — budget 12 is mid-gap with margin
+    val found = SimHash.nearDupPairsWeighted(corpus2, "doc_id", "text",
+      maxHamming = 12, comboSize = 2, hot = hot2).select("doc_a", "doc_b")
+    val planted = corpus2.where(col("doc_id") >= 600)
+      .select((col("doc_id") - 600).as("doc_a"), col("doc_id").as("doc_b"))
+    val missed = planted.except(found).count()
+    assert(missed == 0, s"weighted simhash missed $missed boiler-edit pairs")
+  }
+
   test("combo-pigeonhole candidate volume grows ~linearly, not quadratically") {
     // Doubling the corpus must not ~quadruple the bucket candidates.
     // Corpus: deterministic docs of 30 md5-derived tokens (distinct
