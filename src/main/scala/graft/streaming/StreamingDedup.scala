@@ -57,6 +57,30 @@ object StreamingDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Gap-based streaming sessionization — the streaming twin of the
+    * batch operator ([[graft.operators.Sessionize]], q27), via
+    * Spark's native `session_window`: per-key sessions grow while
+    * events keep arriving within `gap` of each other and close when
+    * the watermark passes last-event + gap. Append mode emits each
+    * session exactly once, finalized; state is bounded by the
+    * watermark horizon. At scale this is one shuffle on the session
+    * key — the same cost shape as the batch window formulation. */
+  def sessionizeStream(events: org.apache.spark.sql.DataFrame,
+      gap: String = "30 minutes", watermark: String = "1 hour",
+      keyCol: String = "user_id", tsCol: String = "ts")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Stream-stream interval join: each left row matches right rows
     * with the same key whose timestamp lies in
     * [leftTs + lowerBound, leftTs + upperBound]. BOTH sides carry

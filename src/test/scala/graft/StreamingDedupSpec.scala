@@ -121,4 +121,52 @@ class StreamingDedupSpec extends SparkTestBase {
       assert(plan.contains("order_ts") && plan.contains("click_ts"))
     } finally query.stop()
   }
+
+  test("streaming sessionization: sessions close at the gap, finalized by the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val result = StreamingDedup.sessionizeStream(df) // gap 30m, wm 1h
+    val query = result.writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:10:00"), 1L, 2.0),
+        (ts("2024-01-01 10:20:00"), 1L, 3.0))
+      query.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 12:00:00"), 1L, 4.0),
+        (ts("2024-01-01 12:05:00"), 1L, 5.0),
+        (ts("2024-01-01 10:15:00"), 2L, 1.0)) // other user, interleaved
+      query.processAllAvailable()
+      // push the watermark past every planted session's end + gap
+      input.addData((ts("2024-01-01 15:00:00"), 9L, 0.0))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 18:00:00"), 9L, 0.0))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 20:00:00"), 9L, 0.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, date_format(session_start, 'HH:mm') AS s,
+          |  date_format(session_end, 'HH:mm') AS e, n_events, total_value
+          |FROM sess_out ORDER BY user_id, s""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      // session end = last event + gap; user 1 splits at the 100-min
+      // silence; the 20:00 session is still open (watermark 19:00 <
+      // 20:30) and must NOT be emitted
+      assert(rows == Seq(
+        (1L, "10:00", "10:50", 3L, 6.0),
+        (1L, "12:00", "12:35", 2L, 9.0),
+        (2L, "10:15", "10:45", 1L, 1.0),
+        (9L, "15:00", "15:30", 1L, 0.0),
+        (9L, "18:00", "18:30", 1L, 0.0)),
+        s"unexpected sessions: ${rows.mkString("; ")}")
+    } finally query.stop()
+  }
 }
