@@ -20,16 +20,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 con = duckdb.connect()
 con.execute("SET threads TO 32")
+# bounded so a heavy LSH oracle raises OutOfMemoryException instead of
+# taking the process down (the sf0.1 all-pairs verifies are near the
+# edge); failed queries are reported, not silently dropped
+con.execute("SET memory_limit='48GB'")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 sql = json.load(open(ORACLE))
 times = {}
+errors = {}
 for name in sorted(sql):
-    con.execute(sql[name]).fetchall()  # warm
-    best = min(
-        (lambda t0: (con.execute(sql[name]).fetchall(), time.time() - t0)[1])(time.time())
-        for _ in range(REPS))
-    times[name] = round(best, 4)
+    try:
+        con.execute(sql[name]).fetchall()  # warm
+        best = min(
+            (lambda t0: (con.execute(sql[name]).fetchall(), time.time() - t0)[1])(time.time())
+            for _ in range(REPS))
+        times[name] = round(best, 4)
+    except Exception as e:
+        errors[name] = type(e).__name__
 print(json.dumps(times))
-print("total", round(sum(times.values()), 3), "n_queries", len(times))
+print("total", round(sum(times.values()), 3), "n_queries", len(times),
+      "errors", json.dumps(errors))
