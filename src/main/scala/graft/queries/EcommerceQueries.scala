@@ -278,8 +278,28 @@ object EcommerceQueries {
       .orderBy("event_type")
   }
 
+  /** New-in-r6 — §2 #36: SCD Type-2 dimension history (the
+    * history-preserving twin of the reference's MERGE): per-user
+    * event_type versions with validity ranges, built in ONE
+    * exchange+sort on the key (all four windows share the
+    * partitioning). Validity bounds are integer epoch-micros — DuckDB's
+    * TIMESTAMP truncates the parquet nanos to µs, so both engines run
+    * on the µs value and the comparison is integer-exact. */
+  def q44ScdHistory(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us")) // integer div — `/` is double
+    Scd2.fromChangeLog(ev, Seq("user_id"), Seq("event_type"), "ts_us")
+      .select(col("user_id"), col("event_type"),
+        col("valid_from").as("valid_from_us"),
+        col("valid_to").as("valid_to_us"),
+        col("version"), col("is_current").cast("string").as("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_rowcounts" -> (q01Rowcounts _),
+    "q44_scd2_history" -> (q44ScdHistory _),
     "q02_dedup_keep_last" -> (q02DedupKeepLast _),
     "q03_normalize_props" -> (q03NormalizeProps _),
     "q04_explode_tokens" -> (q04ExplodeTokens _),
@@ -413,6 +433,18 @@ object EcommerceQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  CASE WHEN count(*) > 0 THEN 'SUCCESS' ELSE 'EMPTY' END AS status
         |FROM events GROUP BY event_type ORDER BY etl_source""".stripMargin,
+
+    "q44_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        |d AS (SELECT *, lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_type) AS nxt FROM e),
+        |dd AS (SELECT user_id, event_type, ts_us FROM d WHERE nxt IS NULL OR nxt <> ts_us),
+        |cp AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev FROM dd),
+        |v AS (SELECT user_id, event_type, ts_us AS valid_from_us FROM cp WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from_us) AS INT) AS version,
+        |  CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL AS VARCHAR) AS is_current
+        |FROM v ORDER BY user_id, valid_from_us""".stripMargin,
 
     "q33_quarantine" ->
       """WITH c AS (
