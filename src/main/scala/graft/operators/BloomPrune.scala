@@ -1,0 +1,83 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftExtensions
+
+/** Bloom-filter key pruning for joins whose small side is too large to
+  * broadcast as a hash relation but whose KEY SET fits a sketch.
+  *
+  * Reference: the bridge refresh deletes-by-key then inserts
+  * (misa_crm_loader.py:847-880, dags/incremental_refresh_bridge_dag.py).
+  * [[Incremental.deleteInsert]] broadcasts the delta key set — right
+  * for daily deltas, wrong when a backfill delta has 10⁸ keys. A bloom
+  * filter over the delta keys is ~1.2 bytes/key at 1 % fpp (10⁸ keys ≈
+  * 120 MB — broadcastable when the exact key set is not), never
+  * false-negative, so it prunes the 100 TB side down to |delta| + fpp·N
+  * rows BEFORE any shuffle; the exact join afterwards removes the
+  * false positives. This is the same trick Spark's runtime row-level
+  * filtering plays for inner joins, applied where the optimizer can't:
+  * anti joins (a bloom miss proves NON-membership, which for an anti
+  * join means "keep without joining").
+  *
+  * Keys are combined with `xxhash64` (collision odds |keys|²/2⁶⁴ —
+  * 10⁸ keys ⇒ ~3·10⁻⁴ of ONE colliding pair, and a collision only
+  * adds a false positive, never drops a row, because the exact join
+  * runs on the real key columns). The probe is the native codegen'd
+  * `bloom_might_contain`; in a vanilla session (no GraftExtensions)
+  * the prune degrades to a no-op and the exact joins carry the full
+  * semantics — same results, no pruning.
+  */
+object BloomPrune {
+
+  /** Serialized spark-sketch bloom over `xxhash64(keys)` of df —
+    * driver-side artifact, sized by expectedItems/fpp, reusable across
+    * queries (persist it next to the delta like the IVF centroids). */
+  def keyBloom(df: DataFrame, keys: Seq[String],
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val bf = df.select(xxhash64(keys.map(col): _*).as("__kh"))
+      .stat.bloomFilter("__kh", expectedItems, fpp)
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Membership probe column; `lit(true)` in vanilla sessions (the
+    * callers' exact joins keep semantics; only the pruning is lost). */
+  def mightContainKeys(bloomBytes: Array[Byte], keys: Seq[Column]): Column =
+    if (GraftExtensions.nativeAvailable)
+      call_function("bloom_might_contain", lit(bloomBytes), xxhash64(keys: _*))
+    else lit(true)
+
+  /** Semi join with the big side bloom-pruned before the shuffle: only
+    * rows that MIGHT match ship; the join drops the false positives.
+    * Exact — equals `big.join(small, keys, "left_semi")`. */
+  def prunedSemiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = keyBloom(small, keys, expectedItems, fpp)
+    big.where(mightContainKeys(bloom, keys.map(big(_))))
+      .join(small.select(keys.map(col): _*).distinct(), keys, "left_semi")
+  }
+
+  /** Delete-by-key + insert for deltas too large to broadcast exactly.
+    * Bloom-negative base rows are PROVEN keyless in the delta and
+    * bypass the anti-join shuffle entirely; only maybe-matching rows
+    * (|delta| + fpp·|base|) shuffle against the delta keys. The two
+    * complementary base branches are disjoint filters of one scan —
+    * at scale, re-reading a columnar scan twice is far cheaper than
+    * shuffling the whole base once. Exact — equals
+    * [[Incremental.deleteInsert]] (asserted in BloomPruneSpec). */
+  def prunedDeleteInsert(base: DataFrame, delta: DataFrame, keys: Seq[String],
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = keyBloom(delta, keys, expectedItems, fpp)
+    val probe = mightContainKeys(bloom, keys.map(base(_)))
+    val deltaKeys = delta.select(keys.map(col): _*).distinct()
+    val kept = base.where(!probe) // definite non-matches: no shuffle
+    val maybe = base.where(probe).join(deltaKeys, keys, "left_anti")
+    kept.unionByName(maybe)
+      .unionByName(delta.select(base.columns.map(col).toSeq: _*))
+  }
+}

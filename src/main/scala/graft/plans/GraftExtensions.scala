@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `minhash_sig(array<long>)` → array<long>  (64 perms, seed 42)
   *   - `simhash64(array<long>)`   → long
   *   - `vec_dot(arr, arr)` / `vec_l2sq(arr, arr)` → double
+  *   - `bloom_might_contain(binary, long)` → boolean
   *
   * Operators probe the registry at plan-build time and use the native
   * form when available, falling back to the portable higher-order-
@@ -38,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (args: Seq[Expression]) => ShingleHashes(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

@@ -297,9 +297,30 @@ object EcommerceQueries {
       .orderBy("user_id", "valid_from_us")
   }
 
+  /** New-in-r6 — §2 #37: delete-by-key for deltas too big to broadcast.
+    * A bloom over the delta's composite key (1.2 bytes/key at 1 % fpp)
+    * proves most base rows keyless so they bypass the anti-join
+    * shuffle; only maybe-matching rows shuffle, and the exact anti
+    * join removes the sketch's false positives. Results are identical
+    * to the broadcast path — the oracle is plain delete+insert SQL. */
+  def q45BloomDeleteInsert(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val delta = li.where(col("l_orderkey") % 13 === 0)
+      .withColumn("l_quantity", lit(0.0))
+    BloomPrune.prunedDeleteInsert(li, delta,
+        Seq("l_orderkey", "l_linenumber"),
+        expectedItems = 100000L, fpp = 0.01)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .orderBy("l_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_rowcounts" -> (q01Rowcounts _),
     "q44_scd2_history" -> (q44ScdHistory _),
+    "q45_bloom_delete_insert" -> (q45BloomDeleteInsert _),
     "q02_dedup_keep_last" -> (q02DedupKeepLast _),
     "q03_normalize_props" -> (q03NormalizeProps _),
     "q04_explode_tokens" -> (q04ExplodeTokens _),
@@ -445,6 +466,15 @@ object EcommerceQueries {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from_us) AS INT) AS version,
         |  CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL AS VARCHAR) AS is_current
         |FROM v ORDER BY user_id, valid_from_us""".stripMargin,
+
+    "q45_bloom_delete_insert" ->
+      """WITH merged AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 0.0 AS l_quantity FROM lineitem WHERE l_orderkey % 13 = 0)
+        |SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM merged GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "q33_quarantine" ->
       """WITH c AS (
