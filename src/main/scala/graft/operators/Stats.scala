@@ -64,6 +64,32 @@ object Stats {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .orderBy("batch_date")
 
+  /** Per-batch mergeable sketch ARTIFACTS (Datasketches HLL): one
+    * binary sketch per (batch_date, key) plus exact row counts. Unlike
+    * `approx_count_distinct` — whose HLL++ buffer lives only inside
+    * one query — these sketches are values: persist them next to the
+    * batch (a few KB per group at lgK=12) and any later query answers
+    * cross-batch distinct counts by UNIONING sketches instead of
+    * rescanning source data. At 100 TB this turns "distinct users this
+    * quarter" from a lake scan into a metadata-scale merge; the
+    * reference's etl_control row counts are the exact-count analogue
+    * of the same per-batch-artifact discipline. */
+  def sketchArtifacts(events: DataFrame, keyCol: String,
+      distinctCol: String, lgK: Int = 12): DataFrame =
+    events.groupBy(to_date(col("ts")).as("batch_date"), col(keyCol))
+      .agg(hll_sketch_agg(col(distinctCol), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Merge persisted sketch artifacts: estimates are IDENTICAL to a
+    * direct sketch over the union of the batches (HLL union is exact
+    * over sketch state — asserted in AnalyticsSpec), so pre-batched
+    * rollups lose nothing vs a full rescan. */
+  def mergeSketches(artifacts: DataFrame, groupCols: Seq[String]): DataFrame =
+    artifacts.groupBy(groupCols.map(col): _*)
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"),
+        sum(col("n_events")).as("n_events"))
+
   /** Tumbling-window rollup (batch form of the streaming windowed
     * aggregate): epoch-aligned fixed windows via `window()`, partial
     * aggregation map-side, one shuffle on (window, key). */

@@ -135,8 +135,24 @@ object AnalyticsQueries {
     Stats.tumblingStats(t(s, dir, "events"), "6 hours", "event_type")
       .orderBy("window_start", "event_type")
 
+  /** New-in-r6 — §2 #38: per-batch HLL sketch artifacts merged across
+    * batches. The per-day sketches stand in for artifacts persisted
+    * with each batch load; the merge answers a cross-batch distinct
+    * count WITHOUT rescanning the source — identical estimates to a
+    * direct global sketch (merge-invariance asserted in
+    * AnalyticsSpec), drift vs exact counts bounded there too. Rows-only
+    * at the driver gate: the sketch binary is engine-specific. */
+  def q46SketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val artifacts = Stats.sketchArtifacts(
+      t(s, dir, "events"), "event_type", "user_id")
+    Stats.mergeSketches(artifacts, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("approx_distinct"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_tumbling" -> (q35Tumbling _),
+    "q46_sketch_merge" -> (q46SketchMerge _),
     "q34_running_total" -> (q34RunningTotal _),
     "q27_sessionize" -> (q27Sessionize _),
     "q28_asof_join" -> (q28AsofJoin _),

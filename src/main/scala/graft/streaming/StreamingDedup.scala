@@ -46,6 +46,25 @@ object StreamingDedup {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
   }
 
+  /** Windowed quantile rollup: `percentile_approx`'s mergeable
+    * quantile sketch held as streaming state — each micro-batch folds
+    * its rows into the per-(window, key) sketch and the sketches MERGE
+    * across batches, so emitted quantiles reflect every row the window
+    * has seen, not the last batch (asserted against batch percentiles
+    * over the full feed in StreamingDedupSpec). The streaming twin of
+    * q32's high-cardinality scale path: fixed-size state per group
+    * regardless of row volume, bounded group count via the watermark. */
+  def windowedQuantiles(events: org.apache.spark.sql.DataFrame,
+      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(accuracy)).as("p95"))
+  }
+
   /** Streaming exact-dedup on a business key with bounded state:
     * duplicates arriving within the watermark horizon are dropped,
     * state for older keys is evicted — the streaming analogue of the

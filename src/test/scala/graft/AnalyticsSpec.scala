@@ -180,6 +180,29 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("sketch artifacts: merged per-batch HLL == direct global sketch, drift bounded") {
+    import graft.operators.Stats
+    val ev = Tables.load(spark, sf001, "events")
+    // merge-invariance: union of per-day sketches gives IDENTICAL
+    // estimates to one sketch over all data — pre-batching loses nothing
+    val merged = Stats.mergeSketches(
+        Stats.sketchArtifacts(ev, "event_type", "user_id"), Seq("event_type"))
+      .select("event_type", "approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("approx_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === direct)
+    // drift vs exact distinct counts stays within HLL's lgK=12 bounds
+    val exact = ev.groupBy("event_type").agg(count_distinct(col("user_id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(merged(k) - ex).toDouble / ex < 0.05,
+        s"$k: sketch ${merged(k)} vs exact $ex")
+    }
+  }
+
   test("q27/q28/q29 run green at sf0.001") {
     assert(AnalyticsQueries.q27Sessionize(spark, sf0001).count() > 0)
     val asof = AnalyticsQueries.q28AsofJoin(spark, sf0001)

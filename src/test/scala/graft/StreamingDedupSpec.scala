@@ -62,6 +62,33 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("windowed quantile sketch merges across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val query = StreamingDedup.windowedQuantiles(df).writeStream
+      .format("memory").queryName("quantile_out").outputMode("update").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val batch1 = (1 to 60).map(i => (ts("2024-01-01 10:00:00"), "click", i.toDouble))
+      val batch2 = (61 to 100).map(i => (ts("2024-01-01 11:00:00"), "click", i.toDouble))
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*) // second micro-batch folds into the SAME window
+      query.processAllAvailable()
+      val r = spark.sql(
+        """SELECT n_events, p50, p95 FROM quantile_out
+          |WHERE n_events = (SELECT max(n_events) FROM quantile_out)""".stripMargin)
+        .collect().head
+      // the sketch saw all 100 values (1..100), not just batch 2's 40
+      assert(r.getLong(0) === 100L)
+      assert(math.abs(r.getDouble(1) - 50.0) <= 1.0, s"p50 ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 95.0) <= 1.0, s"p95 ${r.getDouble(2)}")
+    } finally query.stop()
+  }
+
   test("streaming dedup within watermark drops replayed keys, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
