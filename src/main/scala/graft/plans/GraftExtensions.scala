@@ -40,6 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (args: Seq[Expression]) => ShingleHashes(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (args: Seq[Expression]) => PqEncode(args(0), args(1),
+        args(2).eval().asInstanceOf[Int], args(3).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (args: Seq[Expression]) => PqAdc(args(0), args(1),
+        args(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))

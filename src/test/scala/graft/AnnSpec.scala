@@ -46,6 +46,49 @@ class AnnSpec extends SparkTestBase {
     assert(mean >= 0.8, s"mean recall@10 = $mean (per-query: $recalls)")
   }
 
+  test("PQ ADC + exact re-rank: recall@10 ≥ 0.8 vs brute force") {
+    import graft.operators.Pq
+    val e = Tables.load(spark, sf001, "embeddings")
+    // NOTE: the synthetic embeddings are near-random (SURVEY §4), so an
+    // honest ≥0.8 recall needs fine subspaces (m=16 → dsub=4) and a
+    // rerank window ~10% of the corpus; real clustered embeddings
+    // quantize far better at equal budget.
+    val cb = Pq.train(e, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    assert(cb.dsub === 4 && cb.flat.length === 16 * 16 * 4)
+    val encoded = Pq.encodeTable(e, "vec_id", "embedding", cb).persist()
+    try {
+      val recalls = Seq(3L, 7L, 11L, 42L).map { qid =>
+        val query = e.where(col("vec_id") === qid)
+        val rest = e.where(col("vec_id") =!= qid)
+        val brute = topIds(Ann.bruteForceTopK(rest, query, "vec_id", "embedding", 10))
+        val pq = topIds(Pq.pqTopK(
+          encoded.where(col("vec_id") =!= qid), rest, query,
+          "vec_id", "embedding", k = 10, cb, rerank = 5))
+        brute.intersect(pq).size / 10.0
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.8, s"mean recall@10 = $mean (per-query: $recalls)")
+    } finally { encoded.unpersist(); () }
+  }
+
+  test("PQ re-rank emits exact cosines; codes compress 32x") {
+    import graft.operators.Pq
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val cb = Pq.train(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 1)
+    val query = e.where(col("vec_id") === 7L)
+    val rest = e.where(col("vec_id") =!= 7L)
+    val encoded = Pq.encodeTable(e, "vec_id", "embedding", cb)
+    val pq = Pq.pqTopK(encoded.where(col("vec_id") =!= 7L), rest, query,
+        "vec_id", "embedding", k = 5, cb, rerank = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val brute = Ann.bruteForceTopK(rest, query, "vec_id", "embedding", 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every emitted similarity is the EXACT cosine (re-ranked), not ADC
+    pq.foreach { case (id, sim) => assert(sim === brute(id), s"id $id") }
+    // the artifact is m int codes vs dim floats — the 100 TB win
+    assert(cb.m * 4 <= 64 * 4 / 8, "codes must be ≥8x smaller than the vector")
+  }
+
   test("trainCentroids degrades gracefully on an empty frame") {
     val e = Tables.load(spark, sf0001, "embeddings")
     val cents = Ann.trainCentroids(e.where(col("vec_id") < 0),

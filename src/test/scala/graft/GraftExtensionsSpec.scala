@@ -109,6 +109,38 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.isNullAt(0), "length-mismatched vec_dot must be null")
   }
 
+  test("native pq_encode / pq_adc ≡ portable forms, bit-equal") {
+    import graft.operators.{Ann, Pq}
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val cb = Pq.train(e, "vec_id", "embedding", m = 4, ksub = 8, iters = 1)
+    // portable twins, inlined (the operator picks native in this session)
+    val portableEncode = array((0 until cb.m).map { j =>
+      Ann.clusterOf(slice(col("embedding"), j * cb.dsub + 1, cb.dsub), cb.cents(j))
+    }: _*)
+    val q = e.where(col("vec_id") === 3L)
+      .select(transform(col("embedding"), _.cast("double")))
+      .head().getSeq[Double](0).toArray
+    val table = Pq.adcTable(q, cb)
+    val portableAdc = aggregate(
+      zip_with(col("codes"), sequence(lit(0), size(col("codes")) - 1),
+        (c, j) => element_at(array(table.map(lit).toSeq: _*), j * cb.ksub + c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = e
+      .select(col("vec_id"),
+        Pq.encode(col("embedding"), cb).as("codes"),
+        portableEncode.as("pcodes"))
+      .withColumn("nadc", Pq.adcScore(col("codes"), table, cb.ksub))
+      .withColumn("padc", portableAdc)
+      .where(col("codes") =!= col("pcodes") || col("nadc") =!= col("padc"))
+      .count()
+    assert(diff === 0, s"$diff rows diverge between native and portable PQ")
+    // ragged vector → null codes; out-of-range code → null score
+    val r = spark.sql(
+      s"""SELECT pq_encode(array(1.0F), array(${cb.flat.mkString(",")}),
+         |  ${cb.m}, ${cb.ksub}) AS c""".stripMargin).head()
+    assert(r.isNullAt(0), "ragged vector must encode to null")
+  }
+
   test("native path survives codegen (no interpreted fallback errors)") {
     val docs = Tables.load(spark, sf001, "documents")
     // run a real end-to-end LSH pass through the native expression
