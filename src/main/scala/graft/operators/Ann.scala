@@ -131,12 +131,73 @@ object Ann {
     } finally { cached.unpersist(); () }
   }
 
-  /** Nearest-centroid index for a vector (row-local argmin over k
-    * fold expressions; struct array_min gives lexicographic argmin). */
-  def clusterOf(vecCol: Column, cents: Array[Array[Double]]): Column =
+  /** Nearest-centroid (distance², index) struct for a vector
+    * (row-local argmin over k fold expressions; struct array_min gives
+    * lexicographic argmin). */
+  def clusterAssign(vecCol: Column, cents: Array[Array[Double]]): Column =
     array_min(array(cents.zipWithIndex.map { case (c, i) =>
       struct(VectorFunctions.l2sqConst(vecCol, c).as("d"), lit(i).as("i"))
-    }: _*)).getField("i")
+    }: _*))
+
+  /** Nearest-centroid index for a vector. */
+  def clusterOf(vecCol: Column, cents: Array[Array[Double]]): Column =
+    clusterAssign(vecCol, cents).getField("i")
+
+  /** Per-cell statistics of an IVF layout: row count plus mean/max
+    * distance²-to-centroid per cell — one aggregate pass, persisted
+    * NEXT TO the cell-partitioned table like the centroid matrix.
+    * They serve two jobs at scale: [[adaptiveProbes]] sizes each
+    * query's probe set from the real cell populations (a fixed nprobe
+    * under-probes when the nearest cells are sparse and over-probes
+    * when they're huge), and drifting mean-distance/ballooning counts
+    * are the retrain signal for the quantizer as the corpus shifts. */
+  def cellStats(embeddings: DataFrame, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    embeddings
+      .select(clusterAssign(col(vecCol), cents).as("__a"))
+      .groupBy(col("__a.i").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        avg(col("__a.d")).as("mean_d2"),
+        max(col("__a.d")).as("max_d2"))
+
+  /** Probe plan: cells in query-distance order, taking just enough to
+    * cover ≥ minCandidates vectors by the persisted counts. Driver-side
+    * over k stats rows — metadata scale. Cells absent from `counts`
+    * (empty at stats time) count 0 but stay probeable. */
+  def adaptiveProbes(queryVec: Array[Double], cents: Array[Array[Double]],
+      counts: Map[Int, Long], minCandidates: Long): Seq[Int] = {
+    val byDist = cents.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var t = 0
+      while (t < math.min(c.length, queryVec.length)) {
+        val diff = queryVec(t) - c(t); d += diff * diff; t += 1
+      }
+      (d, i)
+    }.sortBy(identity).map(_._2)
+    val cum = byDist.scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
+    val need = byDist.indices.find(j => cum(j + 1) >= minCandidates)
+      .map(_ + 1).getOrElse(byDist.length)
+    byDist.take(need).toSeq
+  }
+
+  /** IVF top-k over an explicit probe list (from [[adaptiveProbes]]):
+    * same one-pass plan as the nprobe overload, cell set fixed by the
+    * caller. */
+  def ivfTopKProbed(embeddings: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], probes: Seq[Int]): DataFrame = {
+    if (centroids.isEmpty || probes.isEmpty)
+      return embeddings.select(col(idCol), lit(0.0).as("cos_sim")).limit(0)
+    val q = broadcast(query.select(col(vecCol).as("__qv")))
+    embeddings
+      .withColumn("__c", clusterOf(col(vecCol), centroids))
+      .where(col("__c").isin(probes: _*))
+      .crossJoin(q)
+      .withColumn("cos_sim", VectorFunctions.cosine(col(vecCol), col("__qv")))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
 
   /** IVF ANN over a pretrained quantizer: assign rows to centroids,
     * probe the `nprobe` centroids nearest the query, brute-force

@@ -89,6 +89,32 @@ class AnnSpec extends SparkTestBase {
     assert(cb.m * 4 <= 64 * 4 / 8, "codes must be ≥8x smaller than the vector")
   }
 
+  test("cellStats + adaptiveProbes: counts exact, probe set sized by cell mass") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    val cents = Ann.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
+    val stats = Ann.cellStats(e, "embedding", cents)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // counts are the exact cell populations
+    assert(stats.values.map(_._1).sum === e.count())
+    val direct = e.select(Ann.clusterOf(col("embedding"), cents).as("c"))
+      .groupBy("c").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stats.view.mapValues(_._1).toMap === direct)
+    // adaptive probing: monotone in the candidate target, covers it
+    val q = e.where(col("vec_id") === 7L)
+      .select(transform(col("embedding"), _.cast("double")))
+      .head().getSeq[Double](0).toArray
+    val counts = stats.view.mapValues(_._1).toMap
+    val small = Ann.adaptiveProbes(q, cents, counts, 10L)
+    val large = Ann.adaptiveProbes(q, cents, counts, 200L)
+    assert(small.size <= large.size && large.toSet.subsetOf(counts.keySet))
+    assert(large.map(counts).sum >= 200L)
+    // probed query returns k exact-cosine rows from the probed cells
+    val out = Ann.ivfTopKProbed(e.where(col("vec_id") =!= 7L),
+      e.where(col("vec_id") === 7L), "vec_id", "embedding", 10, cents, large)
+    assert(out.count() === 10L)
+  }
+
   test("trainCentroids degrades gracefully on an empty frame") {
     val e = Tables.load(spark, sf0001, "embeddings")
     val cents = Ann.trainCentroids(e.where(col("vec_id") < 0),
