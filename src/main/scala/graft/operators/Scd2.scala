@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,22 @@ object Scd2 {
         col("valid_from"), col("valid_to"), col("version"),
         col("is_current")): _*)
   }
+
+  /** Point-in-time fact⋈dimension join: each fact row gets the
+    * dimension version active at its timestamp ("what did this
+    * dimension look like when the fact happened" — the query SCD2
+    * history exists to answer). Because [[fromChangeLog]]'s versions
+    * tile each key's timeline contiguously (valid_to = next
+    * valid_from, current version open-ended), the version active at t
+    * is exactly the last one with valid_from ≤ t — an as-of join on
+    * valid_from, so this composes [[AsOfJoin]]'s merge formulation:
+    * ONE shuffle on the key, no range join, no per-key collect. Facts
+    * before a key's first version get nulls (as-of LEFT semantics).
+    * Dimension columns arrive prefixed `dim_`. */
+  def pointInTime(facts: DataFrame, history: DataFrame, key: String,
+      factTs: Column, factSeq: Column): DataFrame =
+    AsOfJoin.asOf(facts, factTs, factSeq,
+      history, col("valid_from"), col("version"), key, prefix = "dim_")
 
   /** Apply a batch of change rows (keys ++ attrCols ++ tsCol) to an
     * existing history, touching ONLY the keys present in the batch:

@@ -317,10 +317,34 @@ object EcommerceQueries {
       .orderBy("l_orderkey")
   }
 
+  /** New-in-r6 — the query row 36's history exists to answer: each
+    * purchase attributed to the user's profile-state VERSION active at
+    * purchase time (state = the SCD2 history over the user's
+    * non-purchase events). Composes fromChangeLog + the as-of merge
+    * formulation — two windows, each one shuffle on user_id, no range
+    * join. Purchases before a user's first state version keep nulls. */
+  def q48PointInTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), expr("ts_ns div 1000").as("ts_us"))
+    val hist = Scd2.fromChangeLog(
+      ev.where(col("event_type") =!= "purchase")
+        .select("user_id", "event_type", "ts_us"),
+      Seq("user_id"), Seq("event_type"), "ts_us")
+    val facts = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    Scd2.pointInTime(facts, hist, "user_id", col("ts_us"), col("event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"),
+        col("dim_event_type").as("state"),
+        col("dim_version").as("state_version"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_rowcounts" -> (q01Rowcounts _),
     "q44_scd2_history" -> (q44ScdHistory _),
     "q45_bloom_delete_insert" -> (q45BloomDeleteInsert _),
+    "q48_point_in_time" -> (q48PointInTime _),
     "q02_dedup_keep_last" -> (q02DedupKeepLast _),
     "q03_normalize_props" -> (q03NormalizeProps _),
     "q04_explode_tokens" -> (q04ExplodeTokens _),
@@ -466,6 +490,21 @@ object EcommerceQueries {
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from_us) AS INT) AS version,
         |  CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL AS VARCHAR) AS is_current
         |FROM v ORDER BY user_id, valid_from_us""".stripMargin,
+
+    "q48_point_in_time" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        |ne AS (SELECT user_id, event_type, ts_us FROM e WHERE event_type <> 'purchase'),
+        |d AS (SELECT *, lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_type) AS nxt FROM ne),
+        |dd AS (SELECT user_id, event_type, ts_us FROM d WHERE nxt IS NULL OR nxt <> ts_us),
+        |cp AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev FROM dd),
+        |v AS (SELECT user_id, event_type, ts_us AS valid_from_us,
+        |        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us) AS INT) AS state_version
+        |      FROM cp WHERE prev IS NULL OR prev <> event_type),
+        |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us AS purchase_us,
+        |  v.event_type AS state, v.state_version
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.valid_from_us
+        |ORDER BY p.event_id""".stripMargin,
 
     "q45_bloom_delete_insert" ->
       """WITH merged AS (

@@ -70,6 +70,25 @@ class Scd2Spec extends SparkTestBase {
       (1L, "c", 40L, None, 3, true)))
   }
 
+  test("pointInTime: facts pick the version active at their ts, boundary inclusive") {
+    val hist = Scd2.fromChangeLog(
+      log((1L, "a", 10L), (1L, "b", 30L)), Seq("k"), Seq("attr"), "ts")
+    val facts = Seq((100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 29L),
+      (103L, 1L, 30L), (104L, 1L, 99L), (105L, 2L, 50L))
+      .toDF("fact_id", "k", "fts")
+    val out = Scd2.pointInTime(facts, hist, "k", $"fts", $"fact_id")
+      .select($"fact_id", $"dim_attr", $"dim_version")
+      .as[(Long, Option[String], Option[Int])]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (100L, None, None),            // before the first version
+      (101L, Some("a"), Some(1)),    // valid_from boundary is inclusive
+      (102L, Some("a"), Some(1)),
+      (103L, Some("b"), Some(2)),    // switches exactly at the change ts
+      (104L, Some("b"), Some(2)),    // current version is open-ended
+      (105L, None, None)))           // key with no history
+  }
+
   test("applyBatch leaves untouched keys outside any window/shuffle") {
     // materialized history, as a stored dimension table would be
     val h1 = spark.createDataFrame(
