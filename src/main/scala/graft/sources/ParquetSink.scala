@@ -37,6 +37,53 @@ object ParquetSink {
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** Morton (Z-order) key over 2+ numeric columns: each value is
+    * scaled to a `bits`-wide bucket between the column's observed
+    * min/max, and bucket bits are interleaved — points close in the
+    * z-value are close in EVERY dimension, so range-partitioning by
+    * it gives row groups tight min/max on ALL the columns at once.
+    * Plain integer shift/mask Column arithmetic (codegen'd); nulls
+    * produce a null key and cluster together at the range edge. */
+  def zOrderKey(df: DataFrame, cols: Seq[String], bits: Int): org.apache.spark.sql.Column = {
+    require(cols.size >= 2, "z-order needs ≥2 columns (one column = plain sort)")
+    require(bits * cols.size <= 62, s"bits=$bits × ${cols.size} cols overflows a long")
+    val n = 1L << bits
+    val aggExprs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      // degenerate constant column → bucket 0
+      if (lo == hi) lit(0L)
+      else least(
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(n.toDouble))
+          .cast("long"),
+        lit(n - 1))
+    }
+    (0 until bits).flatMap { b =>
+      buckets.zipWithIndex.map { case (bk, ci) =>
+        shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * cols.size + ci)
+      }
+    }.reduce(_ + _)
+  }
+
+  /** Z-order-clustered layout: range-partition + sort by the Morton
+    * key, so a selective filter on ANY of the clustered columns skips
+    * most files/row-groups via parquet min/max stats — the multi-column
+    * generalization of [[writeKeyClustered]] (which clusters perfectly
+    * on one column and not at all on the others). The skip effect is
+    * asserted file-by-file in SkewAndSinkSpec. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+      numFiles: Int, bits: Int = 12): Unit = {
+    val z = zOrderKey(df, cols, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** IVF cell layout for an embedding corpus: partition directories by
     * cluster id, so an ANN probe reads nprobe/k of the data
     * (graft.operators.Ann.ivfTopK's scale path). */

@@ -83,6 +83,41 @@ class SkewAndSinkSpec extends SparkTestBase {
     assert(ranges.length == 4)
   }
 
+  test("z-ordered layout: files skippable on BOTH columns; linear sort on one only") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val zDir = Files.createTempDirectory("graft-z").toFile.getAbsolutePath
+    val linDir = Files.createTempDirectory("graft-lin").toFile.getAbsolutePath
+    ParquetSink.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), numFiles = 8)
+    // the single-column comparison layout: RANGE-clustered on l_partkey
+    // (perfect one-column skipping — the strongest linear baseline)
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(linDir)
+
+    // per-file [min,max] of a column — what parquet row-group/file stats
+    // expose to the scan; a file is SKIPPABLE for a predicate when its
+    // range misses the predicate's interval
+    def skippable(dir: String, c: String, lo: Long, hi: Long): Long = {
+      val ranges = spark.read.parquet(dir)
+        .select(col(c), input_file_name().as("f"))
+        .groupBy("f").agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+      ranges.where(col("mx") < lo || col("mn") > hi).count()
+    }
+    val (pLo, pHi) = (1L, 25L)   // narrow l_partkey band (~1/8 of domain)
+    val (sLo, sHi) = (1L, 2L)    // narrow l_suppkey band
+    // z-order: correctness first — nothing lost
+    assert(spark.read.parquet(zDir).count() === li.count())
+    // linear-by-partkey: perfect on partkey, useless on suppkey
+    assert(skippable(linDir, "l_partkey", pLo, pHi) >= 6)
+    assert(skippable(linDir, "l_suppkey", sLo, sHi) === 0)
+    // z-order: most files skip on EITHER column
+    val zP = skippable(zDir, "l_partkey", pLo, pHi)
+    val zS = skippable(zDir, "l_suppkey", sLo, sHi)
+    assert(zP >= 4, s"z-order skipped only $zP/8 files on l_partkey")
+    assert(zS >= 4, s"z-order skipped only $zS/8 files on l_suppkey")
+  }
+
   test("co-bucketed tables join with zero exchanges") {
     val orders = Tables.load(spark, sf0001, "orders")
       .select("o_orderkey", "o_totalprice")
