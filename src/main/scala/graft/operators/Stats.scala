@@ -90,6 +90,39 @@ object Stats {
         hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"),
         sum(col("n_events")).as("n_events"))
 
+  /** Theta-sketch per-batch artifacts: like [[sketchArtifacts]] but
+    * supporting full SET ALGEBRA — theta sketches intersect and
+    * difference, not just union, so retention questions ("how many of
+    * yesterday's users came back?") are answered from the persisted
+    * artifacts alone, no source rescan. Below ~2^lgK distinct keys the
+    * sketch is in exact mode and the estimates are exact counts. */
+  def thetaArtifacts(events: DataFrame, keyCol: String,
+      distinctCol: String): DataFrame =
+    events.groupBy(to_date(col("ts")).as("batch_date"), col(keyCol))
+      .agg(theta_sketch_agg(col(distinctCol)).as("sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Day-over-day retention from theta artifacts: per (key, date),
+    * active = |day|, retained = |day ∩ prev day|, churned = |prev \
+    * day|, new = |day \ prev|. One lag window over the artifact frame
+    * (rows = days × keys — metadata scale regardless of corpus size). */
+  def retentionFromSketches(artifacts: DataFrame, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy("batch_date")
+    artifacts
+      .withColumn("__prev", lag(col("sketch"), 1).over(w))
+      .select(col("batch_date"), col(keyCol),
+        theta_sketch_estimate(col("sketch")).as("n_active"),
+        when(col("__prev").isNull, lit(null).cast("bigint"))
+          .otherwise(theta_sketch_estimate(
+            theta_intersection(col("sketch"), col("__prev")))).as("n_retained"),
+        when(col("__prev").isNull, lit(null).cast("bigint"))
+          .otherwise(theta_sketch_estimate(
+            theta_difference(col("sketch"), col("__prev")))).as("n_new"),
+        when(col("__prev").isNull, lit(null).cast("bigint"))
+          .otherwise(theta_sketch_estimate(
+            theta_difference(col("__prev"), col("sketch")))).as("n_churned"))
+  }
+
   /** Tumbling-window rollup (batch form of the streaming windowed
     * aggregate): epoch-aligned fixed windows via `window()`, partial
     * aggregation map-side, one shuffle on (window, key). */

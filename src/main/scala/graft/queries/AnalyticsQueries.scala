@@ -150,9 +150,25 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** New-in-r6 — §2 #38's set-algebra half: day-over-day user
+    * retention/new/churn per event type, computed ENTIRELY from
+    * per-day theta-sketch artifacts (intersection + difference — the
+    * algebra HLL lacks). At this scale the sketches are in exact mode,
+    * so estimates equal exact counts (asserted vs count_distinct joins
+    * in AnalyticsSpec); rows-only at the gate — sketch binaries are
+    * engine-specific. */
+  def q49Retention(s: SparkSession, dir: String): DataFrame = {
+    val artifacts = Stats.thetaArtifacts(
+      t(s, dir, "events"), "event_type", "user_id")
+    Stats.retentionFromSketches(artifacts, "event_type")
+      .withColumn("batch_date", date_format(col("batch_date"), "yyyy-MM-dd"))
+      .orderBy("event_type", "batch_date")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_tumbling" -> (q35Tumbling _),
     "q46_sketch_merge" -> (q46SketchMerge _),
+    "q49_retention" -> (q49Retention _),
     "q34_running_total" -> (q34RunningTotal _),
     "q27_sessionize" -> (q27Sessionize _),
     "q28_asof_join" -> (q28AsofJoin _),

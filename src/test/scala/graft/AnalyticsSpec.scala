@@ -203,6 +203,31 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("theta retention: estimates equal exact counts in exact mode") {
+    import graft.operators.Stats
+    val ev = Tables.load(spark, sf001, "events")
+      .select(to_date(col("ts")).as("d"), col("event_type"), col("user_id"))
+    val est = graft.queries.AnalyticsQueries.q49Retention(spark, sf001)
+      .collect()
+      .map(r => (r.getString(1), r.getString(0)) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+         if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toMap
+    // exact truth: distinct users per (type, day) and day-over-day sets
+    val days = ev.select("event_type", "d", "user_id").distinct()
+      .collect().groupBy(r => (r.getString(0), r.getDate(1).toString))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    days.foreach { case ((typ, day), users) =>
+      val (active, retained, fresh) = est((typ, day))
+      assert(active === users.size.toLong, s"$typ $day active")
+      val prevDay = java.time.LocalDate.parse(day).minusDays(1).toString
+      days.get((typ, prevDay)).foreach { prev =>
+        assert(retained === users.intersect(prev).size.toLong, s"$typ $day retained")
+        assert(fresh === users.diff(prev).size.toLong, s"$typ $day new")
+      }
+    }
+  }
+
   test("q27/q28/q29 run green at sf0.001") {
     assert(AnalyticsQueries.q27Sessionize(spark, sf0001).count() > 0)
     val asof = AnalyticsQueries.q28AsofJoin(spark, sf0001)
