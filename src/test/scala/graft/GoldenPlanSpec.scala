@@ -70,4 +70,11 @@ class GoldenPlanSpec extends SparkTestBase {
   snapshot("q19_simhash", LlmQueries.q19Simhash(spark, sf0001))
   snapshot("q20_ngram_jaccard", LlmQueries.q20NgramJaccard(spark, sf0001))
   snapshot("q22_ann_lsh", LlmQueries.q22AnnLsh(spark, sf0001))
+  // r6: SCD2 history must stay a single exchange+sort; the point-in-time
+  // join must stay the merge formulation (windows, no join operator for
+  // the as-of itself). q45's plan embeds the serialized bloom literal
+  // (megabyte-scale, content-hashed) so it is pinned by BloomPruneSpec's
+  // shape assertions instead of a text snapshot.
+  snapshot("q44_scd2_history", EcommerceQueries.q44ScdHistory(spark, sf0001))
+  snapshot("q48_point_in_time", EcommerceQueries.q48PointInTime(spark, sf0001))
 }
