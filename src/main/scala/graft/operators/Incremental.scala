@@ -60,6 +60,38 @@ object Incremental {
     fkOrder.filter(tables.contains).map(t => t -> tables(t))
   }
 
+  /** Snapshot diff — change-data-capture between two full loads: one
+    * row per difference, `change_op` ∈ {insert, update, delete}. The
+    * reference's full-load replace (shopee_orders_loader.py:162-211)
+    * rewrites everything and learns nothing; diffing the snapshots
+    * yields the minimal delta to feed [[upsert]]/[[deleteInsert]] (or
+    * an SCD2 [[Scd2.applyBatch]]) instead of a full rewrite.
+    *
+    * One full-outer shuffle join on the key (both sides hash once,
+    * AQE skew-safe); attribute tuples compare null-safely as structs,
+    * so column-level nulls diff correctly. Unchanged rows are dropped
+    * before anything downstream. Deletes carry the PREVIOUS attrs
+    * (there is no current row to report); inserts/updates carry the
+    * current ones. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val attrs = cur.columns.filterNot(keys.contains).toSeq
+    require(attrs.nonEmpty, "snapshotDiff: no non-key columns to compare")
+    val p = prev.select(keys.map(col) :+
+      struct(attrs.map(col): _*).as("__pa"): _*)
+    val c = cur.select(keys.map(col) :+
+      struct(attrs.map(col): _*).as("__ca"): _*)
+    val op = when(col("__pa").isNull, lit("insert"))
+      .when(col("__ca").isNull, lit("delete"))
+      .when(!(col("__pa") <=> col("__ca")), lit("update"))
+    val out = p.join(c, keys, "full_outer")
+      .withColumn("change_op", op)
+      .where(col("change_op").isNotNull)
+    val reported = coalesce(col("__ca"), col("__pa"))
+    out.select(keys.map(col) ++ Seq(col("change_op")) ++
+      attrs.map(a => reported.getField(a).as(a)): _*)
+  }
+
   /** Historical backfill plan: split [start, end) into fixed windows,
     * oldest first (scripts/ backfill runs in the reference iterate
     * day-windows through the same incremental path; logs/

@@ -340,11 +340,30 @@ object EcommerceQueries {
       .orderBy("event_id")
   }
 
+  /** New-in-r6 — snapshot-diff CDC: the minimal delta between two full
+    * loads (insert/update/delete per key), the change feed the
+    * reference's full-replace rewrites never surface. One full-outer
+    * shuffle join; seeded deletes (%19), status updates (%23) and
+    * key-shifted inserts (%31) give the oracle known rows of every op. */
+  def q50SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val cur = o.where(col("o_orderkey") % 19 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 23 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+      .unionByName(o.where(col("o_orderkey") % 31 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    Incremental.snapshotDiff(o, cur, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_rowcounts" -> (q01Rowcounts _),
     "q44_scd2_history" -> (q44ScdHistory _),
     "q45_bloom_delete_insert" -> (q45BloomDeleteInsert _),
     "q48_point_in_time" -> (q48PointInTime _),
+    "q50_snapshot_diff" -> (q50SnapshotDiff _),
     "q02_dedup_keep_last" -> (q02DedupKeepLast _),
     "q03_normalize_props" -> (q03NormalizeProps _),
     "q04_explode_tokens" -> (q04ExplodeTokens _),
@@ -505,6 +524,26 @@ object EcommerceQueries {
         |  v.event_type AS state, v.state_version
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.valid_from_us
         |ORDER BY p.event_id""".stripMargin,
+
+    "q50_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |cur AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 23 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM o WHERE o_orderkey % 19 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice FROM o WHERE o_orderkey % 31 = 0),
+        |j AS (SELECT coalesce(p.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |        CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+        |             WHEN c.o_orderkey IS NULL THEN 'delete'
+        |             WHEN p.o_orderstatus <> c.o_orderstatus
+        |               OR p.o_totalprice <> c.o_totalprice THEN 'update' END AS change_op,
+        |        coalesce(c.o_orderstatus, p.o_orderstatus) AS o_orderstatus,
+        |        coalesce(c.o_totalprice, p.o_totalprice) AS o_totalprice
+        |      FROM o p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey)
+        |SELECT o_orderkey, change_op, o_orderstatus, o_totalprice
+        |FROM j WHERE change_op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
 
     "q45_bloom_delete_insert" ->
       """WITH merged AS (

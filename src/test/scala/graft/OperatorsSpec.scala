@@ -45,6 +45,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(seq.map(_._1) == Seq("parent", "child"))
   }
 
+  test("snapshotDiff classifies insert/update/delete; null attrs diff null-safely") {
+    val prev = Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0),
+      (3L, None, 3.0), (4L, Some("d"), 4.0))
+      .toDF("k", "s", "v")
+    val cur = Seq((1L, Some("a"), 1.0),      // unchanged → dropped
+      (2L, None, 2.0),                       // b → null: update
+      (3L, None, 3.0),                       // null == null: unchanged
+      (5L, Some("e"), 5.0))                  // new key: insert (4 deleted)
+      .toDF("k", "s", "v")
+    val out = Incremental.snapshotDiff(prev, cur, Seq("k"))
+      .as[(Long, String, Option[String], Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (2L, "update", None, 2.0),
+      (4L, "delete", Some("d"), 4.0),        // deletes report previous attrs
+      (5L, "insert", Some("e"), 5.0)))
+  }
+
   test("incremental window filter is pushed into the parquet scan") {
     val ev = Tables.load(spark, sf0001, "events")
     val filtered = Incremental.windowFilterNanos(ev, "ts_ns",
