@@ -33,6 +33,46 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hot-key detection over a deterministic ROW-level hash-sample:
+    * keys whose sampled row share exceeds `minShare`. The sample hash
+    * runs over `rowIdCols` (a stable row identity), NOT the key — a
+    * key-hash sample keeps all-or-none of a hot key's rows and learns
+    * nothing about its mass. One pruned scan of 1/sampleMod of the
+    * data with a map-side-combined count; the total rides a broadcast
+    * 1-row frame, so nothing but the (small) hot-key list leaves the
+    * plan. The cheap pre-pass that SIZES and SCOPES salting at 100 TB
+    * — run it on yesterday's partition, persist the list. */
+  def hotKeys(df: DataFrame, key: String, rowIdCols: Seq[String],
+      minShare: Double, sampleMod: Int = 100): DataFrame = {
+    val sampled =
+      if (sampleMod > 1)
+        df.where(pmod(xxhash64(rowIdCols.map(col): _*), lit(sampleMod)) === 0)
+      else df
+    val counts = sampled.groupBy(col(key)).agg(count(lit(1)).as("n_sampled"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_sampled")).as("__total"))))
+      .withColumn("share", col("n_sampled") / col("__total"))
+      .where(col("share") >= minShare)
+      .select(col(key), col("n_sampled"), round(col("share"), 6).as("share"))
+  }
+
+  /** Salting scoped to the detected hot keys: cold rows keep salt 0
+    * and join exactly as before; hot rows spread over `factor`
+    * reducers, and the small side is replicated ONLY for the hot keys
+    * — factor×|hot| extra rows instead of factor×|small|. Same results
+    * as a plain join (asserted in SkewAndSinkSpec). */
+  def partialSaltedJoin(skewed: DataFrame, small: DataFrame, key: String,
+      factor: Int, saltSource: Seq[String], hot: Seq[Any]): DataFrame = {
+    require(hot.nonEmpty, "no hot keys — use a plain join")
+    val salted = skewed.withColumn("__salt",
+      when(col(key).isin(hot: _*), salt(factor, saltSource.map(col): _*))
+        .otherwise(lit(0)))
+    val replicated = small.withColumn("__salt",
+      explode(when(col(key).isin(hot: _*),
+        array((0 until factor).map(lit): _*)).otherwise(array(lit(0)))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Two-phase skew-safe aggregation: partial aggregate on (key, salt),
     * final aggregate on key — the classic hot-key groupBy fix when one
     * key would otherwise pin a single reducer. Aggregations must be

@@ -29,6 +29,31 @@ class SkewAndSinkSpec extends SparkTestBase {
     assert(direct == salted)
   }
 
+  test("hotKeys finds the planted hot key; partialSaltedJoin replicates only it") {
+    // 10k rows: key 999 owns ~50%, the rest spread over 100 keys
+    val skewed = spark.range(10000).select(
+      when(col("id") % 2 === 0, lit(999L)).otherwise(col("id") % 100)
+        .as("k"), col("id"))
+    val small = spark.range(100).select(col("id").as("k"),
+      concat(lit("dim_"), col("id")).as("payload"))
+      .unionByName(Seq((999L, "dim_hot")).toDF("k", "payload"))
+    val hot = Skew.hotKeys(skewed, "k", rowIdCols = Seq("id"),
+        minShare = 0.2, sampleMod = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hot === Seq(999L), s"expected only 999, got $hot")
+    val joined = Skew.partialSaltedJoin(skewed, small, "k",
+      factor = 8, saltSource = Seq("id"), hot = hot)
+    val plain = skewed.join(small, "k")
+    assert(joined.count() === plain.count())
+    assert(joined.agg(sum("id")).head().getLong(0) ===
+      plain.agg(sum("id")).head().getLong(0))
+    // the small side replicates ONLY the hot key: |small| + (factor-1)
+    val rep = small.withColumn("__salt",
+      explode(when(col("k").isin(hot: _*),
+        array((0 until 8).map(lit): _*)).otherwise(array(lit(0)))))
+    assert(rep.count() === small.count() + 7)
+  }
+
   test("date-partitioned layout prunes partitions for window filters") {
     val dir = Files.createTempDirectory("graft-sink").toFile.getAbsolutePath
     val events = Tables.load(spark, sf0001, "events")
