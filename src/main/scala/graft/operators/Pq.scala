@@ -102,6 +102,55 @@ object Pq {
           (c, j) => element_at(array(table.map(lit).toSeq: _*), j * ksub + c + 1)),
         lit(0.0), (acc, v) => acc + v)
 
+  /** Encoded artifact with the IVF cell id riding along — the IVF-PQ
+    * layout: at scale the codes table is partitioned by `ivf_cell`
+    * (ParquetSink.writeIvfPartitioned), so a probed ADC scan is a
+    * partition-pruned read of compact codes. */
+  def encodeTableWithCells(embeddings: DataFrame, idCol: String,
+      vecCol: String, cb: Codebook,
+      cents: Array[Array[Double]]): DataFrame =
+    embeddings.select(col(idCol),
+      Ann.clusterOf(col(vecCol), cents).as("ivf_cell"),
+      encode(col(vecCol), cb).as("pq_codes"),
+      VectorFunctions.norm(col(vecCol)).as("vec_norm"))
+
+  /** IVF-PQ: the two prunings composed — probe the `nprobe` cells
+    * nearest the query (coarse quantizer), ADC-score only the codes in
+    * those cells, re-rank the survivors exactly. The scan cost is
+    * (nprobe/k)·|corpus| rows × m table lookups over the compact codes
+    * artifact; the raw vectors are touched only for rerank·k ids. */
+  def ivfPqTopK(encoded: DataFrame, embeddings: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, k: Int, cb: Codebook,
+      cents: Array[Array[Double]], nprobe: Int,
+      rerank: Int = 4): DataFrame = {
+    val q = query.select(transform(col(vecCol), _.cast("double")).as("__q"))
+      .head().getSeq[Double](0).toArray
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var t = 0
+      while (t < math.min(c.length, q.length)) {
+        val diff = q(t) - c(t); d += diff * diff; t += 1
+      }
+      (d, i)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+    val table = adcTable(q, cb)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val cands = encoded
+      .where(col("ivf_cell").isin(probes: _*))
+      .withColumn("approx_sim",
+        adcScore(col("pq_codes"), table, cb.ksub) / (col("vec_norm") * lit(qNorm)))
+      .orderBy(desc("approx_sim"), col(idCol))
+      .limit(rerank * k)
+      .select(col(idCol))
+    embeddings
+      .join(broadcast(cands), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query.select(col(vecCol).as("__qv"))))
+      .withColumn("cos_sim", VectorFunctions.cosine(col(vecCol), col("__qv")))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** ADC scan + exact re-rank: rank every encoded row by approximate
     * cosine (m lookups each), keep the top rerank·k candidates
     * (TakeOrderedAndProject — no global sort), fetch ONLY those ids'

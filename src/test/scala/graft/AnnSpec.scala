@@ -89,6 +89,35 @@ class AnnSpec extends SparkTestBase {
     assert(cb.m * 4 <= 64 * 4 / 8, "codes must be ≥8x smaller than the vector")
   }
 
+  test("IVF-PQ composition: probed ADC scan + re-rank keeps recall ≥ 0.8") {
+    import graft.operators.Pq
+    val e = Tables.load(spark, sf001, "embeddings")
+    val cents = Ann.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
+    val cb = Pq.train(e, "vec_id", "embedding", m = 16, ksub = 16, iters = 2)
+    val encoded = Pq.encodeTableWithCells(e, "vec_id", "embedding", cb, cents)
+      .persist()
+    try {
+      // wide probing for honest recall on the near-random corpus —
+      // same caveat as plain IVF (SURVEY §4)
+      val recalls = Seq(3L, 7L, 11L, 42L).map { qid =>
+        val query = e.where(col("vec_id") === qid)
+        val rest = e.where(col("vec_id") =!= qid)
+        val brute = topIds(Ann.bruteForceTopK(rest, query, "vec_id", "embedding", 10))
+        val got = topIds(Pq.ivfPqTopK(
+          encoded.where(col("vec_id") =!= qid), rest, query,
+          "vec_id", "embedding", k = 10, cb, cents, nprobe = 5, rerank = 8))
+        brute.intersect(got).size / 10.0
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.8, s"mean recall@10 = $mean (per-query: $recalls)")
+      // the ADC scan reads only the probed cells
+      val plan = Pq.ivfPqTopK(encoded, e, e.where(col("vec_id") === 3L),
+        "vec_id", "embedding", 10, cb, cents, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ivf_cell") && plan.contains("IN ("), plan.take(400))
+    } finally { encoded.unpersist(); () }
+  }
+
   test("cellStats + adaptiveProbes: counts exact, probe set sized by cell mass") {
     val e = Tables.load(spark, sf001, "embeddings")
     val cents = Ann.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
