@@ -80,6 +80,50 @@ object EtlControl {
     }
   }
 
+  /** Diff-driven FULL-SNAPSHOT cycle: the reference's full-load
+    * sources (shopee full_load DAG) rewrite their whole target every
+    * run whether anything changed or not. This cycle diffs the
+    * incoming snapshot against the live target
+    * ([[Incremental.snapshotDiff]] — one full-outer shuffle), applies
+    * the delta only when one exists, and commits the CHANGE COUNT to
+    * the control log: an unchanged snapshot is an IDLE commit with
+    * ZERO target writes (files stay byte-identical — asserted in
+    * EtlControlSpec), and the log's records_loaded now measures real
+    * churn, so [[expectedRowBounds]] gates on "how much changed",
+    * which is the quantity that signals an upstream incident. Returns
+    * (inserts, updates, deletes). */
+  def runSnapshotCycle(spark: SparkSession, controlDir: String,
+      sourceId: String, snapshot: DataFrame, keys: Seq[String],
+      targetDir: String, batchId: String): (Long, Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(targetDir))) {
+      val n = snapshot.count()
+      ParquetSink.atomicReplace(spark, targetDir)(
+        staging => snapshot.write.parquet(staging))
+      commitRun(spark, controlDir, sourceId, batchId,
+        watermarkUs = 0L, recordsLoaded = n, status = "SUCCESS")
+      return (n, 0L, 0L)
+    }
+    val target = spark.read.parquet(targetDir)
+    val diff = Incremental.snapshotDiff(target, snapshot, keys).persist()
+    try {
+      val counts = diff.groupBy("change_op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (ins, upd, del) = (counts.getOrElse("insert", 0L),
+        counts.getOrElse("update", 0L), counts.getOrElse("delete", 0L))
+      val churn = ins + upd + del
+      if (churn > 0)
+        // the new target IS the snapshot (it's a full load); the diff
+        // decided WHETHER to write, and its counts are the audit record
+        ParquetSink.atomicReplace(spark, targetDir)(
+          staging => snapshot.write.parquet(staging))
+      commitRun(spark, controlDir, sourceId, batchId, watermarkUs = 0L,
+        recordsLoaded = churn, status = if (churn > 0) "SUCCESS" else "IDLE")
+      (ins, upd, del)
+    } finally { diff.unpersist(); () }
+  }
+
   /** One self-driving incremental cycle against a parquet target:
     * read watermark → pushed-down window scan → MERGE into target
     * (staged atomic swap) → commit new watermark. Returns

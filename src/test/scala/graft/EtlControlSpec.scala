@@ -57,6 +57,38 @@ class EtlControlSpec extends SparkTestBase {
     assert(log.where(col("batch_id") === "b3").count() == 0)
   }
 
+  test("snapshot cycle: idle runs never touch the target; churn is the audit record") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-snapcycle").toFile.getAbsolutePath
+    val (ctl, tgt) = (s"$base/control", s"$base/target")
+    def snap(rows: (Long, String)*) = rows.toDF("k", "v")
+    val fs = new org.apache.hadoop.fs.Path(tgt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamps = fs.listStatus(new org.apache.hadoop.fs.Path(tgt)).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).sorted
+
+    // 1: bootstrap
+    assert(EtlControl.runSnapshotCycle(spark, ctl, "dim", snap(1L -> "a", 2L -> "b"),
+      Seq("k"), tgt, "b1") === ((2L, 0L, 0L)))
+    val s1 = stamps
+    // 2: identical snapshot → IDLE, files byte-identical (not rewritten)
+    assert(EtlControl.runSnapshotCycle(spark, ctl, "dim", snap(1L -> "a", 2L -> "b"),
+      Seq("k"), tgt, "b2") === ((0L, 0L, 0L)))
+    assert(stamps === s1, "idle cycle must not rewrite the target")
+    // 3: changed snapshot → exactly classified churn, target replaced
+    assert(EtlControl.runSnapshotCycle(spark, ctl, "dim",
+      snap(1L -> "a2", 3L -> "c"), Seq("k"), tgt, "b3") === ((1L, 1L, 1L)))
+    assert(spark.read.parquet(tgt).as[(Long, String)].collect().sorted.toSeq
+      === Seq(1L -> "a2", 3L -> "c"))
+    // control log: bootstrap 2, idle 0, churn 3 — bounds gate on churn
+    val log = spark.read.parquet(ctl).orderBy("batch_id")
+      .select("batch_id", "records_loaded", "status")
+      .as[(String, Long, String)].collect().toSeq
+    assert(log === Seq(("b1", 2L, "SUCCESS"), ("b2", 0L, "IDLE"),
+      ("b3", 3L, "SUCCESS")))
+  }
+
   test("retention drop removes expired partitions without touching survivors") {
     import graft.sources.ParquetSink
     val dir = Files.createTempDirectory("retention").toString + "/events"
