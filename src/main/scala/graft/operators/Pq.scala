@@ -39,8 +39,10 @@ object Pq {
     * prefers a duplicate, so codes stay valid. */
   def train(embeddings: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int = 2, sampleMod: Int = 1): Codebook = {
-    val dim = embeddings.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).head().getInt(0)
+    val first = embeddings.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
+    require(first.nonEmpty, "pq train: no non-null vectors in the corpus")
+    val dim = first.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val cents = (0 until m).map { j =>
@@ -123,8 +125,11 @@ object Pq {
       idCol: String, vecCol: String, k: Int, cb: Codebook,
       cents: Array[Array[Double]], nprobe: Int,
       rerank: Int = 4): DataFrame = {
-    val q = query.select(transform(col(vecCol), _.cast("double")).as("__q"))
-      .head().getSeq[Double](0).toArray
+    val qRow = query
+      .select(transform(col(vecCol), _.cast("double")).as("__q")).take(1)
+    if (qRow.isEmpty || cents.isEmpty) // degenerate: nothing to probe
+      return embeddings.select(col(idCol), lit(0.0).as("cos_sim")).limit(0)
+    val q = qRow.head.getSeq[Double](0).toArray
     val probes = cents.zipWithIndex.map { case (c, i) =>
       var d = 0.0
       var t = 0
@@ -161,8 +166,11 @@ object Pq {
   def pqTopK(encoded: DataFrame, embeddings: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, k: Int, cb: Codebook,
       rerank: Int = 4): DataFrame = {
-    val q = query.select(transform(col(vecCol), _.cast("double")).as("__q"))
-      .head().getSeq[Double](0).toArray
+    val qRow = query
+      .select(transform(col(vecCol), _.cast("double")).as("__q")).take(1)
+    if (qRow.isEmpty) // degenerate: empty query frame → empty result
+      return embeddings.select(col(idCol), lit(0.0).as("cos_sim")).limit(0)
+    val q = qRow.head.getSeq[Double](0).toArray
     val table = adcTable(q, cb)
     val qNorm = math.sqrt(q.map(x => x * x).sum)
     val cands = encoded

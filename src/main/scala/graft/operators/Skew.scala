@@ -44,6 +44,9 @@ object Skew {
     * — run it on yesterday's partition, persist the list. */
   def hotKeys(df: DataFrame, key: String, rowIdCols: Seq[String],
       minShare: Double, sampleMod: Int = 100): DataFrame = {
+    require(sampleMod >= 1, "sampleMod must be ≥ 1 (1 = no sampling)")
+    require(minShare > 0.0 && minShare <= 1.0, "minShare must be in (0, 1]")
+    require(rowIdCols.nonEmpty, "rowIdCols required (row-level sample identity)")
     val sampled =
       if (sampleMod > 1)
         df.where(pmod(xxhash64(rowIdCols.map(col): _*), lit(sampleMod)) === 0)

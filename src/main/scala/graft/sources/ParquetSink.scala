@@ -52,6 +52,9 @@ object ParquetSink {
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(aggExprs.head, aggExprs.tail: _*).head()
     val buckets = cols.zipWithIndex.map { case (c, i) =>
+      // an empty frame aggregates min/max to null → constant key
+      if (stats.isNullAt(2 * i)) lit(0L)
+      else {
       val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
       // degenerate constant column → bucket 0
       if (lo == hi) lit(0L)
@@ -59,6 +62,7 @@ object ParquetSink {
         floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(n.toDouble))
           .cast("long"),
         lit(n - 1))
+      }
     }
     (0 until bits).flatMap { b =>
       buckets.zipWithIndex.map { case (bk, ci) =>

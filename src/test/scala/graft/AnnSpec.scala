@@ -144,6 +144,24 @@ class AnnSpec extends SparkTestBase {
     assert(out.count() === 10L)
   }
 
+  test("PQ degenerate inputs: empty query → empty result, empty corpus → clear error") {
+    import graft.operators.Pq
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val cb = Pq.train(e, "vec_id", "embedding", m = 4, ksub = 8, iters = 0)
+    val none = e.where(col("vec_id") < 0)
+    val enc = Pq.encodeTable(e, "vec_id", "embedding", cb)
+    assert(Pq.pqTopK(enc, e, none, "vec_id", "embedding", 5, cb).count() === 0)
+    assert(Pq.ivfPqTopK(
+      Pq.encodeTableWithCells(e, "vec_id", "embedding", cb,
+        Ann.trainCentroids(e, "vec_id", "embedding", 4)),
+      e, none, "vec_id", "embedding", 5, cb,
+      Ann.trainCentroids(e, "vec_id", "embedding", 4), nprobe = 2).count() === 0)
+    val err = intercept[IllegalArgumentException] {
+      Pq.train(none, "vec_id", "embedding", m = 4, ksub = 8)
+    }
+    assert(err.getMessage.contains("no non-null vectors"))
+  }
+
   test("trainCentroids degrades gracefully on an empty frame") {
     val e = Tables.load(spark, sf0001, "embeddings")
     val cents = Ann.trainCentroids(e.where(col("vec_id") < 0),
