@@ -70,6 +70,26 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("bloom delete-insert: one broadcast anti join; kept branch is join-free") {
+    import graft.queries.EcommerceQueries
+    val plan = executed(EcommerceQueries.q45BloomDeleteInsert(spark, sf0001))
+    // the ONLY join is the anti join of the maybe-branch against the
+    // broadcast delta keys — the kept branch and the delta branch union
+    // in without joining, so the base never shuffles for the delete
+    assert(countOccurrences(plan, "Join") ===
+      countOccurrences(plan, "BroadcastHashJoin"), s"non-broadcast join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"missing anti join:\n$plan")
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom probe missing from the scan filters:\n$plan")
+  }
+
+  test("snapshot diff: one shuffle per side into a single sort-merge full outer") {
+    import graft.queries.EcommerceQueries
+    val plan = executed(EcommerceQueries.q50SnapshotDiff(spark, sf0001))
+    assert(plan.contains("FullOuter"), s"missing full outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("as-of join and sessionize shuffle once; running total reuses its window sort") {
     import graft.queries.AnalyticsQueries
     val asof = executed(AnalyticsQueries.q28AsofJoin(spark, sf0001))
