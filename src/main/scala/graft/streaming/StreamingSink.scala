@@ -27,6 +27,28 @@ import graft.operators.{Dedup, Incremental}
   */
 object StreamingSink {
 
+  /** Sketch-artifact sink — the streaming producer of
+    * [[graft.operators.Stats.sketchArtifacts]]: each micro-batch
+    * writes its per-(day, key) HLL artifacts under
+    * `artifactDir/batch_id=<id>`. A replayed batch OVERWRITES its own
+    * directory, so the log stays correct under foreachBatch's
+    * at-least-once contract (asserted by running the same feed twice
+    * in StreamingSinkSpec). Readers union the artifact log and
+    * [[graft.operators.Stats.mergeSketches]] it — cross-batch distinct
+    * counts without touching the event stream again, the streaming
+    * half of SURVEY §2 row 38. */
+  def sketchArtifactSink(updates: DataFrame, artifactDir: String,
+      keyCol: String, distinctCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Stats.sketchArtifacts(batch, keyCol, distinctCol)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$artifactDir/batch_id=$batchId")
+        ()
+      }
+
   /** Attach a foreachBatch upsert sink to `updates`. `targetDir` is
     * created on first batch; subsequent batches merge on `keyCols`
     * keep-last by `seqCol`. Rewrites the WHOLE target per batch — the

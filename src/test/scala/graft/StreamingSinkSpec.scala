@@ -116,6 +116,40 @@ class StreamingSinkSpec extends SparkTestBase {
     }
   }
 
+  test("sketch-artifact sink: merged artifacts equal exact distincts; replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketchsink")
+      .toFile.getAbsolutePath
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val feed = Seq(
+      Seq((ts("2024-01-01 10:00:00"), "click", 1L),
+        (ts("2024-01-01 11:00:00"), "click", 2L),
+        (ts("2024-01-01 12:00:00"), "view", 1L)),
+      Seq((ts("2024-01-01 13:00:00"), "click", 2L), // dup user, same day
+        (ts("2024-01-02 09:00:00"), "click", 3L)))
+    def run(): Unit = {
+      val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+      feed.foreach(b => input.addData(b))
+      val q = StreamingSink.sketchArtifactSink(
+        input.toDF().toDF("ts", "event_type", "user_id"),
+        dir, "event_type", "user_id").start()
+      try q.awaitTermination() finally q.stop()
+    }
+    run()
+    def merged = graft.operators.Stats
+      .mergeSketches(spark.read.parquet(dir), Seq("batch_date", "event_type"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val expected = Map( // exact distinct users per (day, type)
+      ("2024-01-01", "click") -> 2L, ("2024-01-01", "view") -> 1L,
+      ("2024-01-02", "click") -> 1L)
+    assert(merged === expected)
+    // replay: an identical run overwrites its own batch dirs — no drift
+    run()
+    assert(merged === expected)
+  }
+
   test("stream-static dim enrichment plans a broadcast join, no stream shuffle") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
