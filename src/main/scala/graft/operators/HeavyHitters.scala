@@ -1,0 +1,112 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.plans.GraftExtensions
+
+/** Count-min-sketch heavy hitters: exact "keys with count ≥ t" answers
+  * whose shuffle volume scales with the HEAVY rows, not the corpus.
+  *
+  * Reference: the per-source volume reports the pipeline runs after
+  * every load (misa_crm_loader.py:1125 batch stats; the row-count
+  * report query) — at 100 TB the interesting version of that report is
+  * "which keys dominate the feed", and a full groupBy to find them
+  * shuffles every row.
+  *
+  * Design (Cormode–Muthukrishnan 2005): one map-side pass folds the
+  * whole frame into a fixed-size mergeable sketch (`count_min_sketch`
+  * aggregate — partials combine in the tree, the driver sees ~1 MB
+  * regardless of cardinality). CMS error is ONE-SIDED (never
+  * undercounts), so probing each row's key against the broadcast
+  * sketch with the codegen'd [[graft.plans.CmsEstimate]] and keeping
+  * `est ≥ t` rows is a recall-exact pre-filter: on a skewed feed the
+  * surviving rows are ≈ the heavy keys' own rows + ε·N-noise keys, and
+  * only THOSE shuffle into the exact count that removes the
+  * overestimates. Output is bit-exact vs a full groupBy-HAVING
+  * (asserted in HeavyHittersSpec and the q51 DuckDB oracle).
+  *
+  * Keys fold through `xxhash64` (a collision only merges two keys'
+  * estimates upward — recall is preserved, the exact aggregate runs on
+  * the real key columns). Per-batch sketches are ARTIFACTS: persist
+  * them next to each load and cross-batch questions merge sketches
+  * (exact over sketch state — no rescan), the same discipline as
+  * [[Stats.sketchArtifacts]]' HLL unions.
+  */
+object HeavyHitters {
+
+  val DefaultEps = 1e-4        // additive error ≤ eps·N  (width 2/eps)
+  val DefaultConfidence = 0.99 // P(error bound holds)    (depth ln(1/δ))
+  val DefaultSeed = 42
+
+  private def cmsAgg(keys: Seq[Column], eps: Double, confidence: Double,
+      seed: Int): Column =
+    count_min_sketch(xxhash64(keys: _*), lit(eps), lit(confidence), lit(seed))
+
+  /** One serialized sketch over `xxhash64(keys)` of the whole frame —
+    * a driver-side artifact (~`2/eps · ln(1/(1−conf))` counters),
+    * built in one tree-aggregated pass. */
+  def keySketch(df: DataFrame, keys: Seq[String], eps: Double = DefaultEps,
+      confidence: Double = DefaultConfidence, seed: Int = DefaultSeed): Array[Byte] =
+    df.agg(cmsAgg(keys.map(col), eps, confidence, seed).as("sketch"))
+      .head.getAs[Array[Byte]]("sketch")
+
+  /** Per-batch mergeable sketch artifacts: one (batch_date, sketch,
+    * n_rows) row per day — metadata scale, persistable next to the
+    * batch like the HLL/theta artifacts. */
+  def batchArtifacts(df: DataFrame, tsCol: String, keys: Seq[String],
+      eps: Double = DefaultEps, confidence: Double = DefaultConfidence,
+      seed: Int = DefaultSeed): DataFrame =
+    df.groupBy(to_date(col(tsCol)).as("batch_date"))
+      .agg(cmsAgg(keys.map(col), eps, confidence, seed).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Merge serialized sketches (same eps/confidence/seed shape).
+    * CountMinSketch merge is cell-wise addition — estimates from the
+    * merged sketch are IDENTICAL to a direct sketch over the
+    * concatenated batches (asserted in HeavyHittersSpec), so per-batch
+    * artifacts lose nothing vs a rescan. */
+  def merge(sketches: Seq[Array[Byte]]): Array[Byte] = {
+    require(sketches.nonEmpty, "merge: no sketches")
+    val acc = CountMinSketch.readFrom(new ByteArrayInputStream(sketches.head))
+    sketches.tail.foreach { b =>
+      acc.mergeInPlace(CountMinSketch.readFrom(new ByteArrayInputStream(b)))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    acc.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Row-local frequency estimate of `keys` against a serialized
+    * sketch — never below the true count. In a vanilla session (no
+    * GraftExtensions) degrades to `Long.MaxValue`: every row survives
+    * the pre-filter and the exact aggregate alone carries the
+    * semantics (same results, no pruning) — the [[BloomPrune]]
+    * fallback discipline. */
+  def estimate(cms: Array[Byte], keys: Seq[Column]): Column =
+    if (GraftExtensions.nativeAvailable)
+      call_function("cms_estimate", lit(cms), xxhash64(keys: _*))
+    else lit(Long.MaxValue)
+
+  /** Exact heavy hitters from a prebuilt sketch: CMS-prune rows whose
+    * key cannot reach `minCount`, exact-count the survivors, drop the
+    * ε·N overestimates. Equals `groupBy(keys).count ≥ minCount`. */
+  def fromSketch(df: DataFrame, keys: Seq[String], minCount: Long,
+      cms: Array[Byte]): DataFrame = {
+    require(minCount >= 1, s"minCount must be ≥ 1, got $minCount")
+    df.where(estimate(cms, keys.map(col)) >= minCount)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") >= minCount)
+  }
+
+  /** Sketch + prune + exact verify in one call (two passes over the
+    * scan, ONE shuffle over only maybe-heavy rows). */
+  def heavyHitters(df: DataFrame, keys: Seq[String], minCount: Long,
+      eps: Double = DefaultEps, confidence: Double = DefaultConfidence,
+      seed: Int = DefaultSeed): DataFrame =
+    fromSketch(df, keys, minCount, keySketch(df, keys, eps, confidence, seed))
+}

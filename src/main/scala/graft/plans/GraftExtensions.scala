@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (args: Seq[Expression]) => CmsEstimate(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))

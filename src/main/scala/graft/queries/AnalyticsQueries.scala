@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Sessionize, Stats}
+import graft.operators.{AsOfJoin, HeavyHitters, Sessionize, Stats}
 
 /** SURVEY.md §2 rows 22–24: the analytical primitives a consumer of
   * the reference's staging schema runs downstream (attribution,
@@ -165,7 +165,21 @@ object AnalyticsQueries {
       .orderBy("event_type", "batch_date")
   }
 
+  /** New-in-r6 — §2 #41: exact heavy hitters (users with ≥ 80 events)
+    * via the count-min pre-filter: one tree-aggregated sketch pass,
+    * then only maybe-heavy rows shuffle into the exact count that
+    * drops the ε·N overestimates. Output is EXACT (CMS never
+    * undercounts, so recall is lossless), hence oracle-checkable as a
+    * plain GROUP BY / HAVING; the pruning payoff on a skewed feed is
+    * asserted separately on a Zipf corpus in HeavyHittersSpec. */
+  def q51HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    HeavyHitters.heavyHitters(t(s, dir, "events"), Seq("user_id"),
+        minCount = 80L)
+      .withColumnRenamed("n_rows", "n_events")
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_heavy_hitters" -> (q51HeavyHitters _),
     "q35_tumbling" -> (q35Tumbling _),
     "q46_sketch_merge" -> (q46SketchMerge _),
     "q49_retention" -> (q49Retention _),
@@ -244,6 +258,11 @@ object AnalyticsQueries {
       """SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q51_heavy_hitters" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id HAVING count(*) >= 80
+        |ORDER BY user_id""".stripMargin
   )
 }

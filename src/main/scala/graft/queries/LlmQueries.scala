@@ -275,7 +275,41 @@ object LlmQueries {
       .orderBy(desc("cos_sim"), col("vec_id"))
   }
 
+  /** Per-corpus IVF-PQ artifacts: the coarse quantizer's cell id riding
+    * next to the PQ codes — the cell-partitioned compact-codes layout
+    * (at 100 TB: `ParquetSink.writeIvfPartitioned` over this frame, so
+    * a probed query is a partition-pruned read of 32×-smaller codes). */
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def ivfPqEncoded(s: SparkSession, dir: String): DataFrame =
+    ivfPqCache.computeIfAbsent(dir, _ => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") =!= 7)
+      val (cb, _) = pqArtifacts(s, dir)
+      val enc = graft.operators.Pq.encodeTableWithCells(
+        e, "vec_id", "embedding", cb, q22Centroids(s, dir)).persist()
+      enc.count() // materialize once, outside any query timing
+      enc
+    })
+
+  /** New-in-r6 — §2 #39's full composition, benched as its own query:
+    * IVF cell pruning (probe 5 of 8 cells) over the PQ codes artifact,
+    * ADC-score only the probed cells' codes, exact re-rank of the
+    * survivors. The two prunings multiply: scan cost is
+    * (nprobe/k)·|corpus| rows of m-lookup ADC — the 100 TB query shape.
+    * Rows-only; recall@10 vs brute force asserted in AnnSpec. */
+  def q52IvfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val (cb, _) = pqArtifacts(s, dir)
+    val e = t(s, dir, "embeddings")
+    graft.operators.Pq.ivfPqTopK(ivfPqEncoded(s, dir),
+        e.where(col("vec_id") =!= 7), e.where(col("vec_id") === 7),
+        "vec_id", "embedding", k = 10, cb, q22Centroids(s, dir),
+        nprobe = 5, rerank = 5)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_ivfpq_ann" -> (q52IvfPqAnn _),
     "q47_pq_ann" -> (q47PqAnn _),
     "q37_minhash_portable" -> (q37MinhashPortable _),
     "q38_simhash_portable" -> (q38SimhashPortable _),
