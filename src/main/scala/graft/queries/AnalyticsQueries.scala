@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, HeavyHitters, Sessionize, Stats}
+import graft.operators.{AsOfJoin, HeavyHitters, RangeJoin, Sessionize, Stats}
 
 /** SURVEY.md §2 rows 22–24: the analytical primitives a consumer of
   * the reference's staging schema runs downstream (attribution,
@@ -178,7 +178,32 @@ object AnalyticsQueries {
       .withColumnRenamed("n_rows", "n_events")
       .orderBy("user_id")
 
+  /** New-in-r6 — §2 #42: interval attribution with NO equi key — every
+    * event falling inside any error event's 10-minute incident window,
+    * rolled up per incident. The naive `ON ts BETWEEN s AND e` join is
+    * a BroadcastNestedLoopJoin; [[RangeJoin.binnedIntervalJoin]] bins
+    * time at the window width so it runs as a shuffled equi-join on
+    * the bin id (no-BNLJ plan pinned in PlanAuditSpec). Overlapping
+    * windows each get their full event set independently. */
+  def q53RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 600000000L // 10 minutes
+    val ev = eventsUs(s, dir)
+    val incidents = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ts_us").as("s_us"),
+        (col("ts_us") + winUs).as("e_us"))
+    val pts = ev.select(col("event_id"), col("user_id"), col("value"),
+      col("ts_us"))
+    RangeJoin.binnedIntervalJoin(pts, "ts_us", incidents, "s_us", "e_us",
+        binUs = winUs)
+      .groupBy("incident_id")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("incident_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_range_join" -> (q53RangeJoin _),
     "q51_heavy_hitters" -> (q51HeavyHitters _),
     "q35_tumbling" -> (q35Tumbling _),
     "q46_sketch_merge" -> (q46SketchMerge _),
@@ -263,6 +288,16 @@ object AnalyticsQueries {
     "q51_heavy_hitters" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id HAVING count(*) >= 80
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q53_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, value, event_type, epoch_us(ts) AS us FROM events),
+        |inc AS (SELECT event_id AS incident_id, us AS s_us, us + 600000000 AS e_us
+        |        FROM e WHERE event_type = 'error')
+        |SELECT incident_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM inc JOIN e ON e.us >= s_us AND e.us < e_us
+        |GROUP BY incident_id ORDER BY incident_id""".stripMargin
   )
 }
