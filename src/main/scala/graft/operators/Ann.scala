@@ -74,6 +74,33 @@ object Ann {
       .limit(k)
   }
 
+  /** Batch k-NN join: top-k corpus neighbors for EVERY query row — the
+    * realistic retrieval shape (queries arrive as a table, not one
+    * vector at a time). Queries broadcast (Q ≪ corpus); each corpus
+    * row scores all Q queries MAP-SIDE (native `vec_dot` when
+    * registered), so the corpus is scanned exactly once and the
+    * |corpus|×Q score matrix is never shuffled: the rank-≤-k filter
+    * triggers Spark's WindowGroupLimit rewrite, capping each input
+    * partition at Q·k survivor rows before the single query_id
+    * exchange. At an IVF layout, pre-filter the corpus to the probed
+    * cells per query batch; this is the exact path those candidates
+    * feed. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val rk = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(desc("cos_sim"), col(idCol)))
+    corpus.crossJoin(q)
+      .withColumn("cos_sim", VectorFunctions.cosine(col(vecCol), col("__qv")))
+      .select(col("query_id"), col(idCol), col("cos_sim"))
+      .withColumn("__rk", rk)
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Deterministic hyperplanes from a seed. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -54,6 +54,16 @@ object HeavyHitters {
     df.agg(cmsAgg(keys.map(col), eps, confidence, seed).as("sketch"))
       .head.getAs[Array[Byte]]("sketch")
 
+  /** One-row (sketch, n_rows) frame over the whole df in a single
+    * tree-aggregated pass — the per-micro-batch artifact shape
+    * [[graft.streaming.StreamingSink.cmsArtifactSink]] persists. On an
+    * empty frame the sketch is null (filter before merging). */
+  def sketchAndCount(df: DataFrame, keys: Seq[String],
+      eps: Double = DefaultEps, confidence: Double = DefaultConfidence,
+      seed: Int = DefaultSeed): DataFrame =
+    df.agg(cmsAgg(keys.map(col), eps, confidence, seed).as("sketch"),
+      count(lit(1)).as("n_rows"))
+
   /** Per-batch mergeable sketch artifacts: one (batch_date, sketch,
     * n_rows) row per day — metadata scale, persistable next to the
     * batch like the HLL/theta artifacts. */

@@ -308,7 +308,50 @@ object LlmQueries {
       .orderBy(desc("cos_sim"), col("vec_id"))
   }
 
+  /** New-in-r6 — dup-GROUP clustering: near-dup pairs are a graph
+    * (A≈B and B≈C never imply A≈C), so "keep one copy per duplicate
+    * cluster" is connected components, not groupBy. Corpus = documents
+    * plus two half-fragments of every 7th doc: each original overlaps
+    * both its halves (J ≈ 0.36–0.48 ≥ 0.3) but the halves share no
+    * shingles (J ≈ 0) — clusters form ONLY through transitive merging,
+    * which the DuckDB recursive-CTE oracle replays. Pairs come from
+    * the prefix-filtered blocked Jaccard (q20's operator); components
+    * via alternating large-star/small-star ([[DupGroups]]); survivor =
+    * min id per cluster. */
+  def q54DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    val h = (size(toks) / 2).cast("int")
+    val seed = d.where(col("doc_id") % 7 === 3)
+    val firstHalf = seed.select((col("doc_id") + 10000).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), h)).as("text"), col("source"))
+    val secondHalf = seed.select((col("doc_id") + 20000).as("doc_id"),
+      concat_ws(" ", slice(toks, h + 1, size(toks) - h)).as("text"),
+      col("source"))
+    val corpus = d.select("doc_id", "text", "source")
+      .unionByName(firstHalf).unionByName(secondHalf)
+    val pairs = TextDedup.blockedJaccardPairs(corpus, "doc_id", "text",
+      blockCol = "source", n = 3, minJaccard = 0.3)
+    DupGroups.assignClusters(corpus, "doc_id", pairs, "doc_a", "doc_b")
+      .select(col("doc_id"), col("cluster"), col("is_keep"))
+      .orderBy("doc_id")
+  }
+
+  /** New-in-r6 — batch k-NN join: top-5 neighbors for EVERY query row
+    * (every 50th vector), one corpus scan, scores computed map-side
+    * against the broadcast query set, WindowGroupLimit capping the
+    * shuffle at Q·k rows per partition. */
+  def q55KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.knnJoin(e.where(col("vec_id") % 50 =!= 7),
+        e.where(col("vec_id") % 50 === 7), "vec_id", "embedding", k = 5)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+      .orderBy(col("query_id"), desc("cos_sim"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_dup_clusters" -> (q54DupClusters _),
+    "q55_knn_join" -> (q55KnnJoin _),
     "q52_ivfpq_ann" -> (q52IvfPqAnn _),
     "q47_pq_ann" -> (q47PqAnn _),
     "q37_minhash_portable" -> (q37MinhashPortable _),
@@ -338,6 +381,52 @@ object LlmQueries {
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q54_dup_clusters" ->
+      s"""WITH RECURSIVE w0 AS (SELECT doc_id, source, $toksSql AS w FROM documents),
+         |variants AS (
+         |  SELECT doc_id + 10000 AS doc_id, source,
+         |    array_to_string(w[1:len(w)//2], ' ') AS text FROM w0 WHERE doc_id % 7 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 20000 AS doc_id, source,
+         |    array_to_string(w[len(w)//2+1:len(w)], ' ') AS text FROM w0 WHERE doc_id % 7 = 3),
+         |corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL SELECT doc_id, source, text FROM variants),
+         |w AS (SELECT doc_id, source, $toksSql AS w FROM corpus),
+         |d3 AS (SELECT doc_id, source,
+         |  list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, greatest(len(w)-2, 1))]) AS shs FROM w),
+         |sh AS (SELECT doc_id, source, unnest(shs) AS sh FROM d3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.3),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT doc_id AS a, doc_id AS b FROM corpus
+         |  UNION SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b)
+         |SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS cluster,
+         |  (min(b) = a) AS is_keep
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "q55_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 7),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 7),
+        |s AS (SELECT query_id, vec_id,
+        |  list_sum(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+        |  / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))) AS cs
+        |  FROM c, q),
+        |r AS (SELECT query_id, vec_id, cs,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rk FROM s)
+        |SELECT query_id, vec_id, round(cs, 6) AS cos_sim FROM r WHERE rk <= 5
+        |ORDER BY query_id, round(cs, 6) DESC, vec_id""".stripMargin,
+
     "q37_minhash_portable" ->
       s"""WITH perms(i, a, b) AS (VALUES $permsValues),
          |w AS (SELECT doc_id, $toksSql AS w FROM documents),

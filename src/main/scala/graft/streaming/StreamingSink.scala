@@ -49,6 +49,35 @@ object StreamingSink {
         ()
       }
 
+  /** Count-min-sketch artifact sink — the streaming producer of
+    * [[graft.operators.HeavyHitters]] state (SURVEY §7's round-7
+    * candidate): each micro-batch folds into ONE fixed-size CMS row
+    * (sketch binary + row count) under `artifactDir/batch_id=<id>`.
+    * Replayed batches overwrite their own directory (idempotent under
+    * foreachBatch's at-least-once contract, asserted in
+    * StreamingSinkSpec). "Heavy keys over the whole stream so far" is
+    * then [[graft.operators.HeavyHitters.merge]] over the artifact
+    * log + one CMS-pruned exact pass over the target table — never a
+    * full re-aggregation of the stream, and the streaming state is
+    * ~1 MB per batch regardless of key cardinality (a
+    * mapGroupsWithState per-key counter would hold every key ever
+    * seen). */
+  def cmsArtifactSink(updates: DataFrame, artifactDir: String,
+      keys: Seq[String], eps: Double = graft.operators.HeavyHitters.DefaultEps,
+      confidence: Double = graft.operators.HeavyHitters.DefaultConfidence)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.HeavyHitters
+          .sketchAndCount(batch, keys, eps, confidence)
+          .where(col("sketch").isNotNull) // empty batch → no artifact row
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$artifactDir/batch_id=$batchId")
+        ()
+      }
+
   /** Attach a foreachBatch upsert sink to `updates`. `targetDir` is
     * created on first batch; subsequent batches merge on `keyCols`
     * keep-last by `seqCol`. Rewrites the WHOLE target per batch — the

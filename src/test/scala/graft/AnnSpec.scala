@@ -236,4 +236,38 @@ class AnnSpec extends SparkTestBase {
     // the Lloyd mean is over the full-length rows ONLY
     assert(cents.head.toSeq == Seq(3.0, 4.0, 5.0, 6.0))
   }
+
+  test("knnJoin: per-query results equal per-query brute force") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = e.where(col("vec_id") % 100 === 3)
+    val corpus = e.where(col("vec_id") % 100 =!= 3)
+    val got = Ann.knnJoin(corpus, queries, "vec_id", "embedding", k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(_.getLong(1)).toSeq
+      }
+    val qIds = queries.select("vec_id").collect().map(_.getLong(0))
+    assert(got.keySet === qIds.toSet, "every query must get results")
+    for (qid <- qIds.take(3)) { // spot-check vs single-query brute force
+      val expect = Ann.bruteForceTopK(corpus,
+          e.where(col("vec_id") === qid), "vec_id", "embedding", k = 5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got(qid) === expect, s"query $qid")
+    }
+    assert(got.values.forall(_.length == 5))
+  }
+
+  test("knnJoin plan: broadcast queries, WindowGroupLimit, one exchange") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val plan = Ann.knnJoin(e.where(col("vec_id") % 100 =!= 3),
+        e.where(col("vec_id") % 100 === 3), "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast, not shuffle:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must prune before the exchange:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges:\n$plan")
+  }
 }

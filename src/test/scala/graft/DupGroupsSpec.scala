@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DupGroups
+
+/** Connected-components dup clustering: correctness vs a brute-force
+  * union-find on every graph shape that breaks naive approaches
+  * (chains, merged stars, cycles), determinism, and the distributed
+  * discipline (no collect of members, converges in few rounds). */
+class DupGroupsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bruteComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to the true minimum of each set
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => ns.map(_ -> ns.min) }
+  }
+
+  private def ccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    DupGroups.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("chains merge transitively (the shape groupBy cannot handle)") {
+    // 1-2, 2-3, 3-4: no pair (1,4) exists, yet all are one cluster
+    val got = ccMap(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("matches union-find truth on chains, cycles, merged stars, isolates") {
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L),           // triangle
+      (20L, 25L), (21L, 25L), (22L, 25L), (25L, 3L), // star bridged to 3
+      (3L, 2L),                                      // ...chained lower
+      (40L, 41L), (43L, 42L), (41L, 43L),            // two edges merged late
+      (99L, 98L))                                    // plain pair
+    assert(ccMap(pairs) === bruteComponents(pairs))
+  }
+
+  test("self-pairs and duplicate/reversed pairs are harmless") {
+    val got = ccMap(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L)))
+    assert(got === Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty pair set yields empty assignment") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DupGroups.connectedComponents(empty, "a", "b").isEmpty)
+  }
+
+  test("random graphs match union-find truth") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 30
+      val pairs = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)
+      assert(ccMap(pairs) === bruteComponents(pairs), s"trial $trial")
+    }
+  }
+
+  test("assignClusters: every doc labeled; survivors = min per cluster") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "i"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = DupGroups.assignClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .select("doc_id", "cluster", "is_keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 1L, true), (2L, 2L, true), (3L, 2L, false), (4L, 2L, false),
+      (9L, 9L, true)))
+    // filter(is_keep) IS the dedup: one survivor per cluster + isolates
+    assert(got.count(_._3) === 3)
+  }
+
+  test("no per-component row materialization: output stays (node, comp) rows") {
+    // a 200-member component must come back as 200 rows, never an array
+    val pairs = (1L until 200L).map(i => (i, i + 1))
+    val out = DupGroups.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+    assert(out.schema.fields.forall(!_.dataType.typeName.contains("array")))
+    val rows = out.as[(Long, Long)].collect()
+    assert(rows.length === 200 && rows.forall(_._2 == 1L))
+  }
+}

@@ -150,6 +150,38 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(merged === expected)
   }
 
+  test("CMS-artifact sink: merged sketches give exact heavy hitters; replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmssink")
+      .toFile.getAbsolutePath
+    val feed = Seq(
+      (1 to 30).map(i => ("hot", i.toLong)) ++ Seq(("warm", 1L), ("cold", 2L)),
+      (1 to 25).map(i => ("warm", 100L + i)) ++ Seq(("hot", 99L)))
+    def run(): Unit = {
+      val input = MemoryStream[(String, Long)]
+      feed.foreach(b => input.addData(b))
+      val q = StreamingSink.cmsArtifactSink(
+        input.toDF().toDF("k", "v"), dir, Seq("k")).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def heavies(): Map[String, Long] = {
+      val log = spark.read.parquet(dir)
+      assert(log.agg(sum("n_rows")).head.getLong(0) === feed.map(_.size).sum)
+      val merged = graft.operators.HeavyHitters.merge(
+        log.select("sketch").collect().map(_.getAs[Array[Byte]](0)).toSeq)
+      graft.operators.HeavyHitters
+        .fromSketch(feed.flatten.toDF("k", "v"), Seq("k"), 25L, merged)
+        .as[(String, Long)].collect().toMap
+    }
+    run()
+    // exact over the full stream: hot=31, warm=26, cold=1 pruned
+    assert(heavies() === Map("hot" -> 31L, "warm" -> 26L))
+    // replay: identical run overwrites its own batch dirs — no drift
+    run()
+    assert(heavies() === Map("hot" -> 31L, "warm" -> 26L))
+  }
+
   test("stream-static dim enrichment plans a broadcast join, no stream shuffle") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
