@@ -44,6 +44,44 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Deterministic per-group quota: keep at most `n` rows per group,
+    * chosen by md5-rank of the row id — the corpus-balancing cap
+    * ("no source may contribute more than N docs") with the same
+    * re-run-stable, engine-portable discipline as [[hashSplit]]. The
+    * rank-≤-n filter triggers Spark's WindowGroupLimit rewrite: each
+    * input partition pre-prunes to n·|groups| rows before the single
+    * group exchange, so a 10⁹-doc source ships n rows, not 10⁹. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val rk = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*)
+        .orderBy(md5(col(idCol).cast("string")), col(idCol)))
+    df.withColumn("__rk", rk).where(col("__rk") <= n).drop("__rk")
+  }
+
+  /** Greedy token-budget shard packing: within each group (split,
+    * source, …) rows are ordered by the md5 discipline and assigned
+    * `shard = floor(tokens_before / budget)` — the shard whose budget
+    * window the doc's running start falls in. Every doc lands in
+    * exactly one shard, shard sizes hover at ~budget tokens (one doc
+    * may straddle a boundary; an over-budget doc gets its own shard,
+    * never dropped), and the whole packing is ONE exchange+sort per
+    * group — the sequence-packing step that turns a cleaned corpus
+    * into training shards. Deterministic: a re-run (or a different
+    * partitioning) packs identically. */
+  def packByBudget(df: DataFrame, groupCols: Seq[String], idCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+    df.withColumn("shard", floor(before / budget).cast("long"))
+  }
+
   /** Seeded per-stratum sampling (e.g. balance sources or languages in
     * a training mix): keeps ~`fractions(stratum)` of each stratum,
     * deterministic under the seed via the same md5 discipline (id and

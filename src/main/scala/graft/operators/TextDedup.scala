@@ -52,6 +52,33 @@ object TextDedup {
     else
       transform(shingles(textCol, n), s => xxhash64(s))
 
+  /** Benchmark decontamination: flag corpus docs sharing ≥ `minOverlap`
+    * distinct n-gram shingles with ANY benchmark doc — the eval-set
+    * leak check every training corpus runs before release. The
+    * benchmark's distinct shingle set is tiny next to the corpus
+    * (eval suites are thousands of docs, the corpus billions), so it
+    * BROADCASTS: the corpus postings probe it in a broadcast hash
+    * join with zero corpus shuffle, the per-doc overlap count is a
+    * map-side-combinable groupBy on the doc id, and clean docs (the
+    * overwhelming majority) never enter the aggregate at all — they
+    * re-join with overlap 0 via the final left join. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 3,
+      minOverlap: Int = 1): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val benchSh = bench
+      .select(explode(shingleHashes64(col(benchTextCol), n)).as("sh"))
+      .distinct()
+    val docSh = corpus.select(col(idCol).as("__id"),
+      explode(shingleHashes64(col(textCol), n)).as("sh"))
+    val overlaps = docSh.join(broadcast(benchSh), "sh")
+      .groupBy("__id").agg(count(lit(1)).as("n_overlap"))
+    corpus.join(overlaps, corpus(idCol) === overlaps("__id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("is_contaminated", col("n_overlap") >= minOverlap)
+      .drop("__id")
+  }
+
   /** Prefix-filtered postings: (doc, block, sz, sh), keeping per doc
     * only its |S| − ⌈t·|S|⌉ + 1 rarest shingles under the global
     * (block-local) order (document frequency asc, hash asc).

@@ -349,7 +349,44 @@ object LlmQueries {
       .orderBy(col("query_id"), desc("cos_sim"), col("vec_id"))
   }
 
+  /** New-in-r6 — benchmark decontamination: docs sharing ≥ 5 distinct
+    * trigram shingles with the "eval set" (every 31st doc) are flagged.
+    * The benchmark shingle set broadcasts; the corpus never shuffles
+    * (map-side probe + combinable per-doc count). At sf0.01: 366/500
+    * docs share ≥1 boilerplate shingle, 36 cross the ≥5 bar — the
+    * threshold separates template noise from real leakage. */
+  def q56Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextDedup.decontaminate(d, "doc_id", "text",
+        d.where(col("doc_id") % 31 === 5), "text", n = 3, minOverlap = 5)
+      .select(col("doc_id"), col("n_overlap"), col("is_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** New-in-r6 — per-source quota cap: at most 20 docs per source,
+    * picked by md5-rank (re-run-stable); WindowGroupLimit prunes each
+    * partition to n·|groups| rows before the one exchange. */
+  def q57QuotaSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(t(s, dir, "documents"), Seq("source"), "doc_id", 20)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  /** New-in-r6 — token-budget shard packing over the hash split:
+    * greedy 2000-token shards per split, one exchange+sort per group;
+    * reported as per-shard doc/token totals. */
+  def q58TokenPack(s: SparkSession, dir: String): DataFrame = {
+    val sp = Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+    Sampling.packByBudget(sp, Seq("split"), "doc_id", "n_tokens", 2000L)
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("split", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_decontaminate" -> (q56Decontaminate _),
+    "q57_quota_sample" -> (q57QuotaSample _),
+    "q58_token_pack" -> (q58TokenPack _),
     "q54_dup_clusters" -> (q54DupClusters _),
     "q55_knn_join" -> (q55KnnJoin _),
     "q52_ivfpq_ann" -> (q52IvfPqAnn _),
@@ -381,6 +418,35 @@ object LlmQueries {
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q56_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |d3 AS (SELECT doc_id,
+         |  list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, greatest(len(w)-2, 1))]) AS shs FROM w),
+         |sh AS (SELECT doc_id, unnest(shs) AS s FROM d3),
+         |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 31 = 5),
+         |ov AS (SELECT sh.doc_id, count(*) AS n_overlap FROM sh JOIN bsh USING (s) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  coalesce(ov.n_overlap, 0) >= 5 AS is_contaminated
+         |FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q57_quota_sample" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) <= 20
+        |ORDER BY doc_id""".stripMargin,
+
+    "q58_token_pack" ->
+      s"""WITH b AS (SELECT doc_id, text, ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 AS bkt FROM documents),
+         |s AS (SELECT doc_id, text, CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split FROM b),
+         |tok AS (SELECT doc_id, split,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens FROM s),
+         |packed AS (SELECT split, doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY md5(doc_id::VARCHAR), doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before FROM tok)
+         |SELECT split, CAST(tokens_before // 2000 AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM packed GROUP BY 1, 2 ORDER BY split, shard""".stripMargin,
+
     "q54_dup_clusters" ->
       s"""WITH RECURSIVE w0 AS (SELECT doc_id, source, $toksSql AS w FROM documents),
          |variants AS (

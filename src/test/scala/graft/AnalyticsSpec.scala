@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Sessionize, Stats}
+import graft.operators.{AsOfJoin, Sampling, Sessionize, Stats, TextDedup}
 import graft.queries.AnalyticsQueries
 
 /** As-of join, sessionization, top-n per group — semantics on
@@ -160,6 +160,83 @@ class AnalyticsSpec extends SparkTestBase {
       .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(math.abs(c("train").toDouble / n - 0.8) < 0.05,
       s"train share with buckets=200: ${c("train")}/$n")
+  }
+
+  test("capPerGroup: exact quota per group, deterministic, WindowGroupLimit") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val capped = Sampling.capPerGroup(docs, Seq("source"), "doc_id", 7)
+    val perGroup = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, n) =>
+      assert(perGroup(src) === math.min(n, 7L), s"source $src")
+    }
+    // re-run keeps the SAME rows (md5 discipline, not rand)
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.capPerGroup(docs, Seq("source"), "doc_id", 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"quota must pre-prune per partition:\n$plan")
+  }
+
+  test("packByBudget: every doc in one shard, shards fill to ~budget, stable") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+    val packed = Sampling.packByBudget(docs, Seq("source"), "doc_id",
+      "n_tokens", budget = 500L)
+    assert(packed.count() === docs.count()) // nothing dropped
+    val shards = packed.groupBy("source", "shard")
+      .agg(sum("n_tokens").as("tok")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // packing invariant: the cumulative token total through every
+    // NON-final shard has crossed that shard's budget boundary —
+    // shard sh only closes once a doc starts at/past (sh+1)·budget
+    shards.groupBy(_._1).foreach { case (src, rs) =>
+      val totals = rs.sortBy(_._2).map(_._3)
+      val last = rs.map(_._2).max
+      // shard ids contiguous from 0
+      assert(rs.map(_._2).toSet === (0L to last).toSet, s"gaps in $src shards")
+      totals.scanLeft(0L)(_ + _).tail.zipWithIndex.dropRight(1)
+        .foreach { case (cum, sh) =>
+          assert(cum >= (sh + 1) * 500L,
+            s"shard $src/$sh closed before its boundary: cumulative $cum")
+        }
+    }
+    // deterministic under repartition
+    val repacked = Sampling.packByBudget(docs.repartition(13), Seq("source"),
+        "doc_id", "n_tokens", 500L)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    packed.select("doc_id", "shard").collect()
+      .foreach(r => assert(repacked(r.getLong(0)) === r.getLong(1)))
+  }
+
+  test("decontaminate: planted leaks flagged, clean docs zero, bench broadcasts") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // = bench doc
+      (2L, "alpha beta gamma delta iota kappa lambda mu"),   // 2 shared shingles
+      (3L, "nu xi omicron pi rho sigma tau upsilon"),        // clean
+      (4L, "unrelated words entirely different from others here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("bid", "btext")
+    val out = TextDedup.decontaminate(corpus, "doc_id", "text",
+        bench, "btext", n = 3, minOverlap = 2)
+      .select("doc_id", "n_overlap", "is_contaminated")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) === ((6L, true)))  // all 6 shingles shared
+    assert(out(2L) === ((2L, true)))  // prefix shingles shared
+    assert(out(3L) === ((0L, false)))
+    assert(out(4L) === ((0L, false)))
+    val plan = TextDedup.decontaminate(corpus, "doc_id", "text",
+      bench, "btext", 3, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench shingles must broadcast:\n$plan")
   }
 
   test("stratifiedSample: per-stratum rates honor fractions, seeded-deterministic") {
