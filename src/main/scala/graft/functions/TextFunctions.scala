@@ -68,11 +68,49 @@ object TextFunctions {
     * constant factor). Pure regexp_count: codegen'd, row-local. */
   val BpeishPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
 
+  /** Fraction of tokens that are repeats (1 − distinct/total) — the
+    * Gopher/MassiveText "duplicate token fraction" repetition signal.
+    * Row-local; 0 for empty text. */
+  def dupTokenFraction(c: Column): Column = {
+    val toks = tokens(c)
+    when(length(trim(c)) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(toks)).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"))
+  }
+
+  /** Share of all positional word n-grams taken by the single most
+    * frequent one — the Gopher "top n-gram fraction" boilerplate
+    * signal (a doc that is one sentence looped scores near 1).
+    * Per-row HOF over the n-gram array: count each distinct n-gram's
+    * occurrences and take the max — O(|distinct|·|S|) per row, fine at
+    * document lengths and fully engine-portable (no hashing). */
+  def topNgramFraction(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val top = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    when(length(trim(c)) === 0, lit(0.0))
+      .otherwise(top.cast("double") / greatest(size(grams), lit(1)).cast("double"))
+  }
+
   def bpeishTokenCount(c: Column): Column =
     regexp_count(c, lit(BpeishPattern)).cast("bigint")
 
   /** Cross-engine-stable token hash: first 8 hex chars of md5 → bigint.
     * (xxhash64 is Spark-private; md5 reproduces in any engine.) */
+  /** PII patterns kept to simple character classes so Java regex
+    * (Spark) and RE2 (DuckDB) agree byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Scrub emails then IPv4s to typed placeholders — the pre-release
+    * PII pass every published corpus runs. Row-local, codegen'd
+    * regexp_replace chain; no shuffle, no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+
   def tokenHashMd5(t: Column): Column =
     conv(substring(md5(t), 1, 8), 16, 10).cast("long")
 

@@ -383,7 +383,44 @@ object LlmQueries {
       .orderBy("split", "shard")
   }
 
+  /** New-in-r6 — Gopher/MassiveText repetition filters: duplicate-token
+    * fraction and top-2/3-gram share, plus the combined flag. Pure
+    * row-local Column HOFs (no hashing — both engines compute on the
+    * literal n-gram strings), thresholds applied to the rounded values
+    * on both sides. */
+  def q59Repetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextFunctions.dupTokenFraction(col("text")), 6).as("dup_token_frac"),
+        round(TextFunctions.topNgramFraction(col("text"), 2), 6).as("top2_frac"),
+        round(TextFunctions.topNgramFraction(col("text"), 3), 6).as("top3_frac"))
+      .withColumn("is_repetitive",
+        col("dup_token_frac") > 0.4 || col("top2_frac") > 0.2)
+      .orderBy("doc_id")
+
+  /** New-in-r6 — PII scrub before release: deterministic synthetic
+    * contact lines injected per doc, then the email→IPv4 redaction
+    * chain; counts from the pre-redaction text, output verified via
+    * md5 of the redacted text (bit-exact across engines — the regex
+    * subset is Java/RE2-portable). */
+  def q60PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = t(s, dir, "documents").withColumn("text2",
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from host 10.0."),
+        (col("doc_id") % 200).cast("string"), lit(".25")))
+    withPii.select(
+        col("doc_id"),
+        regexp_count(col("text2"), lit(TextFunctions.EmailRe))
+          .cast("long").as("n_emails"),
+        regexp_count(col("text2"), lit(TextFunctions.Ipv4Re))
+          .cast("long").as("n_ips"),
+        md5(TextFunctions.redactPii(col("text2"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_repetition" -> (q59Repetition _),
+    "q60_pii_redact" -> (q60PiiRedact _),
     "q56_decontaminate" -> (q56Decontaminate _),
     "q57_quota_sample" -> (q57QuotaSample _),
     "q58_token_pack" -> (q58TokenPack _),
@@ -418,6 +455,34 @@ object LlmQueries {
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q59_repetition" ->
+      s"""WITH w AS (SELECT doc_id, text, $toksSql AS w FROM documents),
+         |g AS (SELECT doc_id, text, w,
+         |  [concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, greatest(len(w)-1, 1))] AS g2,
+         |  [concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, greatest(len(w)-2, 1))] AS g3 FROM w),
+         |m AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1) END AS dup_frac,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+         |       ELSE CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / greatest(len(g2), 1) END AS t2,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+         |       ELSE CAST(list_max(list_transform(list_distinct(g3), x -> len(list_filter(g3, y -> y = x)))) AS DOUBLE) / greatest(len(g3), 1) END AS t3
+         |  FROM g)
+         |SELECT doc_id, round(dup_frac, 6) AS dup_token_frac, round(t2, 6) AS top2_frac,
+         |  round(t3, 6) AS top3_frac,
+         |  (round(dup_frac, 6) > 0.4 OR round(t2, 6) > 0.2) AS is_repetitive
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q60_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail.example.com from host 10.0.' || (doc_id % 200) || '.25' AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "q56_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
          |d3 AS (SELECT doc_id,

@@ -45,4 +45,33 @@ class TextFunctionsSpec extends SparkTestBase {
       .select(TextFunctions.tokenHashMd5(col("t")).as("h")).head().getLong(0)
     assert(f(3) == solo, "single-token fingerprint is the token hash")
   }
+
+  test("repetition metrics: looped text scores high, varied text low") {
+    val df = Seq(
+      "spam spam spam spam spam spam",            // pure loop
+      "buy now click here buy now click here",    // looped 4-gram
+      "each word appears exactly once here today", // no repetition
+      ""                                          // empty
+    ).toDF("t").select(
+      TextFunctions.dupTokenFraction(col("t")).as("dup"),
+      TextFunctions.topNgramFraction(col("t"), 2).as("t2"))
+    val rows = df.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows(0)._1 > 0.8 && rows(0)._2 === 1.0) // "spam spam" is every 2-gram
+    assert(rows(1)._1 === 0.5 && rows(1)._2 > 0.2) // each 2-gram ~twice
+    assert(rows(2)._1 === 0.0 && rows(2)._2 < 0.2)
+    assert(rows(3) === ((0.0, 0.0)))
+  }
+
+  test("redactPii scrubs emails and IPv4s, leaves clean text alone") {
+    val df = Seq(
+      "reach me at jo.doe+x@sub.example.org or 10.0.200.25 thanks",
+      "no pii in this sentence at all",
+      "not an ip 1234.5.6.7890 and not an email a@b"
+    ).toDF("t").select(TextFunctions.redactPii(col("t")).as("r"))
+    val r = df.collect().map(_.getString(0))
+    assert(r(0) === "reach me at <EMAIL> or <IP> thanks")
+    assert(r(1) === "no pii in this sentence at all")
+    // word-boundary + TLD guards: neither pattern fires
+    assert(r(2) === "not an ip 1234.5.6.7890 and not an email a@b")
+  }
 }
