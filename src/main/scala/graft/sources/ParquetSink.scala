@@ -37,6 +37,46 @@ object ParquetSink {
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** Small-file compaction: bin-pack a directory's parquet files into
+    * ~`targetBytes` outputs — the periodic maintenance pass every
+    * streaming/incremental sink needs (each micro-batch appends a few
+    * small files; a month later the scan pays per-file open cost and
+    * the NameNode/listing pays the metadata). Without `sortCols` the
+    * rewrite is `coalesce` — NO shuffle, input files are concatenated
+    * partition-local; with `sortCols` it re-clusters via range
+    * repartition + in-partition sort (restoring min/max skipping that
+    * interleaved appends destroyed). Published via the same staged
+    * [[atomicReplace]] swap as every other rewrite — readers never see
+    * a partial directory. Returns (filesBefore, filesAfter). */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long,
+      sortCols: Seq[String] = Nil): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(dir, true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = parts(p)
+    val nOut = math.max(1, math.ceil(
+      before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    atomicReplace(spark, path) { staging =>
+      val df = spark.read.parquet(path)
+      val packed =
+        if (sortCols.isEmpty) df.coalesce(nOut)
+        else df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      packed.write.mode(SaveMode.Overwrite).parquet(staging)
+    }
+    (before.size, parts(p).size)
+  }
+
   /** Morton (Z-order) key over 2+ numeric columns: each value is
     * scaled to a `bits`-wide bucket between the column's observed
     * min/max, and bucket bits are interleaved — points close in the

@@ -81,6 +81,16 @@ class DupGroupsSpec extends SparkTestBase {
     assert(got.count(_._3) === 3)
   }
 
+  test("worst-case diameter: a 2000-node path converges within maxIter") {
+    // a path is the adversarial shape for label propagation (diameter
+    // n−1, where plain min-propagation needs n rounds); alternating
+    // star contraction must close it in O(log² n) — the require()
+    // inside connectedComponents fails this test if it does not
+    val pairs = (1L until 2000L).map(i => (i, i + 1))
+    val out = ccMap(pairs)
+    assert(out.size === 2000 && out.values.forall(_ == 1L))
+  }
+
   test("no per-component row materialization: output stays (node, comp) rows") {
     // a 200-member component must come back as 200 rows, never an array
     val pairs = (1L until 200L).map(i => (i, i + 1))

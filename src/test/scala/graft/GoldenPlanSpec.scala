@@ -77,4 +77,12 @@ class GoldenPlanSpec extends SparkTestBase {
   // shape assertions instead of a text snapshot.
   snapshot("q44_scd2_history", EcommerceQueries.q44ScdHistory(spark, sf0001))
   snapshot("q48_point_in_time", EcommerceQueries.q48PointInTime(spark, sf0001))
+  // late-r6: the k-NN join must keep its broadcast queries +
+  // WindowGroupLimit shape (a flip to a shuffled join or a lost group
+  // limit makes the |corpus|×Q matrix shuffle); the quota cap must
+  // keep WindowGroupLimit; decontamination must keep the benchmark
+  // side broadcast.
+  snapshot("q55_knn_join", LlmQueries.q55KnnJoin(spark, sf0001))
+  snapshot("q57_quota_sample", LlmQueries.q57QuotaSample(spark, sf0001))
+  snapshot("q56_decontaminate", LlmQueries.q56Decontaminate(spark, sf0001))
 }

@@ -108,6 +108,39 @@ class SkewAndSinkSpec extends SparkTestBase {
     assert(ranges.length == 4)
   }
 
+  test("compactSmallFiles: file count collapses, data identical, clustering restorable") {
+    val dir = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // simulate a month of tiny micro-batch appends: 24 small files
+    orders.repartition(24).write.mode("overwrite").parquet(dir)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (nBefore, nAfter) =
+      ParquetSink.compactSmallFiles(spark, dir, targetBytes = bytes / 2)
+    assert(nBefore === 24)
+    assert(nAfter <= 3, s"expected <=3 files after compaction, got $nAfter")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === orders.count())
+    assert(back.agg(count(lit(1)), sum("o_custkey")).head ===
+      orders.agg(count(lit(1)), sum("o_custkey")).head)
+    // sorted variant restores per-file key ranges for min/max skipping
+    // (target re-derived from the compacted size so >=2 files remain)
+    val bytesNow = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (_, nSorted) = ParquetSink.compactSmallFiles(spark, dir,
+      targetBytes = math.max(1L, bytesNow / 3), sortCols = Seq("o_orderkey"))
+    val ranges = spark.read.parquet(dir)
+      .select(col("o_orderkey"), input_file_name().as("f"))
+      .groupBy("f").agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(nSorted >= 2, "need >=2 files to prove disjoint ranges")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping file key ranges: $ranges")
+    case _ => ()
+    }
+  }
+
   test("z-ordered layout: files skippable on BOTH columns; linear sort on one only") {
     // single deterministic input partition: repartitionByRange samples
     // its boundaries per input partition, so a suite-order-dependent
