@@ -70,29 +70,39 @@ object TextFunctions {
 
   /** Fraction of tokens that are repeats (1 − distinct/total) — the
     * Gopher/MassiveText "duplicate token fraction" repetition signal.
-    * Row-local; 0 for empty text. */
+    * Row-local; 0 for empty text. The token array is bound ONCE as a
+    * lambda value (`transform(array(x), ts => …)`) so the expression
+    * stays linear even when an optimizer rule inlines it into a
+    * filter predicate and evaluation falls back to interpreted mode
+    * (no common-subexpression caching there). */
   def dupTokenFraction(c: Column): Column = {
-    val toks = tokens(c)
-    when(length(trim(c)) === 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(toks)).cast("double") /
-        greatest(size(toks), lit(1)).cast("double"))
+    val frac = transform(array(tokens(c)), ts =>
+      lit(1.0) - size(array_distinct(ts)).cast("double") /
+        greatest(size(ts), lit(1)).cast("double"))
+    when(length(trim(c)) === 0, lit(0.0)).otherwise(element_at(frac, 1))
   }
 
   /** Share of all positional word n-grams taken by the single most
     * frequent one — the Gopher "top n-gram fraction" boilerplate
     * signal (a doc that is one sentence looped scores near 1).
     * Per-row HOF over the n-gram array: count each distinct n-gram's
-    * occurrences and take the max — O(|distinct|·|S|) per row, fine at
-    * document lengths and fully engine-portable (no hashing). */
+    * occurrences and take the max — O(|distinct|·|S|) comparisons per
+    * row, fine at document lengths and fully engine-portable (no
+    * hashing). The gram ARRAY is bound once as a lambda value: naively
+    * referencing the gram-construction expression from inside the
+    * per-distinct-gram lambda re-builds the whole array per outer
+    * element under interpreted eval (predicate-pushdown inlines this
+    * into filters, where codegen can bail on expression size) —
+    * measured 88× slower on q61's gate before the binding. */
   def topNgramFraction(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    val grams = transform(
+    val gramsExpr = transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    val top = array_max(transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g))))
-    when(length(trim(c)) === 0, lit(0.0))
-      .otherwise(top.cast("double") / greatest(size(grams), lit(1)).cast("double"))
+    val frac = transform(array(gramsExpr), gs =>
+      array_max(transform(array_distinct(gs), g => size(filter(gs, x => x === g))))
+        .cast("double") / greatest(size(gs), lit(1)).cast("double"))
+    when(length(trim(c)) === 0, lit(0.0)).otherwise(element_at(frac, 1))
   }
 
   def bpeishTokenCount(c: Column): Column =

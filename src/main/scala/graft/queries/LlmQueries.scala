@@ -418,7 +418,45 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** New-in-r6 — the END-TO-END corpus-cleaning pipeline in one plan:
+    * two simulated crawls → quality/lang/repetition gates → exact
+    * dedup (keep-min) → benchmark decontamination → deterministic
+    * split → 1000-token shard packing → per-shard totals. Every stage
+    * is one of the library's oracle-checked operators; the composed
+    * DuckDB oracle replays the whole pipeline bit-for-bit (600 docs →
+    * 203 survivors at sf0.01 — each gate cuts real mass). One corpus
+    * scan feeds the gates; the only shuffles are the dedup hash, the
+    * decontamination count, and the per-split pack — nothing
+    * quadratic, nothing collected. */
+  def q61CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val crawl = d.select("doc_id", "text", "source").unionByName(
+      d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("source")))
+    val scored = crawl
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .withColumn("quality", round(TextFunctions.qualityScore(col("text")), 6))
+      .withColumn("t2", round(TextFunctions.topNgramFraction(col("text"), 2), 6))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+    val filtered = scored.where(col("lang_pred") === "en" &&
+      col("quality") >= 0.75 && col("t2") <= 0.2)
+    val deduped = Dedup.keepFirst(
+      filtered.withColumn("text_hash",
+        md5(TextFunctions.normalizeText(col("text")))),
+      Seq("text_hash"), Seq(col("doc_id")))
+    val clean = TextDedup.decontaminate(deduped, "doc_id", "text",
+        d.where(col("doc_id") % 31 === 5), "text", n = 3, minOverlap = 5)
+      .where(!col("is_contaminated"))
+    val sp = Sampling.hashSplit(clean, "doc_id")
+    Sampling.packByBudget(sp, Seq("split"), "doc_id", "n_tokens", 1000L)
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("split", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_corpus_pipeline" -> (q61CorpusPipeline _),
     "q59_repetition" -> (q59Repetition _),
     "q60_pii_redact" -> (q60PiiRedact _),
     "q56_decontaminate" -> (q56Decontaminate _),
@@ -455,6 +493,66 @@ object LlmQueries {
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q61_corpus_pipeline" ->
+      """WITH crawl AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text, source FROM documents WHERE doc_id % 5 = 0),
+         |base AS (SELECT doc_id, text, source,
+         |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+         |    CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+         |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+         |  FROM crawl),
+         |m AS (SELECT doc_id, text, source, w, punct_ratio,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END AS n_tokens,
+         |    CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','was','for','on','with','as','at','by','be','this'))) AS DOUBLE)
+         |      / CAST(greatest(len(w), 1) AS DOUBLE) AS stop_ratio,
+         |    len(list_distinct(w)) AS n_distinct,
+         |    [concat_ws(' ', w[i], w[i+1]) for i in generate_series(1, greatest(len(w)-1, 1))] AS g2
+         |  FROM base),
+         |scored AS (SELECT doc_id, text, source, w, n_tokens,
+         |    CASE WHEN stop_ratio >= 0.05 THEN 'en'
+         |         WHEN regexp_matches(text, '[àáảãạăâèéẻẽẹêìíỉĩịòóỏõọôơùúủũụưỳýỷỹỵđ]') THEN 'vi'
+         |         WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+         |         ELSE 'other' END AS lang_pred,
+         |    round((CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+         |      + (CAST(n_distinct AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 0.4
+         |      + (1.0 - punct_ratio) * 0.2, 6) AS quality,
+         |    round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+         |         ELSE CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) AS DOUBLE) / greatest(len(g2), 1) END, 6) AS t2
+         |  FROM m),
+         |filtered AS (
+         |  SELECT * FROM scored
+         |  WHERE lang_pred = 'en' AND quality >= 0.75 AND t2 <= 0.2),
+         |deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rk FROM filtered) WHERE rk = 1),
+         |dsh AS (SELECT doc_id, unnest(list_distinct(
+         |    [concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, greatest(len(w)-2, 1))])) AS s
+         |  FROM deduped),
+         |bw AS (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+         |  FROM documents WHERE doc_id % 31 = 5),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(
+         |    [concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, greatest(len(w)-2, 1))])) AS s
+         |  FROM bw),
+         |ov AS (SELECT dsh.doc_id, count(*) AS n_overlap FROM dsh JOIN bsh USING (s) GROUP BY 1),
+         |clean AS (
+         |  SELECT d.* FROM deduped d LEFT JOIN ov ON ov.doc_id = d.doc_id
+         |  WHERE coalesce(ov.n_overlap, 0) < 5),
+         |sp AS (SELECT doc_id, n_tokens,
+         |    CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM clean),
+         |packed AS (SELECT split, doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY md5(doc_id::VARCHAR), doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before FROM sp)
+         |SELECT split, CAST(tokens_before // 1000 AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM packed GROUP BY 1, 2 ORDER BY split, shard""".stripMargin,
+
     "q59_repetition" ->
       s"""WITH w AS (SELECT doc_id, text, $toksSql AS w FROM documents),
          |g AS (SELECT doc_id, text, w,
