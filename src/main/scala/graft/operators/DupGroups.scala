@@ -121,6 +121,43 @@ object DupGroups {
     out
   }
 
+  /** Incremental cluster maintenance: fold a batch of NEW pairs into
+    * an existing (node, component) assignment, recomputing ONLY the
+    * components the batch touches — the daily-growth path (a 100 TB
+    * corpus adds a few million pairs a day; re-running CC over the
+    * full graph to absorb them is a full-corpus job for a
+    * metadata-size change, the same argument as [[Scd2]].applyBatch).
+    *
+    * The prior assignment's (node → component) rows ARE star edges, so
+    * CC over (touched stars ∪ new pairs) reproduces exactly what a
+    * full rebuild would say about those components — equivalence with
+    * the full rebuild is asserted in DupGroupsSpec. Untouched
+    * components pass through a broadcast anti join, never entering a
+    * CC round. `pairs` is assumed batch-sized (its node list
+    * broadcasts); `prior` can be arbitrarily large. */
+  def updateClusters(prior: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 50): DataFrame = {
+    val newNodes = pairs.select(col(aCol).cast("long").as("node"))
+      .union(pairs.select(col(bCol).cast("long").as("node")))
+      .distinct()
+    // components adjacent to the batch (absent nodes join nothing —
+    // they are new to the graph and surface through the CC below)
+    val touchedComps = broadcast(prior
+      .join(broadcast(newNodes), "node")
+      .select(col("component").as("__tc"))
+      .distinct())
+    val touched = prior.join(touchedComps,
+      prior("component") === touchedComps("__tc"), "left_semi")
+    val untouched = prior.join(touchedComps,
+      prior("component") === touchedComps("__tc"), "left_anti")
+    val rebuilt = connectedComponents(
+      touched.select(col("node").as("u"), col("component").as("v"))
+        .unionByName(pairs.select(col(aCol).cast("long").as("u"),
+          col(bCol).cast("long").as("v"))),
+      "u", "v", maxIter)
+    untouched.unionByName(rebuilt)
+  }
+
   /** Annotate `docs` with its duplicate cluster and survivor flag:
     * every doc gets `cluster` (the min doc id of its component — its
     * own id when unpaired) and `is_keep` (true for the one canonical

@@ -81,6 +81,33 @@ class DupGroupsSpec extends SparkTestBase {
     assert(got.count(_._3) === 3)
   }
 
+  test("updateClusters: incremental batch equals full rebuild") {
+    val g1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val prior = DupGroups.connectedComponents(g1.toDF("a", "b"), "a", "b")
+    // batch merges {1,2,3}∪{10,11}, adds a brand-new pair, links a new
+    // node 0 (smaller than every prior id) into {20,21}
+    val batch = Seq((3L, 10L), (40L, 41L), (0L, 21L))
+    val inc = DupGroups.updateClusters(prior, batch.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val full = DupGroups.connectedComponents((g1 ++ batch).toDF("a", "b"),
+      "a", "b").as[(Long, Long)].collect().toMap
+    assert(inc === full)
+    assert(inc(10L) === 1L) // merged across the old component boundary
+    assert(inc(20L) === 0L) // new smaller node renamed the component
+    assert(inc(40L) === 40L)
+  }
+
+  test("updateClusters: random graphs fed in two batches equal one-shot CC") {
+    val rnd = new scala.util.Random(11)
+    val all = Seq.fill(120)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2)
+    val (b1, b2) = all.splitAt(70)
+    val prior = DupGroups.connectedComponents(b1.toDF("a", "b"), "a", "b")
+    val inc = DupGroups.updateClusters(prior, b2.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc === bruteComponents(all))
+  }
+
   test("worst-case diameter: a 2000-node path converges within maxIter") {
     // a path is the adversarial shape for label propagation (diameter
     // n−1, where plain min-propagation needs n rounds); alternating
