@@ -49,14 +49,14 @@ object DupGroups {
       .distinct()
 
     // materialize the (possibly expensive — an LSH/Jaccard pipeline)
-    // pair input ONCE: nodes and the initial edge set both derive from
-    // it, and without pinning it the final plan would recompute the
-    // whole upstream pipeline per consumer.
+    // pair input ONCE before anything branches over it: the node and
+    // edge derivations below each read p twice, and without an
+    // up-front fill their concurrent branches race the cache and can
+    // re-run the whole upstream pipeline.
     val p = pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one job runs the (possibly expensive — an LSH/Jaccard pipeline)
-    // pair input and pins node ids; p's cache back-fills during it
+    p.count()
     val nodes = p.select($"u".as("n")).union(p.select($"v".as("n")))
       .distinct()
       .localCheckpoint(true)
