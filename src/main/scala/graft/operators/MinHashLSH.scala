@@ -195,11 +195,27 @@ object MinHashLSH {
   }
 
   /** Near-dedup: drop the larger id of every qualifying pair (greedy —
-    * keeps at least one representative per duplicate cluster). */
+    * keeps at least one representative per duplicate cluster, and can
+    * keep MORE than one on chains: pairs (1,5),(4,5) keep {1,4} though
+    * 1≈5≈4 is a single cluster. [[dedupCorpus]] is the cluster-exact
+    * form). */
   def dedup(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7): DataFrame = {
     val losers = nearDupPairs(docs, idCol, textCol, threshold)
       .select(col("doc_b").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Cluster-exact near-dedup, single call: LSH pairs → connected
+    * components ([[DupGroups]]) → exactly ONE survivor (min id) per
+    * duplicate cluster. Near-dup similarity is not transitive, so the
+    * pair graph's components — not its individual pairs — are the real
+    * duplicate groups. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, stop: Array[Long] = null): DataFrame =
+    DupGroups.assignClusters(docs, idCol,
+        nearDupPairs(docs, idCol, textCol, threshold, stop = stop),
+        "doc_a", "doc_b")
+      .where(col("is_keep"))
+      .drop("cluster", "is_keep")
 }

@@ -48,6 +48,32 @@ class MinHashLSHSpec extends SparkTestBase {
     assert(kept >= n - 2 * planted)
   }
 
+  test("dedupCorpus keeps exactly one survivor per duplicate CLUSTER") {
+    import spark.implicits._
+    // star 1≈5≈4 with 1≉4: both extensions share the core with 5
+    // (J = 14/22 ≈ 0.64) but only J = 14/30 ≈ 0.47 with each other —
+    // similarity is not transitive, so the pair list alone cannot say
+    // the three are one group; the greedy pair dedup keeps {1, 4},
+    // the cluster dedup keeps only the component minimum
+    val core = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val docs = Seq(
+      (1L, core + " alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, core + " red orange yellow green blue indigo violet mauve"),
+      (5L, core),
+      (9L, "completely unrelated text with none of those words present here")
+    ).toDF("doc_id", "text")
+    val pairs = MinHashLSH.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 5L), (4L, 5L)), s"star links only: $pairs")
+    val greedy = MinHashLSH.dedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(greedy === Set(1L, 4L, 9L), "greedy over-keeps on the star")
+    val kept = MinHashLSH.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 9L), s"one survivor per cluster: got $kept")
+  }
+
   test("simhash: planted near-dups land within small hamming distance") {
     val docs = Tables.load(spark, sf001, "documents")
     val fps = SimHash.fingerprints(docs, "doc_id", "text")
