@@ -101,6 +101,42 @@ object Ann {
       .drop("__rk")
   }
 
+  /** IVF-pruned batch k-NN join — [[knnJoin]]'s scale path: each query
+    * row scores only the corpus cells its own `nprobe` nearest
+    * centroids select, not the whole corpus. The (query, probe-cell)
+    * pairs — Q·nprobe rows, probe choice computed ROW-LOCALLY from the
+    * broadcast centroid matrix — broadcast into an equi join on the
+    * cell id, so scan cost is Σ_q (probed cells' rows) ≈
+    * (nprobe/k̂)·|corpus| per query wave instead of Q·|corpus|; on an
+    * IVF-partitioned layout (ParquetSink.writeIvfPartitioned) the
+    * union of probed cells also partition-prunes the read. Same
+    * WindowGroupLimit top-k as the exact join. */
+  def ivfKnnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    if (cents.isEmpty) return knnJoin(corpus, queries, idCol, vecCol, k)
+    val probeArr = slice(sort_array(array(cents.zipWithIndex.map {
+      case (c, i) =>
+        struct(VectorFunctions.l2sqConst(col(vecCol), c).as("d"),
+          lit(i).as("i"))
+    }: _*)), 1, math.min(nprobe, cents.length))
+    val qProbes = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      explode(transform(probeArr, p => p.getField("i"))).as("__cell")))
+    val rk = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(desc("cos_sim"), col(idCol)))
+    corpus.withColumn("__cell", clusterOf(col(vecCol), cents))
+      .join(qProbes, "__cell")
+      .withColumn("cos_sim", VectorFunctions.cosine(col(vecCol), col("__qv")))
+      .select(col("query_id"), col(idCol), col("cos_sim"))
+      .withColumn("__rk", rk)
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Deterministic hyperplanes from a seed. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -258,6 +258,35 @@ class AnnSpec extends SparkTestBase {
     assert(got.values.forall(_.length == 5))
   }
 
+  test("ivfKnnJoin: per-query recall vs exact knnJoin stays high") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = e.where(col("vec_id") % 100 === 3)
+    val corpus = e.where(col("vec_id") % 100 =!= 3)
+    val cents = Ann.trainCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, sampleMod = 4)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val exact = topSets(Ann.knnJoin(corpus, queries, "vec_id", "embedding", 10))
+    // synthetic embeddings are near-random (see SURVEY §4): honest
+    // recall needs wide probing — 6/8 cells here, like q22's 5/8 for
+    // a single query; real clustered embeddings prune far harder
+    val ivf = topSets(Ann.ivfKnnJoin(corpus, queries, "vec_id", "embedding",
+      10, cents, nprobe = 6))
+    assert(ivf.keySet === exact.keySet, "every query must get results")
+    val recalls = exact.map { case (q, ex) =>
+      ivf(q).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, f"mean recall@10 $mean%.2f < 0.8")
+    // each query's probes cover only part of the corpus: results are
+    // subsets of the probed cells, so candidate volume is pruned
+    val probedRows = Ann.ivfKnnJoin(corpus, queries, "vec_id", "embedding",
+      Int.MaxValue - 1, cents, nprobe = 6).count()
+    val full = corpus.count() * queries.count()
+    assert(probedRows < full, s"probing must prune: $probedRows vs $full")
+  }
+
   test("knnJoin plan: broadcast queries, WindowGroupLimit, one exchange") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val plan = Ann.knnJoin(e.where(col("vec_id") % 100 =!= 3),
