@@ -455,7 +455,22 @@ object LlmQueries {
       .orderBy("split", "shard")
   }
 
+  /** New-in-r6 — q55's scale path benched: IVF-pruned batch k-NN join
+    * over the pretrained per-corpus quantizer (probe cells picked
+    * row-locally per query, equi join on cell id). Rows-only — probe
+    * choices are engine-specific; per-query recall vs the exact join
+    * is asserted in AnnSpec. */
+  def q62IvfKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.ivfKnnJoin(e.where(col("vec_id") % 50 =!= 7),
+        e.where(col("vec_id") % 50 === 7), "vec_id", "embedding", k = 5,
+        q22Centroids(s, dir), nprobe = 6)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+      .orderBy(col("query_id"), desc("cos_sim"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_ivf_knn_join" -> (q62IvfKnnJoin _),
     "q61_corpus_pipeline" -> (q61CorpusPipeline _),
     "q59_repetition" -> (q59Repetition _),
     "q60_pii_redact" -> (q60PiiRedact _),
