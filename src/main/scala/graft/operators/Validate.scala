@@ -122,6 +122,44 @@ object Validate {
     * so the rows union into one quality report. One anti-join on the
     * key — shuffled on both sides at scale, AQE-skew-splittable;
     * Catalyst broadcasts the parent side when it is small. */
+  /** Per-key statistical profile in ONE aggregate pass: row count,
+    * null count, mean and sample-stddev of `valCol` — the persistable
+    * per-batch artifact a drift monitor compares across loads (the
+    * monitoring half of the reference's validate_loaded_data:
+    * misa_crm_loader.py:1021 checks counts once; real pipelines also
+    * watch the distribution move). */
+  def profileByKey(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col(valCol).isNull, 1L).otherwise(0L)).as("n_null"),
+        avg(col(valCol)).as("mean_val"),
+        stddev_samp(col(valCol)).as("std_val"))
+
+  /** Drift report between two profiled windows: per key, both windows'
+    * counts/means plus the relative mean shift and a flag at `relTol`.
+    * Profiles are key-cardinality-sized — the comparison is a
+    * metadata-scale join however large the underlying windows were,
+    * and historical profiles can be persisted per batch and compared
+    * without ever rescanning either window. Keys missing from one
+    * window report null stats and always flag (appearance /
+    * disappearance IS drift). */
+  def driftReport(cur: DataFrame, prev: DataFrame, keyCol: String,
+      valCol: String, relTol: Double): DataFrame = {
+    val a = profileByKey(cur, keyCol, valCol)
+      .select(col(keyCol), col("n_rows").as("n_cur"),
+        col("mean_val").as("mean_cur"))
+    val b = profileByKey(prev, keyCol, valCol)
+      .select(col(keyCol), col("n_rows").as("n_prev"),
+        col("mean_val").as("mean_prev"))
+    a.join(b, Seq(keyCol), "full_outer")
+      .withColumn("rel_mean_shift",
+        abs(col("mean_cur") - col("mean_prev")) /
+          greatest(abs(col("mean_prev")), lit(1e-12)))
+      .withColumn("is_drift",
+        col("mean_cur").isNull || col("mean_prev").isNull ||
+          col("rel_mean_shift") > relTol)
+  }
+
   def checkFk(child: DataFrame, parent: DataFrame,
       childKey: String, parentKey: String,
       maxOrphanRate: Double = 0.0): DataFrame = {

@@ -70,12 +70,48 @@ object QualityQueries {
       .orderBy("column")
   }
 
+  /** New-in-r6 — cross-window drift report: the second half of the
+    * event feed profiled against the first (per event_type row counts
+    * and value means), relative mean shift flagged at 3 %. Flags are
+    * derived from the ROUNDED shift on both engines so the oracle
+    * compares bit-exactly. */
+  def q63DriftReport(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    Validate.driftReport(e.where(col("ts") >= cut), e.where(col("ts") < cut),
+        "event_type", "value", relTol = 0.03)
+      .select(col("event_type"), col("n_cur"), col("n_prev"),
+        round(col("mean_cur"), 4).as("mean_cur"),
+        round(col("mean_prev"), 4).as("mean_prev"),
+        round(col("rel_mean_shift"), 4).as("rel_mean_shift"),
+        (col("mean_cur").isNull || col("mean_prev").isNull ||
+          round(col("rel_mean_shift"), 4) > 0.03).as("is_drift"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_quality_gate" -> (q39QualityGate _),
-    "q40_fk_integrity" -> (q40FkIntegrity _)
+    "q40_fk_integrity" -> (q40FkIntegrity _),
+    "q63_drift_report" -> (q63DriftReport _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q63_drift_report" ->
+      """WITH cur AS (
+        |  SELECT event_type, count(*) AS n_rows, avg(value) AS mean_val
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1),
+        |prev AS (
+        |  SELECT event_type, count(*) AS n_rows, avg(value) AS mean_val
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1)
+        |SELECT coalesce(cur.event_type, prev.event_type) AS event_type,
+        |  CAST(cur.n_rows AS BIGINT) AS n_cur, CAST(prev.n_rows AS BIGINT) AS n_prev,
+        |  round(cur.mean_val, 4) AS mean_cur, round(prev.mean_val, 4) AS mean_prev,
+        |  round(abs(cur.mean_val - prev.mean_val) / greatest(abs(prev.mean_val), 1e-12), 4) AS rel_mean_shift,
+        |  (cur.mean_val IS NULL OR prev.mean_val IS NULL
+        |    OR round(abs(cur.mean_val - prev.mean_val) / greatest(abs(prev.mean_val), 1e-12), 4) > 0.03) AS is_drift
+        |FROM cur FULL OUTER JOIN prev ON cur.event_type = prev.event_type
+        |ORDER BY event_type""".stripMargin,
+
     "q39_quality_gate" ->
       """WITH seeded AS (
         |  SELECT

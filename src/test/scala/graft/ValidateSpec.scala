@@ -68,6 +68,20 @@ class ValidateSpec extends SparkTestBase {
       Seq("expectation", "column", "n_rows", "n_bad", "bad_rate", "threshold", "passed"))
   }
 
+  test("driftReport: shifts flagged at tolerance; missing keys always drift") {
+    import spark.implicits._
+    val prev = Seq(("a", 10.0), ("a", 10.0), ("b", 5.0), ("gone", 1.0))
+      .toDF("k", "v")
+    val cur = Seq(("a", 10.4), ("a", 10.6), ("b", 5.01), ("new", 9.0))
+      .toDF("k", "v")
+    val out = Validate.driftReport(cur, prev, "k", "v", relTol = 0.03)
+      .select("k", "is_drift").as[(String, Boolean)].collect().toMap
+    assert(out("a") === true)    // mean 10 → 10.5 = 5% > 3%
+    assert(out("b") === false)   // 0.2% shift
+    assert(out("gone") === true) // disappeared
+    assert(out("new") === true)  // appeared
+  }
+
   test("whole gate is one aggregate job (single scan)") {
     val report = Validate.check(frame, Seq(
       NotNull("cat"), TypeConforms("code", "bigint"), InSet("cat", Seq("a", "c")),
