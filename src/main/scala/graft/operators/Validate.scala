@@ -144,13 +144,20 @@ object Validate {
     * window report null stats and always flag (appearance /
     * disappearance IS drift). */
   def driftReport(cur: DataFrame, prev: DataFrame, keyCol: String,
-      valCol: String, relTol: Double): DataFrame = {
-    val a = profileByKey(cur, keyCol, valCol)
-      .select(col(keyCol), col("n_rows").as("n_cur"),
-        col("mean_val").as("mean_cur"))
-    val b = profileByKey(prev, keyCol, valCol)
-      .select(col(keyCol), col("n_rows").as("n_prev"),
-        col("mean_val").as("mean_prev"))
+      valCol: String, relTol: Double): DataFrame =
+    driftFromProfiles(profileByKey(cur, keyCol, valCol),
+      profileByKey(prev, keyCol, valCol), keyCol, relTol)
+
+  /** Same report from two PERSISTED profile frames ([[profileByKey]]
+    * schema) — the artifact path: per-batch profiles written next to
+    * each load (or by the streaming sink) compare without rescanning
+    * either window. */
+  def driftFromProfiles(curProf: DataFrame, prevProf: DataFrame,
+      keyCol: String, relTol: Double): DataFrame = {
+    val a = curProf.select(col(keyCol), col("n_rows").as("n_cur"),
+      col("mean_val").as("mean_cur"))
+    val b = prevProf.select(col(keyCol), col("n_rows").as("n_prev"),
+      col("mean_val").as("mean_prev"))
     a.join(b, Seq(keyCol), "full_outer")
       .withColumn("rel_mean_shift",
         abs(col("mean_cur") - col("mean_prev")) /

@@ -78,6 +78,28 @@ object StreamingSink {
         ()
       }
 
+  /** Profile-artifact sink — the streaming producer of
+    * [[graft.operators.Validate.profileByKey]] artifacts: each
+    * micro-batch writes its per-key (count, null, mean, stddev)
+    * profile under `artifactDir/batch_id=<id>`, key-cardinality-sized
+    * regardless of batch volume. Replayed batches overwrite their own
+    * directory (idempotent under foreachBatch's at-least-once
+    * contract). Drift monitoring over the stream is then
+    * [[graft.operators.Validate.driftFromProfiles]] between any two
+    * batches' artifacts — no event rescan, the same
+    * artifact-not-rescan discipline as the HLL and CMS sinks. */
+  def profileArtifactSink(updates: DataFrame, artifactDir: String,
+      keyCol: String, valCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Validate.profileByKey(batch, keyCol, valCol)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$artifactDir/batch_id=$batchId")
+        ()
+      }
+
   /** Attach a foreachBatch upsert sink to `updates`. `targetDir` is
     * created on first batch; subsequent batches merge on `keyCols`
     * keep-last by `seqCol`. Rewrites the WHOLE target per batch — the

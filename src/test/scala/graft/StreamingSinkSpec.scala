@@ -182,6 +182,38 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(heavies() === Map("hot" -> 31L, "warm" -> 26L))
   }
 
+  test("profile-artifact sink: batch profiles drive drift detection; replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-profsink")
+      .toFile.getAbsolutePath
+    val w0 = Seq(("a", 10.0), ("a", 10.0), ("b", 5.0), ("c", 7.0))
+    val w1 = Seq(("a", 10.4), ("a", 10.6), ("new", 9.0), ("c", 7.001))
+    def run(window: Seq[(String, Double)], sub: String): Unit = {
+      val input = MemoryStream[(String, Double)]
+      input.addData(window)
+      val q = StreamingSink.profileArtifactSink(
+        input.toDF().toDF("k", "v"), s"$dir/$sub", "k", "v").start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def drift(): Map[String, Boolean] =
+      graft.operators.Validate.driftFromProfiles(
+          spark.read.parquet(s"$dir/w1").drop("batch_id"),
+          spark.read.parquet(s"$dir/w0").drop("batch_id"),
+          "k", relTol = 0.03)
+        .select("k", "is_drift").as[(String, Boolean)].collect().toMap
+    run(w0, "w0"); run(w1, "w1")
+    val expected = Map(
+      "a" -> true,   // mean 10 → 10.5 = 5% > 3%
+      "b" -> true,   // disappeared
+      "new" -> true, // appeared
+      "c" -> false)  // 0.014% shift
+    assert(drift() === expected)
+    // replay: an identical window run overwrites its own batch dir
+    run(w1, "w1")
+    assert(drift() === expected)
+  }
+
   test("stream-static dim enrichment plans a broadcast join, no stream shuffle") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
