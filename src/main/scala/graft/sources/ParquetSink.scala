@@ -37,6 +37,23 @@ object ParquetSink {
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
 
+  /** Range-clustered layout: globally ordered files with DISJOINT key
+    * ranges — `repartitionByRange` samples balanced bounds (so skew
+    * cannot starve files) and the in-partition sort tightens row-group
+    * stats. A range predicate then reads only the files whose min/max
+    * overlap it; [[writeKeyClustered]]'s hash distribution leaves
+    * every file's key range near-global, skipping row groups but
+    * never whole files. The right layout when the dominant predicate
+    * is a range (time windows, id bands); hash clustering remains
+    * right for equi-join co-location. Skip effect measured
+    * file-by-file in SkewAndSinkSpec. */
+  def writeRangeClustered(df: DataFrame, path: String, key: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+
   /** Small-file compaction: bin-pack a directory's parquet files into
     * ~`targetBytes` outputs — the periodic maintenance pass every
     * streaming/incremental sink needs (each micro-batch appends a few

@@ -108,6 +108,34 @@ class SkewAndSinkSpec extends SparkTestBase {
     assert(ranges.length == 4)
   }
 
+  test("range-clustered layout: disjoint file ranges, band filter touches one file") {
+    val rangeDir = Files.createTempDirectory("graft-range").toFile.getAbsolutePath
+    val hashDir = Files.createTempDirectory("graft-hash").toFile.getAbsolutePath
+    val orders = Tables.load(spark, sf0001, "orders")
+    ParquetSink.writeRangeClustered(orders, rangeDir, "o_orderkey", numFiles = 4)
+    ParquetSink.writeKeyClustered(orders, hashDir, "o_orderkey", numFiles = 4)
+    def fileRanges(dir: String): Array[(Long, Long)] =
+      spark.read.parquet(dir)
+        .select(col("o_orderkey"), input_file_name().as("f"))
+        .groupBy("f").agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val ranged = fileRanges(rangeDir)
+    assert(ranged.length === 4)
+    ranged.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: ${ranged.toSeq}")
+      case _ => ()
+    }
+    // a narrow key band overlaps ONE range file but EVERY hash file
+    val (bandLo, bandHi) = (ranged(1)._1, ranged(1)._1 + 10)
+    def touched(dir: String): Int =
+      fileRanges(dir).count { case (lo, hi) => lo <= bandHi && hi >= bandLo }
+    assert(touched(rangeDir) === 1, "range layout must isolate the band")
+    assert(touched(hashDir) === 4, "hash layout spreads every band")
+    // same rows either way
+    assert(spark.read.parquet(rangeDir).count() === orders.count())
+  }
+
   test("compactSmallFiles: file count collapses, data identical, clustering restorable") {
     val dir = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
     val orders = Tables.load(spark, sf0001, "orders")
