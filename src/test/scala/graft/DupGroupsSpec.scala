@@ -108,6 +108,20 @@ class DupGroupsSpec extends SparkTestBase {
     assert(inc === bruteComponents(all))
   }
 
+  test("updateClusters is idempotent under batch replay") {
+    // at-least-once delivery replays a batch: folding the same pairs
+    // into an already-updated assignment must change nothing — the
+    // property the watermark-cycle composition (EtlControl) relies on
+    val g1 = Seq((1L, 2L), (10L, 11L), (20L, 21L))
+    val batch = Seq((2L, 10L), (30L, 31L))
+    val prior = DupGroups.connectedComponents(g1.toDF("a", "b"), "a", "b")
+    val once = DupGroups.updateClusters(prior, batch.toDF("a", "b"), "a", "b")
+      .localCheckpoint(true)
+    val twice = DupGroups.updateClusters(once, batch.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(twice === once.as[(Long, Long)].collect().toMap)
+  }
+
   test("worst-case diameter: a 2000-node path converges within maxIter") {
     // a path is the adversarial shape for label propagation (diameter
     // n−1, where plain min-propagation needs n rounds); alternating
