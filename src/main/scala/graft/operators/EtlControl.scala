@@ -30,11 +30,18 @@ object EtlControl {
 
   /** Last committed watermark (epoch micros) for `sourceId`, or
     * `defaultUs` if the control table has no SUCCESS rows for it. */
+  /** A control/target dir counts as present only when it has content —
+    * a pre-created empty directory (mktemp conventions) must behave
+    * like a missing one, not crash parquet schema inference. */
+  private[operators] def nonEmptyDir(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
   def lastWatermarkMicros(spark: SparkSession, controlDir: String,
       sourceId: String, defaultUs: Long): Long = {
-    val fs = new org.apache.hadoop.fs.Path(controlDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(controlDir))) return defaultUs
+    if (!nonEmptyDir(spark, controlDir)) return defaultUs
     val row = spark.read.parquet(controlDir)
       .where(col("source_id") === sourceId && col("status") === "SUCCESS")
       .agg(max("watermark_us")).head()
@@ -66,9 +73,7 @@ object EtlControl {
     * Feed the result to [[Validate.RowCountBetween]]. */
   def expectedRowBounds(spark: SparkSession, controlDir: String,
       sourceId: String, tolerance: Double = 0.5): Option[(Long, Long)] = {
-    val fs = new org.apache.hadoop.fs.Path(controlDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(controlDir))) return None
+    if (!nonEmptyDir(spark, controlDir)) return None
     val rows = spark.read.parquet(controlDir)
       .where(col("source_id") === sourceId && col("status") === "SUCCESS")
       .orderBy(desc("watermark_us"), desc("committed_at"))
@@ -122,6 +127,40 @@ object EtlControl {
         recordsLoaded = churn, status = if (churn > 0) "SUCCESS" else "IDLE")
       (ins, upd, del)
     } finally { diff.unpersist(); () }
+  }
+
+  /** Self-driving incremental DEDUP-CLUSTER cycle: fold a delivered
+    * near-dup pair batch into the persisted (node, component)
+    * assignment ([[DupGroups.updateClusters]] — only components the
+    * batch touches are rebuilt), publish atomically, commit the batch
+    * to the control log. Exactly-once under at-least-once delivery,
+    * two ways: a batch id already committed SUCCESS is skipped without
+    * running a job, and a crash-window replay (published assignment,
+    * missing commit) re-folds the same pairs — a no-op by
+    * updateClusters' replay idempotence (DupGroupsSpec). The prior
+    * assignment is read from parquet, satisfying updateClusters'
+    * materialized-input contract. Returns (nAssignments, applied). */
+  def runDedupCycle(spark: SparkSession, controlDir: String,
+      sourceId: String, pairs: DataFrame, aCol: String, bCol: String,
+      assignDir: String, batchId: String, watermarkUs: Long = 0L,
+      failBeforeCommit: Boolean = false): (Long, Boolean) = {
+    if (nonEmptyDir(spark, controlDir) && !spark.read.parquet(controlDir)
+        .where(col("source_id") === sourceId && col("batch_id") === batchId &&
+          col("status") === "SUCCESS")
+        .isEmpty)
+      return (spark.read.parquet(assignDir).count(), false)
+    val updated =
+      if (!nonEmptyDir(spark, assignDir))
+        DupGroups.connectedComponents(pairs, aCol, bCol)
+      else
+        DupGroups.updateClusters(spark.read.parquet(assignDir), pairs,
+          aCol, bCol)
+    ParquetSink.atomicReplace(spark, assignDir)(
+      staging => updated.write.parquet(staging))
+    val n = spark.read.parquet(assignDir).count()
+    if (!failBeforeCommit)
+      commitRun(spark, controlDir, sourceId, batchId, watermarkUs, n)
+    (n, true)
   }
 
   /** One self-driving incremental cycle against a parquet target:

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted LSH signature artifact: band buckets written ONCE as a
+  * lake artifact (parquet), incrementally appended as the corpus
+  * grows, and read back by every dedup run — the cross-run analogue of
+  * the pretrained-IVF-centroid discipline ([[Ann.trainCentroids]])
+  * applied to MinHash-LSH. Without it every dedup run at 100 TB
+  * recomputes every document's signature; with it a daily run signs
+  * ONLY the day's new documents (watermark-scoped, pushed-down scan)
+  * and the candidate self-join reads parquet.
+  *
+  * Control-log contract (same ordering as [[EtlControl]]: write, then
+  * watermark): the watermark unit is the DOC ID high-water mark —
+  * unlike timestamps, ids are unique, so the window is strictly-above
+  * and no boundary replay is needed. The append itself is guarded by
+  * an anti join on the artifact's existing doc ids, so a crash between
+  * append and commit replays the window into a no-op (re-signed rows
+  * are dropped, never duplicated) — asserted in LshArtifactSpec.
+  */
+object LshArtifact {
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Sign any documents not yet in the artifact and append their band
+    * buckets; commit the new doc-id watermark. Returns the number of
+    * NEW documents signed — 0 on a replay or an unchanged corpus (the
+    * "second run recomputes zero signatures" observable).
+    *
+    * `failBeforeCommit` stops after the append but before the
+    * watermark commit — the worst-ordered crash, which the next run
+    * absorbs via the anti-join guard. */
+  def refresh(spark: SparkSession, controlDir: String, artifactDir: String,
+      sourceId: String, docs: DataFrame, idCol: String, textCol: String,
+      batchId: String, numPerm: Int = 64, bands: Int = 16,
+      shingleN: Int = 3, seed: Long = 42L, stop: Array[Long] = null,
+      failBeforeCommit: Boolean = false): Long = {
+    val wm = EtlControl.lastWatermarkMicros(spark, controlDir, sourceId, -1L)
+    val delta = docs.where(col(idCol) > wm)
+    val stats = delta.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+    val (n, newWm) = (stats.getLong(0),
+      if (stats.isNullAt(1)) wm else stats.getLong(1))
+    if (n == 0L) return 0L
+    val raw = delta.select(col(idCol).cast("long").as("doc"),
+      MinHashLSH.shingleHashes(col(textCol), shingleN).as("sh"))
+    val filtered =
+      if (stop == null || stop.isEmpty) raw
+      else raw.select(col("doc"),
+        filter(col("sh"), h => !array_contains(lit(stop), h)).as("sh"))
+    val bb = MinHashLSH.bandBucketsFromHashes(filtered, numPerm, bands,
+      seed, persistResult = false)
+    // replay guard: only docs whose rows never landed are appended
+    val toWrite =
+      if (!exists(spark, artifactDir)) bb
+      else bb.join(
+        spark.read.parquet(artifactDir).select(col("doc")).distinct(),
+        Seq("doc"), "left_anti")
+    val staged = toWrite.persist()
+    try {
+      val written = staged.count() / bands
+      if (written > 0)
+        staged.write.mode(SaveMode.Append).parquet(artifactDir)
+      // a catch-up replay (n > 0 docs scanned, 0 written) still commits
+      // SUCCESS so the watermark advances past the replayed window —
+      // otherwise every later run would re-sign it forever
+      if (!failBeforeCommit)
+        EtlControl.commitRun(spark, controlDir, sourceId, batchId,
+          watermarkUs = newWm, recordsLoaded = written)
+      written
+    } finally { staged.unpersist(); () }
+  }
+
+  /** The persisted (doc, band, band_hash) frame. */
+  def bandBuckets(spark: SparkSession, artifactDir: String): DataFrame =
+    spark.read.parquet(artifactDir)
+
+  /** Candidate pairs from the artifact alone — ZERO signature
+    * computation; the self-join's two sides are pruned parquet scans
+    * sharing one exchange. */
+  def candidatePairs(spark: SparkSession, artifactDir: String): DataFrame =
+    MinHashLSH.candidatePairs(bandBuckets(spark, artifactDir))
+
+  /** Artifact-backed near-dup pairs: candidates from the persisted
+    * buckets, exact-Jaccard verified. Shingle sets are recomputed ONLY
+    * for documents that appear in some candidate pair (a semi join
+    * narrows the scan before tokenization) — the corpus-wide signature
+    * pass never reruns. The narrowed shingle frame is deliberately
+    * left unpersisted: it is read once per verify side and the rows it
+    * would cache are bounded by the candidate set, not the corpus. */
+  def verifiedPairs(spark: SparkSession, artifactDir: String,
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleN: Int = 3, stop: Array[Long] = null): DataFrame = {
+    val cands = candidatePairs(spark, artifactDir)
+    val candIds = cands.select(col("doc_a").as("doc"))
+      .union(cands.select(col("doc_b").as("doc"))).distinct()
+    val raw = docs.select(col(idCol).cast("long").as("doc"),
+        MinHashLSH.shingleHashes(col(textCol), shingleN).as("sh"))
+      .join(candIds, Seq("doc"), "left_semi")
+    val sh =
+      if (stop == null || stop.isEmpty) raw
+      else raw.select(col("doc"),
+        filter(col("sh"), h => !array_contains(lit(stop), h)).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

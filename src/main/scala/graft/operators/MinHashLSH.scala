@@ -105,7 +105,8 @@ object MinHashLSH {
     * semantics, SQL-checkable. */
   def bandBucketsFromHashes(docHashes: DataFrame, numPerm: Int = 64,
       bands: Int = 16, seed: Long = 42L,
-      portableBandKey: Boolean = false): DataFrame = {
+      portableBandKey: Boolean = false,
+      persistResult: Boolean = true): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
     val perms = permutations(numPerm, seed)
@@ -125,11 +126,14 @@ object MinHashLSH {
       struct(lit(j).as("band"), bandKey(j).as("band_hash"))
     }: _*)
     // Materialize: the self-join in candidatePairs would otherwise
-    // recompute every signature on both sides (at cluster scale this is
-    // the "write signatures once, join the table with itself" pattern).
-    withSig.select(col("doc"), explode(bandStructs).as("bb"))
+    // recompute every signature on both sides. In-session this is a
+    // cache persist; the durable form of the same discipline is
+    // [[LshArtifact]], which writes the frame as a parquet artifact
+    // once and lets every later run read it (persistResult = false —
+    // no cache entry to leak when the caller goes straight to disk).
+    val bb = withSig.select(col("doc"), explode(bandStructs).as("bb"))
       .select(col("doc"), col("bb.band"), col("bb.band_hash"))
-      .persist()
+    if (persistResult) bb.persist() else bb
   }
 
   /** Candidate pairs: docs sharing ≥1 band bucket (doc_a < doc_b). */

@@ -1,18 +1,27 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
-  * with a batched per-partition "decode" stage.
+  * with batched per-partition decode stages.
   *
-  * The real decode (image/audio codecs) is STUBBED — those libraries
-  * are not in this container — behind [[decodeStub]], a deterministic
-  * fake. Everything Spark-side is real and tested: the binary column
-  * schema, the metadata extraction as codegen'd expressions, and the
-  * mapPartitions batch shape (fixed-size micro-batches per partition,
-  * exactly how a vectorized decoder UDF consumes rows at scale).
+  * Image decode, resize, and pixel statistics are REAL — the JDK ships
+  * PNG/JPEG codecs in `javax.imageio`, so no external library is
+  * needed. The Spark-side shape is the operator: binary columns with
+  * typed metadata, partition-local batched codec work (never on the
+  * driver, never through a shuffle — decode is embarrassingly
+  * parallel, so the ONLY design question at 100 TB is keeping the
+  * bytes out of the exchange, which mapPartitions guarantees), and
+  * deterministic output a correctness oracle can replay. Only video
+  * frame-sampling remains a stub ([[frameSample]] — no container
+  * demuxer in the JDK); its partition-local row→frame fan-out contract
+  * is real and tested.
   */
 object Multimodal {
 
@@ -25,8 +34,10 @@ object Multimodal {
       .withColumn("magic8", lower(substring(hex(col("payload")), 1, 8)))
       .withColumn("est_chunks", expr("(n_bytes + 255) div 256"))
 
-  case class DecodedFeature(id: Long, batchOrdinal: Int, dim: Int,
-      checksum: Long, features: Array[Double])
+  case class EncodedImage(id: Long, payload: Array[Byte])
+
+  case class DecodedImage(id: Long, width: Int, height: Int,
+      nChannels: Int, channelMeans: Array[Double], pixelSum: Long)
 
   case class ResizedImage(id: Long, srcW: Int, srcH: Int, dstW: Int,
       dstH: Int, pixels: Array[Double])
@@ -34,65 +45,147 @@ object Multimodal {
   case class SampledFrame(id: Long, frameIdx: Int, offset: Long,
       frame: Array[Byte])
 
-  /** Batched partition-local decode stub: consumes (id, payload) rows
-    * in micro-batches of `batchSize` (the shape a vectorized codec
-    * wants), emits a fixed-dim feature vector derived deterministically
-    * from the bytes. Swap the body for a real codec; the plumbing —
-    * encoder, batching, partition-locality — is the operator. */
-  def decodeStub(spark: SparkSession, rows: Dataset[Row], idCol: String,
-      payloadCol: String, dim: Int = 8, batchSize: Int = 64): Dataset[DecodedFeature] = {
+  /** Deterministic synthetic RGB image for id: width 8 + id % 5,
+    * height 4 + id % 3, R = (id·7) mod 256 (constant), G = x, B = y.
+    * Every decoded statistic is therefore closed-form in id — a
+    * SQL-only oracle can verify a REAL codec round-trip. */
+  private[graft] def syntheticImage(id: Long): BufferedImage = {
+    val w = (8 + id % 5).toInt
+    val h = (4 + id % 3).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val r = ((id * 7) % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (r << 16) | (x << 8) | y)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Real PNG ENCODE (javax.imageio) of the per-id synthetic image:
+    * partition-local, batched like a vectorized codec consumes rows.
+    * Stands in for reading image blobs from a lake column — the
+    * payloads are genuine PNG byte streams (`\x89PNG` magic). */
+  def encodePng(spark: SparkSession, rows: Dataset[Row], idCol: String,
+      batchSize: Int = 64): Dataset[EncodedImage] = {
+    import spark.implicits._
+    rows.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { id =>
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(syntheticImage(id), "png", bos)
+            EncodedImage(id, bos.toByteArray)
+          }
+        }
+      }
+  }
+
+  /** Real image DECODE (javax.imageio, PNG/JPEG/BMP/GIF): batched
+    * partition-local ImageIO.read of the payload bytes, emitting the
+    * decoded dimensions, channel count, per-channel pixel means, and
+    * the total sample sum. Rows whose bytes do not decode are dropped
+    * (corrupt-blob quarantine is a filter on the decode result, the
+    * same contract as [[Normalize]]'s corrupt-record path). */
+  def decodeImage(spark: SparkSession, rows: Dataset[Row], idCol: String,
+      payloadCol: String, batchSize: Int = 64): Dataset[DecodedImage] = {
     import spark.implicits._
     rows.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
-          batch.map { case (id, bytes) =>
-            val checksum = bytes.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L)
-            val feats = Array.tabulate(dim) { d =>
-              val stripe = bytes.indices.filter(_ % dim == d).map(i => bytes(i) & 0xff)
-              if (stripe.isEmpty) 0.0 else stripe.sum.toDouble / stripe.length
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              val bands = raster.getNumBands
+              val sums = new Array[Double](bands)
+              var total = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  var b = 0
+                  while (b < bands) {
+                    val s = raster.getSample(x, y, b)
+                    sums(b) += s
+                    total += s
+                    b += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              Some(DecodedImage(id, w, h, bands,
+                sums.map(_ / (w.toLong * h)), total))
             }
-            DecodedFeature(id, bi, dim, checksum, feats)
           }
         }
       }
   }
 
-  /** Resize stub: treats the payload as a srcW×srcH "image" (row-major
-    * bytes, truncated/padded deterministically) and area-averages it
-    * down to dstW×dstH. The real op swaps the pixel loop for a codec +
-    * interpolation kernel; the Spark shape — partition-local, no
-    * shuffle, typed output with source+target dims as metadata — is
-    * what carries to 100 TB (resize is embarrassingly parallel, so the
-    * ONLY design question is keeping it off the driver and out of the
-    * shuffle, which mapPartitions guarantees). */
-  def resizeStub(spark: SparkSession, rows: Dataset[Row], idCol: String,
-      payloadCol: String, srcW: Int = 16, srcH: Int = 16,
-      dstW: Int = 4, dstH: Int = 4): Dataset[ResizedImage] = {
+  /** Real RESIZE: decode, then area-average each channel onto a
+    * dstW×dstH grid (each output cell averages its exact source pixel
+    * box — deterministic, unlike platform-dependent Graphics2D
+    * interpolation hints). Output pixels are row-major, channel-major
+    * within a cell. Partition-local; no shuffle. */
+  def resizeImage(spark: SparkSession, rows: Dataset[Row], idCol: String,
+      payloadCol: String, dstW: Int = 4, dstH: Int = 4,
+      batchSize: Int = 64): Dataset[ResizedImage] = {
     import spark.implicits._
     rows.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val px = Array.tabulate(srcW * srcH)(i =>
-            if (i < bytes.length) (bytes(i) & 0xff).toDouble else 0.0)
-          val out = Array.tabulate(dstW * dstH) { j =>
-            val (bx, by) = (j % dstW, j / dstW)
-            val (cw, ch) = (srcW / dstW, srcH / dstH)
-            val cells = for {
-              y <- by * ch until (by + 1) * ch
-              x <- bx * cw until (bx + 1) * cw
-            } yield px(y * srcW + x)
-            cells.sum / cells.length
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              val bands = raster.getNumBands
+              val out = new Array[Double](dstW * dstH * bands)
+              var cy = 0
+              while (cy < dstH) {
+                val y0 = cy * h / dstH; val y1 = math.max((cy + 1) * h / dstH, y0 + 1)
+                var cx = 0
+                while (cx < dstW) {
+                  val x0 = cx * w / dstW; val x1 = math.max((cx + 1) * w / dstW, x0 + 1)
+                  var b = 0
+                  while (b < bands) {
+                    var s = 0.0; var n = 0
+                    var y = y0
+                    while (y < math.min(y1, h)) {
+                      var x = x0
+                      while (x < math.min(x1, w)) {
+                        s += raster.getSample(x, y, b); n += 1; x += 1
+                      }
+                      y += 1
+                    }
+                    out((cy * dstW + cx) * bands + b) = s / math.max(n, 1)
+                    b += 1
+                  }
+                  cx += 1
+                }
+                cy += 1
+              }
+              Some(ResizedImage(id, w, h, dstW, dstH, out))
+            }
           }
-          ResizedImage(id, srcW, srcH, dstW, dstH, out)
         }
       }
   }
 
-  /** Frame-sample stub: treats the payload as a "video" of fixed-size
+  /** Frame-sample STUB: treats the payload as a "video" of fixed-size
     * frames and emits every `stride`-th frame with its byte offset —
     * the decode-free keyframe-sampling shape (a real sampler reads
-    * container metadata instead of fixed strides; partition-local
-    * fan-out of rows → frames is the Spark-side contract either way). */
+    * container metadata instead of fixed strides; the JDK has no video
+    * demuxer, so the codec stays stubbed while the partition-local
+    * row → frames fan-out — the Spark-side contract — is real). */
   def frameSample(spark: SparkSession, rows: Dataset[Row], idCol: String,
       payloadCol: String, frameBytes: Int = 16, stride: Int = 4): Dataset[SampledFrame] = {
     import spark.implicits._

@@ -320,12 +320,18 @@ object LlmQueries {
     * min id per cluster. */
   def q54DupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    // synthetic fragment ids offset by the power of ten above
+    // max(doc_id), so they can never collide with real ids at any
+    // scale factor; the oracle derives the same offset from the table
+    // (the max() rides aggregate pushdown — a footer-only scan)
+    val off = d.agg(pow(lit(10), length(max(col("doc_id")).cast("string")))
+      .cast("long").as("off"))
     val toks = TextFunctions.tokens(col("text"))
     val h = (size(toks) / 2).cast("int")
-    val seed = d.where(col("doc_id") % 7 === 3)
-    val firstHalf = seed.select((col("doc_id") + 10000).as("doc_id"),
+    val seed = d.where(col("doc_id") % 7 === 3).crossJoin(broadcast(off))
+    val firstHalf = seed.select((col("doc_id") + col("off")).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), h)).as("text"), col("source"))
-    val secondHalf = seed.select((col("doc_id") + 20000).as("doc_id"),
+    val secondHalf = seed.select((col("doc_id") + col("off") * 2).as("doc_id"),
       concat_ws(" ", slice(toks, h + 1, size(toks) - h)).as("text"),
       col("source"))
     val corpus = d.select("doc_id", "text", "source")
@@ -430,9 +436,12 @@ object LlmQueries {
     * quadratic, nothing collected. */
   def q61CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    // simulated-recrawl ids offset past max(doc_id) (see q54)
+    val off = d.agg(pow(lit(10), length(max(col("doc_id")).cast("string")))
+      .cast("long").as("off"))
     val crawl = d.select("doc_id", "text", "source").unionByName(
-      d.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+      d.where(col("doc_id") % 5 === 0).crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("doc_id"), col("text"),
           col("source")))
     val scored = crawl
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
@@ -469,7 +478,60 @@ object LlmQueries {
       .orderBy(col("query_id"), desc("cos_sim"), col("vec_id"))
   }
 
+  /** New-in-r7 — REAL image decode (javax.imageio, no stub): per-doc
+    * synthetic PNGs are ENCODED through the JDK's PNG codec (genuine
+    * `\x89PNG` streams), then DECODED back — dimensions, channel
+    * count, per-channel pixel means and total sample sum all come from
+    * the decoded raster. The image content is closed-form in doc_id
+    * (R constant, G = x, B = y), so a SQL-only oracle verifies a real
+    * codec round-trip bit-exactly. Both codec stages are batched
+    * partition-local mapPartitions — the payload bytes never enter a
+    * shuffle. */
+  def q64ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val png = Multimodal.encodePng(s, ids, "doc_id").toDF()
+    Multimodal.decodeImage(s, png, "id", "payload").toDF()
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("nChannels").as("n_channels"),
+        round(element_at(col("channelMeans"), 1), 6).as("r_mean"),
+        round(element_at(col("channelMeans"), 2), 6).as("g_mean"),
+        round(element_at(col("channelMeans"), 3), 6).as("b_mean"),
+        col("pixelSum").as("pixel_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-corpus LSH band-bucket artifact dir: built ONCE per dir via
+    * [[LshArtifact.refresh]] (the cross-run "write signatures once"
+    * discipline), then only READ by every q66 run. */
+  private val lshArtifactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lshArtifactDir(s: SparkSession, dir: String): String =
+    lshArtifactCache.computeIfAbsent(dir, _ => {
+      val control = java.nio.file.Files.createTempDirectory("lsh-control").toString
+      val art = java.nio.file.Files.createTempDirectory("lsh-art").toString + "/bb"
+      LshArtifact.refresh(s, control, art, "documents",
+        t(s, dir, "documents"), "doc_id", "text", batchId = "bootstrap",
+        stop = minhashStop(s, dir, portable = false))
+      art
+    })
+
+  /** New-in-r7 — the [[LshArtifact]] READ path benched: near-dup pairs
+    * whose band buckets come from the persisted parquet artifact — the
+    * query recomputes ZERO signatures (the corpus-wide pass happened
+    * once, at artifact build); shingles are recomputed only for docs
+    * appearing in candidate pairs, narrowed by a semi join before
+    * tokenization. Rows-only: equals q18's output by construction
+    * (same pipeline, artifact-backed), asserted in LshArtifactSpec. */
+  def q66LshArtifactPairs(s: SparkSession, dir: String): DataFrame =
+    LshArtifact.verifiedPairs(s, lshArtifactDir(s, dir),
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        stop = minhashStop(s, dir, portable = false))
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("doc_a", "doc_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_lsh_artifact" -> (q66LshArtifactPairs _),
+    "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),
     "q61_corpus_pipeline" -> (q61CorpusPipeline _),
     "q59_repetition" -> (q59Repetition _),
@@ -508,11 +570,25 @@ object LlmQueries {
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q64_image_decode" ->
+      """WITH dims AS (SELECT doc_id,
+        |  CAST(8 + doc_id % 5 AS INTEGER) AS w, CAST(4 + doc_id % 3 AS INTEGER) AS h,
+        |  doc_id * 7 % 256 AS r FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, w AS width, h AS height,
+        |  CAST(3 AS INTEGER) AS n_channels,
+        |  round(CAST(r AS DOUBLE), 6) AS r_mean,
+        |  round((w - 1) / 2.0, 6) AS g_mean,
+        |  round((h - 1) / 2.0, 6) AS b_mean,
+        |  CAST(w * h * r + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS BIGINT) AS pixel_sum
+        |FROM dims ORDER BY doc_id""".stripMargin,
+
     "q61_corpus_pipeline" ->
-      """WITH crawl AS (
+      """WITH off AS (
+         |  SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS o FROM documents),
+         |crawl AS (
          |  SELECT doc_id, text, source FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000 AS doc_id, text, source FROM documents WHERE doc_id % 5 = 0),
+         |  SELECT doc_id + off.o AS doc_id, text, source FROM documents, off WHERE doc_id % 5 = 0),
          |base AS (SELECT doc_id, text, source,
          |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
          |    CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
@@ -626,13 +702,15 @@ object LlmQueries {
          |FROM packed GROUP BY 1, 2 ORDER BY split, shard""".stripMargin,
 
     "q54_dup_clusters" ->
-      s"""WITH RECURSIVE w0 AS (SELECT doc_id, source, $toksSql AS w FROM documents),
+      s"""WITH RECURSIVE off AS (
+         |  SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS o FROM documents),
+         |w0 AS (SELECT doc_id, source, $toksSql AS w FROM documents),
          |variants AS (
-         |  SELECT doc_id + 10000 AS doc_id, source,
-         |    array_to_string(w[1:len(w)//2], ' ') AS text FROM w0 WHERE doc_id % 7 = 3
+         |  SELECT doc_id + off.o AS doc_id, source,
+         |    array_to_string(w[1:len(w)//2], ' ') AS text FROM w0, off WHERE doc_id % 7 = 3
          |  UNION ALL
-         |  SELECT doc_id + 20000 AS doc_id, source,
-         |    array_to_string(w[len(w)//2+1:len(w)], ' ') AS text FROM w0 WHERE doc_id % 7 = 3),
+         |  SELECT doc_id + 2 * off.o AS doc_id, source,
+         |    array_to_string(w[len(w)//2+1:len(w)], ' ') AS text FROM w0, off WHERE doc_id % 7 = 3),
          |corpus AS (
          |  SELECT doc_id, source, text FROM documents
          |  UNION ALL SELECT doc_id, source, text FROM variants),

@@ -12,6 +12,54 @@ class EtlControlSpec extends SparkTestBase {
       .select("event_id", "ts", "user_id", "event_type", "value")
       .where(col("ts") < lit(upTo).cast("timestamp"))
 
+  test("dedup-cluster cycle: daily pair batches fold exactly-once; crash replay converges to the full rebuild") {
+    import spark.implicits._
+    import graft.operators.DupGroups
+    val control = Files.createTempDirectory("dedup-control").toString
+    val assign = Files.createTempDirectory("dedup-assign").toString + "/cc"
+    val p1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val p2 = Seq((3L, 10L), (40L, 41L)) // merges {1,2,3}∪{10,11}
+    val p3 = Seq((0L, 21L), (41L, 99L)) // new min node + chain growth
+
+    def assignment: Map[Long, Long] = spark.read.parquet(assign)
+      .as[(Long, Long)].collect().toMap
+    def fullRebuild(batches: Seq[(Long, Long)]*): Map[Long, Long] =
+      DupGroups.connectedComponents(batches.flatten.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+
+    // day 1 bootstraps, day 2 folds incrementally — each equals a
+    // from-scratch CC over everything delivered so far
+    EtlControl.runDedupCycle(spark, control, "pairs", p1.toDF("a", "b"),
+      "a", "b", assign, batchId = "d1", watermarkUs = 1L)
+    assert(assignment == fullRebuild(p1))
+    EtlControl.runDedupCycle(spark, control, "pairs", p2.toDF("a", "b"),
+      "a", "b", assign, batchId = "d2", watermarkUs = 2L)
+    assert(assignment == fullRebuild(p1, p2))
+
+    // redelivery of a COMMITTED batch: skipped without touching anything
+    val stamp = assignment
+    val (_, applied) = EtlControl.runDedupCycle(spark, control, "pairs",
+      p2.toDF("a", "b"), "a", "b", assign, batchId = "d2", watermarkUs = 2L)
+    assert(!applied && assignment == stamp)
+
+    // worst-ordered crash: day 3 publishes its assignment but never
+    // commits; the replayed delivery re-folds the same pairs (a no-op
+    // by updateClusters idempotence) and lands the commit
+    EtlControl.runDedupCycle(spark, control, "pairs", p3.toDF("a", "b"),
+      "a", "b", assign, batchId = "d3", watermarkUs = 3L,
+      failBeforeCommit = true)
+    val (_, replayApplied) = EtlControl.runDedupCycle(spark, control, "pairs",
+      p3.toDF("a", "b"), "a", "b", assign, batchId = "d3", watermarkUs = 3L)
+    assert(replayApplied)
+    assert(assignment == fullRebuild(p1, p2, p3))
+    assert(assignment(20L) == 0L && assignment(99L) == 40L)
+
+    // and a fourth delivery of the now-committed batch is skipped
+    val (_, again) = EtlControl.runDedupCycle(spark, control, "pairs",
+      p3.toDF("a", "b"), "a", "b", assign, batchId = "d3", watermarkUs = 3L)
+    assert(!again)
+  }
+
   test("two incremental cycles + crash-replay land every row exactly once") {
     val dir = Files.createTempDirectory("etlctl").toString
     val control = s"$dir/control"

@@ -1,9 +1,16 @@
 package graft
 
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
+/** Real-codec multimodal path: PNG encode/decode round-trips through
+  * javax.imageio with closed-form expected statistics, deterministic
+  * area-average resize, and the stubbed (JDK has no demuxer) but
+  * shape-real video frame sampler. */
 class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
 
   test("binary metadata: byte length, magic prefix, chunk estimate") {
     val docs = Tables.load(spark, sf0001, "documents")
@@ -17,34 +24,66 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.getLong(2) == (r.getLong(0) + 255) / 256)
   }
 
-  test("decodeStub: deterministic batched features with fixed dim") {
-    val docs = Tables.load(spark, sf0001, "documents").limit(100)
-    val bin = Multimodal.withBinaryMeta(docs, "doc_id", "text")
-    val a = Multimodal.decodeStub(spark, bin, "doc_id", "payload", dim = 8, batchSize = 16)
+  test("encodePng emits genuine PNG byte streams") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val out = Multimodal.encodePng(spark, ids.toDF(), "doc_id", batchSize = 16)
       .collect().sortBy(_.id)
-    val b = Multimodal.decodeStub(spark, bin, "doc_id", "payload", dim = 8, batchSize = 16)
-      .collect().sortBy(_.id)
-    assert(a.length == 100)
-    assert(a.forall(_.features.length == 8))
-    assert(a.map(_.checksum).toSeq == b.map(_.checksum).toSeq, "decode must be deterministic")
-    assert(a.forall(_.batchOrdinal >= 0))
+    assert(out.length == 40)
+    // every payload carries the PNG magic and decodes via ImageIO
+    assert(out.forall(_.payload.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(out(11).payload))
+    assert(img.getWidth == (8 + 11 % 5) && img.getHeight == (4 + 11 % 3))
   }
 
-  test("resizeStub: area-average 16x16 -> 4x4 with dim metadata") {
-    val docs = Tables.load(spark, sf0001, "documents").limit(50)
-    val bin = Multimodal.withBinaryMeta(docs, "doc_id", "text")
-    val out = Multimodal.resizeStub(spark, bin, "doc_id", "payload").collect()
-    assert(out.length == 50)
-    assert(out.forall(r => r.pixels.length == 16 && r.dstW == 4 && r.srcW == 16))
-    // a constant-byte payload must resize to that constant
-    import spark.implicits._
-    val const = Seq((1L, Array.fill[Byte](256)(7.toByte))).toDF("doc_id", "payload")
-    val r = Multimodal.resizeStub(spark, const, "doc_id", "payload").head()
-    assert(r.pixels.forall(_ == 7.0))
+  test("decodeImage: real ImageIO decode with closed-form channel stats") {
+    val ids = (0L until 60L).toDF("doc_id")
+    val png = Multimodal.encodePng(spark, ids.toDF(), "doc_id").toDF()
+    val out = Multimodal.decodeImage(spark, png, "id", "payload")
+      .collect().sortBy(_.id)
+    assert(out.length == 60)
+    out.foreach { d =>
+      val (w, h) = ((8 + d.id % 5).toInt, (4 + d.id % 3).toInt)
+      assert(d.width == w && d.height == h && d.nChannels == 3)
+      // R constant, G = x gradient, B = y gradient
+      assert(math.abs(d.channelMeans(0) - (d.id * 7 % 256)) < 1e-9)
+      assert(math.abs(d.channelMeans(1) - (w - 1) / 2.0) < 1e-9)
+      assert(math.abs(d.channelMeans(2) - (h - 1) / 2.0) < 1e-9)
+      assert(d.pixelSum ==
+        w.toLong * h * (d.id * 7 % 256) + h.toLong * (w * (w - 1) / 2) +
+          w.toLong * (h * (h - 1) / 2))
+    }
+  }
+
+  test("decodeImage drops undecodable payloads (corrupt-blob quarantine)") {
+    val rows = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "payload")
+    assert(Multimodal.decodeImage(spark, rows, "id", "payload").isEmpty)
+  }
+
+  test("resizeImage: deterministic area-average over real decoded pixels") {
+    val ids = Seq(20L).toDF("doc_id") // id 20 -> 8x6, R = 140
+    val png = Multimodal.encodePng(spark, ids.toDF(), "doc_id").toDF()
+    val r = Multimodal.resizeImage(spark, png, "id", "payload",
+      dstW = 2, dstH = 2).head()
+    assert(r.srcW == 8 && r.srcH == 6 && r.pixels.length == 2 * 2 * 3)
+    // each 4x3 source box: R constant 140; G averages x over the box;
+    // B averages y over the box
+    val expG = Seq((0 to 3), (4 to 7)).map(xs => xs.sum / 4.0)
+    val expB = Seq((0 to 2), (3 to 5)).map(ys => ys.sum / 3.0)
+    for (cy <- 0 until 2; cx <- 0 until 2) {
+      val base = (cy * 2 + cx) * 3
+      assert(math.abs(r.pixels(base) - 140.0) < 1e-9)
+      assert(math.abs(r.pixels(base + 1) - expG(cx)) < 1e-9)
+      assert(math.abs(r.pixels(base + 2) - expB(cy)) < 1e-9)
+    }
+    // running it twice yields identical pixels (no platform-dependent
+    // interpolation)
+    val r2 = Multimodal.resizeImage(spark, png, "id", "payload",
+      dstW = 2, dstH = 2).head()
+    assert(r.pixels.toSeq == r2.pixels.toSeq)
   }
 
   test("frameSample: every stride-th fixed-size frame with byte offsets") {
-    import spark.implicits._
     val payload = Array.tabulate[Byte](160)(_.toByte) // 10 frames of 16
     val df = Seq((5L, payload)).toDF("doc_id", "payload")
     val frames = Multimodal.frameSample(spark, df, "doc_id", "payload",
