@@ -113,11 +113,20 @@ object TextFunctions {
   /** PII patterns kept to simple character classes so Java regex
     * (Spark) and RE2 (DuckDB) agree byte-for-byte. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** KNOWN LIMITATION: `\b` is the strongest boundary RE2 offers (no
+    * lookbehind/lookahead), so dotted runs longer than four octets
+    * redact partially ("1.2.3.4.5" → "<IP>.5") and out-of-range octets
+    * like 999.999.999.999 still match — version-like strings can be
+    * over-redacted. The tighter `(?<![.\d])…(?![.\d])` guards are Java-
+    * only and would fork Spark and oracle behavior; redaction here errs
+    * toward scrubbing too much, never too little. */
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** Scrub emails then IPv4s to typed placeholders — the pre-release
     * PII pass every published corpus runs. Row-local, codegen'd
-    * regexp_replace chain; no shuffle, no UDF. */
+    * regexp_replace chain; no shuffle, no UDF. See [[Ipv4Re]] for the
+    * boundary-precision limitation. */
   def redactPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
 

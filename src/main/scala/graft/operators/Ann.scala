@@ -110,7 +110,15 @@ object Ann {
     * (nprobe/k̂)·|corpus| per query wave instead of Q·|corpus|; on an
     * IVF-partitioned layout (ParquetSink.writeIvfPartitioned) the
     * union of probed cells also partition-prunes the read. Same
-    * WindowGroupLimit top-k as the exact join. */
+    * WindowGroupLimit top-k as the exact join.
+    *
+    * WEAKER CONTRACT than [[knnJoin]]: the probe-cell inner join means
+    * a query returns only rows from its probed cells — fewer than k
+    * rows (or zero, if every probed cell is empty of corpus vectors)
+    * under aggressive pruning, where knnJoin guarantees every query k
+    * rows. Per-query recall vs the exact join is measured in AnnSpec;
+    * raise `nprobe` (or fall back to knnJoin) when full coverage
+    * matters more than scan cost. */
   def ivfKnnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: Array[Array[Double]],
       nprobe: Int): DataFrame = {
@@ -321,11 +329,10 @@ object Ann {
         col(idCol).as("id_b"), lit(0.0).as("cos_sim")).limit(0)
     // Precompute each vector's norm once; the pairwise stage then does
     // only the dot product (≈3× less per-pair work than full cosine).
-    val cells = embeddings
+    val cells = CacheRegistry.persist(embeddings
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .withColumn("__c", clusterOf(col("vec"), cents))
-      .withColumn("__n", VectorFunctions.norm(col("vec")))
-      .persist()
+      .withColumn("__n", VectorFunctions.norm(col("vec"))))
     cells.as("a")
       .join(cells.as("b"),
         col("a.__c") === col("b.__c") && col("a.vid") < col("b.vid"))

@@ -161,12 +161,6 @@ object DupGroups {
     // from its LogicalRDD and freed explicitly once its successor is
     // materialized.
     var stepRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
-    def logicalRddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] = {
-      val plan = df.queryExecution.analyzed
-      if (plan.getClass.getSimpleName != "LogicalRDD") None
-      else scala.util.Try(plan.getClass.getMethod("rdd").invoke(plan)
-        .asInstanceOf[org.apache.spark.rdd.RDD[_]]).toOption
-    }
 
     try {
       // Each loop step = two star rounds + one materializing signature
@@ -184,7 +178,7 @@ object DupGroups {
         if (sys.env.contains("GRAFT_CC_DEBUG"))
           println(s"CCDEBUG step=${it / 2} inner=$innerSig sig=$nextSig t=${System.nanoTime() / 1e9}")
         stepRdds.foreach(_.unpersist(blocking = false))
-        stepRdds = Seq(r1, next).flatMap(logicalRddOf)
+        stepRdds = Seq(r1, next).flatMap(CacheRegistry.localCheckpointRdd)
         edges = next
         // converged when: empty edge set (self-loop-only input), the
         // inner round was already a fixed point, or two consecutive

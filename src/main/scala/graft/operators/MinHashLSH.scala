@@ -133,7 +133,7 @@ object MinHashLSH {
     // no cache entry to leak when the caller goes straight to disk).
     val bb = withSig.select(col("doc"), explode(bandStructs).as("bb"))
       .select(col("doc"), col("bb.band"), col("bb.band_hash"))
-    if (persistResult) bb.persist() else bb
+    if (persistResult) CacheRegistry.persist(bb) else bb
   }
 
   /** Candidate pairs: docs sharing ≥1 band bucket (doc_a < doc_b). */
@@ -184,7 +184,7 @@ object MinHashLSH {
       else raw.select(col("doc"),
         // filter keeps the array a set already (shingles are distinct)
         filter(col("sh"), h => !array_contains(lit(hot), h)).as("sh"))
-    val sh = filtered.persist()
+    val sh = CacheRegistry.persist(filtered)
     val pairs = candidatePairs(
       bandBucketsFromHashes(sh, numPerm, bands, seed,
         portableBandKey = portable))

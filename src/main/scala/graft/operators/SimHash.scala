@@ -345,7 +345,7 @@ object SimHash {
     if (maxHamming == 0) {
       // exact-fingerprint dedup: a pair within budget 0 IS equal on
       // both halves — bucket on the whole fingerprint, no chunk tables
-      val f = fps.persist()
+      val f = CacheRegistry.persist(fps)
       return f.as("a")
         .join(f.as("b"),
           col("a.fp_hi") === col("b.fp_hi") &&
@@ -374,11 +374,11 @@ object SimHash {
       }
       struct(lit(ti).as("tbl"), key.as("tkey"))
     }
-    val bucketed = fps.select(col("doc"), col("fp_hi"), col("fp_lo"),
-        explode(array(tables: _*)).as("tk"))
-      .select(col("doc"), col("fp_hi"), col("fp_lo"),
-        col("tk.tbl"), col("tk.tkey"))
-      .persist() // fingerprints are not recomputed per join side
+    val bucketed = CacheRegistry.persist( // fingerprints not recomputed per join side
+      fps.select(col("doc"), col("fp_hi"), col("fp_lo"),
+          explode(array(tables: _*)).as("tk"))
+        .select(col("doc"), col("fp_hi"), col("fp_lo"),
+          col("tk.tbl"), col("tk.tkey")))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") &&

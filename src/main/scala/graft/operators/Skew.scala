@@ -64,16 +64,23 @@ object Skew {
     * reducers, and the small side is replicated ONLY for the hot keys
     * — factor×|hot| extra rows instead of factor×|small|. Same results
     * as a plain join (asserted in SkewAndSinkSpec). */
+  /** The small side replicated `factor`× for hot keys only (salt 0
+    * elsewhere): |small| + (factor−1)·|hot| rows — the replication
+    * bound PlanAuditSpec pins. */
+  private[graft] def replicateForHot(small: DataFrame, key: String,
+      factor: Int, hot: Seq[Any]): DataFrame =
+    small.withColumn("__salt",
+      explode(when(col(key).isin(hot: _*),
+        array((0 until factor).map(lit): _*)).otherwise(array(lit(0)))))
+
   def partialSaltedJoin(skewed: DataFrame, small: DataFrame, key: String,
       factor: Int, saltSource: Seq[String], hot: Seq[Any]): DataFrame = {
     require(hot.nonEmpty, "no hot keys — use a plain join")
     val salted = skewed.withColumn("__salt",
       when(col(key).isin(hot: _*), salt(factor, saltSource.map(col): _*))
         .otherwise(lit(0)))
-    val replicated = small.withColumn("__salt",
-      explode(when(col(key).isin(hot: _*),
-        array((0 until factor).map(lit): _*)).otherwise(array(lit(0)))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    salted.join(replicateForHot(small, key, factor, hot), Seq(key, "__salt"))
+      .drop("__salt")
   }
 
   /** Two-phase skew-safe aggregation: partial aggregate on (key, salt),

@@ -136,10 +136,10 @@ object TextDedup {
     * pressure evicts it; long-lived sessions can clearCache(). */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val base = docs.select(col(idCol).as("doc"), col(blockCol).as("block"),
-        shingleHashes64(col(textCol), n).as("shs"))
-      .withColumn("sz", size(col("shs")).cast("long"))
-      .persist() // shared by the candidate and verification stages
+    val base = CacheRegistry.persist( // shared by candidate + verify stages
+      docs.select(col(idCol).as("doc"), col(blockCol).as("block"),
+          shingleHashes64(col(textCol), n).as("shs"))
+        .withColumn("sz", size(col("shs")).cast("long")))
     val buckets = prefixIndex(base, minJaccard)
       .groupBy("block", "sh")
       .agg(sort_array(collect_list(struct(col("doc"), col("sz")))).as("ds"))

@@ -358,7 +358,51 @@ object EcommerceQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Per-corpus hot-key list for q65 (the [[Skew.hotKeys]] sampled
+    * pre-pass — like the stop lists, a corpus-level artifact computed
+    * once per dir, persisted next to the table at real scale). */
+  private val hotKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Any]]()
+  private def q65Fact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .withColumn("pk",
+        when(col("l_orderkey") % 3 === 0, lit(1L))
+          .otherwise(col("l_partkey").cast("long")))
+  private def hotPartKeys(s: SparkSession, dir: String): Seq[Any] =
+    hotKeyCache.computeIfAbsent(dir, _ =>
+      Skew.hotKeys(q65Fact(s, dir), "pk",
+          rowIdCols = Seq("l_orderkey", "l_linenumber"),
+          minShare = 0.05, sampleMod = 10)
+        .collect().map(_.get(0)).toSeq)
+
+  /** New-in-r7 — hot-key-salted fact⋈dim join benched end to end. A
+    * third of the fact is seeded onto ONE part key (the "hot product"):
+    * a plain key-partitioned join would pin that key's whole mass on a
+    * single reducer. The hot list comes from [[Skew.hotKeys]]'s sampled
+    * pre-pass (cached per corpus); only hot rows salt (factor 8) and
+    * the dim replicates only for hot keys — (factor−1)·|hot| extra
+    * rows, not factor·|dim|. The dim side carries a merge hint: at
+    * 100 TB the dim outgrows broadcast, and the salted exchange is the
+    * thing under test (a broadcast join has no skew to fix). Results
+    * are identical to the plain join by construction — the oracle is
+    * plain join SQL; the salted exchange + replication bound are
+    * pinned in PlanAuditSpec. */
+  def q65SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("pk"), col("p_brand"))
+      .hint("merge")
+    Skew.partialSaltedJoin(q65Fact(s, dir), dim, "pk", factor = 8,
+        saltSource = Seq("l_orderkey", "l_linenumber"),
+        hot = hotPartKeys(s, dir))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_salted_join" -> (q65SaltedJoin _),
     "q01_rowcounts" -> (q01Rowcounts _),
     "q44_scd2_history" -> (q44ScdHistory _),
     "q45_bloom_delete_insert" -> (q45BloomDeleteInsert _),
@@ -384,6 +428,15 @@ object EcommerceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q65_salted_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_partkey END AS pk, l_quantity
+        |  FROM lineitem)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM fact JOIN part ON p_partkey = fact.pk
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q01_rowcounts" ->
       Tables.allTables.map(t =>
         s"SELECT '$t' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM $t")

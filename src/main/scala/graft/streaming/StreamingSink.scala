@@ -174,11 +174,16 @@ object StreamingSink {
             Dedup.keepLast(existing.unionByName(batchWinners),
               keyCols, Seq(col(seqCol)))
           } else batchWinners
-        merged.localCheckpoint(true)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__kb")
-          .parquet(targetDir)
+        // checkpoint breaks lineage from the directories being
+        // overwritten; its RDD-level blocks are freed after the write
+        // (a stream of N batches must not accumulate N checkpoints)
+        val ck = merged.localCheckpoint(true)
+        try {
+          ck.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__kb")
+            .parquet(targetDir)
+        } finally graft.operators.CacheRegistry.freeLocalCheckpoint(ck)
         ()
       }
 

@@ -71,6 +71,65 @@ class AnnSpec extends SparkTestBase {
     } finally { encoded.unpersist(); () }
   }
 
+  test("IVF-PQ at 10x embeddings: recall@10 ≥ 0.8 and probed-scan pruning hold") {
+    import graft.operators.Pq
+    // 10x corpus: 9 deterministically jittered copies around each
+    // sf0.1 vector (2 000 → 20 000 rows). The copies cluster tightly
+    // around their source — the clustered regime real embeddings live
+    // in and the one IVF pruning exploits; the base corpus stays
+    // near-random, so cross-cluster structure is unchanged.
+    val base = Tables.load(spark, sf01, "embeddings")
+      .select("vec_id", "embedding")
+    val corpus = base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(9))).as("j"))
+      .select((col("vec_id") * 10 + col("j")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(xxhash64(col("vec_id"), col("j"), i), lit(1001))
+            .cast("double") - 500.0) / 25000.0).cast("float"))
+          .as("embedding"))
+      .persist()
+    try {
+      assert(corpus.count() == 10 * base.count())
+      val cents = Ann.trainCentroids(corpus, "vec_id", "embedding",
+        k = 16, iters = 2, sampleMod = 4)
+      val cb = Pq.train(corpus, "vec_id", "embedding", m = 16, ksub = 16,
+        iters = 2)
+      val encoded = Pq.encodeTableWithCells(corpus, "vec_id", "embedding",
+        cb, cents).persist()
+      try {
+        val recalls = Seq(30L, 71L, 118L, 425L).map { qid =>
+          val query = corpus.where(col("vec_id") === qid)
+          val rest = corpus.where(col("vec_id") =!= qid)
+          val brute = topIds(Ann.bruteForceTopK(rest, query, "vec_id", "embedding", 10))
+          val got = topIds(Pq.ivfPqTopK(
+            encoded.where(col("vec_id") =!= qid), rest, query,
+            "vec_id", "embedding", k = 10, cb, cents, nprobe = 5, rerank = 8))
+          brute.intersect(got).size / 10.0
+        }
+        val mean = recalls.sum / recalls.size
+        assert(mean >= 0.8, s"mean recall@10 at 10x = $mean (per-query: $recalls)")
+        // the ADC advantage: probing 5 of 16 cells reads a bounded
+        // fraction of the codes — the scan shrinks with the corpus
+        // clustered, it does not creep back toward a full scan
+        val cellRows = encoded.groupBy("ivf_cell").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val total = cellRows.values.sum.toDouble
+        val worstProbedFrac = Seq(30L, 71L, 118L, 425L).map { qid =>
+          val qv = corpus.where(col("vec_id") === qid)
+            .select("embedding").head().getSeq[Float](0).toArray
+          val probed = cents.zipWithIndex
+            .map { case (c, i) =>
+              (i, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+            .sortBy(_._2).take(5).map(_._1)
+          probed.map(c => cellRows.getOrElse(c, 0L)).sum / total
+        }.max
+        assert(worstProbedFrac <= 0.6,
+          s"probed cells cover $worstProbedFrac of the corpus — pruning eroded")
+      } finally { encoded.unpersist(); () }
+    } finally { corpus.unpersist(); () }
+  }
+
   test("PQ re-rank emits exact cosines; codes compress 32x") {
     import graft.operators.Pq
     val e = Tables.load(spark, sf0001, "embeddings")

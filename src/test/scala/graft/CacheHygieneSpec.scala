@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.CacheRegistry
+
+/** Cache lifecycle: the cache-heavy SparkEntry queries must leave ZERO
+  * persistent RDDs behind once the caller's action has run and the
+  * library's release handle ([[CacheRegistry.releaseAll]]) is invoked —
+  * the round-6 leak was exactly these (band buckets, shingle frames,
+  * fingerprint buckets, IVF cell frames, and localCheckpoints, which
+  * Dataset.unpersist silently fails to release). Delta-based so
+  * artifacts other suites legitimately hold (pretrained PQ frames) do
+  * not flake the assertion. */
+class CacheHygieneSpec extends SparkTestBase {
+
+  private val cacheHeavy = Seq(
+    "q18_minhash_pairs",   // band buckets + shingle frame (MinHashLSH)
+    "q19_simhash",         // fingerprint bucket frame (SimHash)
+    "q20_ngram_jaccard",   // shingle base frame (TextDedup)
+    "q26_embed_neardup",   // IVF cell frame (Ann)
+    "q42_simhash_idf",     // idf-weighted fingerprint buckets
+    "q54_dup_clusters",    // pairs + CC steps (DupGroups)
+    "q61_corpus_pipeline", // composed pipeline
+    "q66_lsh_artifact")    // artifact read path
+
+  for (name <- cacheHeavy) test(s"$name: no persistent RDDs after action + releaseAll") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries(name)(spark, sf0001).count()
+    CacheRegistry.releaseAll(blocking = true)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"$name left persistent RDDs ${leaked.mkString(",")} after releaseAll")
+  }
+
+  test("connected components cleans up after itself, without releaseAll") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    graft.operators.DupGroups.connectedComponents(pairs, "a", "b").count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"connectedComponents left persistent RDDs ${leaked.mkString(",")}")
+  }
+
+  test("releaseAll forces recomputation, not staleness: a released query re-runs correctly") {
+    val a = SparkEntry.queries("q20_ngram_jaccard")(spark, sf0001).collect().toSeq
+    CacheRegistry.releaseAll()
+    val b = SparkEntry.queries("q20_ngram_jaccard")(spark, sf0001).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}

@@ -33,6 +33,7 @@ class GoldenPlanSpec extends SparkTestBase {
       .replaceAll("#\\d+", "#_")
       .replaceAll("\\bx_\\d+", "x_") // lambda vars use a session-global counter
       .replaceAll("plan_id=\\d+", "plan_id=_")
+      .replaceAll("RDD\\[\\d+\\]", "RDD[_]") // checkpoint-scan RDD ids are session-global
       .replaceAll("-?\\d+\\.\\d+(E-?\\d+)?", "<f>")
       .replaceAll("Location: [^\\n]*", "Location: <loc>")
       .linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n")
@@ -85,4 +86,14 @@ class GoldenPlanSpec extends SparkTestBase {
   snapshot("q55_knn_join", LlmQueries.q55KnnJoin(spark, sf0001))
   snapshot("q57_quota_sample", LlmQueries.q57QuotaSample(spark, sf0001))
   snapshot("q56_decontaminate", LlmQueries.q56Decontaminate(spark, sf0001))
+  // r7: the dup-cluster query must keep its checkpoint-rooted CC result
+  // (components computed once by the iterative operator, the final plan
+  // just joins the materialized assignment — CC rounds must never be
+  // re-derived in-plan); the corpus pipeline must stay ONE fused plan
+  // (gates → dedup → decontaminate → split → pack, no intermediate
+  // materialization); the IVF k-NN join must keep its broadcast
+  // probe-cell join (corpus never shuffles).
+  snapshot("q54_dup_clusters", LlmQueries.q54DupClusters(spark, sf0001))
+  snapshot("q61_corpus_pipeline", LlmQueries.q61CorpusPipeline(spark, sf0001))
+  snapshot("q62_ivf_knn_join", LlmQueries.q62IvfKnnJoin(spark, sf0001))
 }

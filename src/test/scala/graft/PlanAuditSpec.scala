@@ -13,6 +13,36 @@ class PlanAuditSpec extends SparkTestBase {
   private def countOccurrences(plan: String, token: String): Int =
     plan.sliding(token.length).count(_ == token)
 
+  test("salted join (q65): exchange partitions on (pk, __salt); dim replicates only for hot keys") {
+    val df = EcommerceQueries.q65SaltedJoin(spark, sf0001)
+    val plan = executed(df)
+    // the join must be shuffled (merge hint honored — a broadcast join
+    // would have no exchange to salt) and keyed on the SALTED key pair
+    assert(plan.contains("SortMergeJoin"), s"expected salted SMJ:\n$plan")
+    assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
+    val saltedExchanges = "Exchange hashpartitioning\\(pk#\\d+L?, __salt".r
+      .findAllIn(plan).size
+    assert(saltedExchanges >= 2,
+      s"both join sides must partition on (pk, __salt):\n$plan")
+    // replication bound: |dim| + (factor−1)·|hot| rows, never factor·|dim|
+    val dim = Tables.load(spark, sf0001, "part")
+      .select(org.apache.spark.sql.functions.col("p_partkey").cast("long").as("pk"))
+    val replicated = graft.operators.Skew
+      .replicateForHot(dim, "pk", factor = 8, hot = Seq(1L)).count()
+    assert(replicated == dim.count() + 7,
+      s"replication must be (factor-1)x|hot| extra rows, got $replicated")
+    // and the salted plan changes nothing semantically vs a plain join
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val plain = li.select(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("l_orderkey") % 3 === 0,
+          org.apache.spark.sql.functions.lit(1L))
+          .otherwise(org.apache.spark.sql.functions.col("l_partkey").cast("long")).as("pk"))
+      .join(dim, "pk").count()
+    val salted = df.agg(org.apache.spark.sql.functions.sum("n_items")).head().getLong(0)
+    assert(salted == plain, s"salted join changed row mass: $salted vs $plain")
+  }
+
   test("star join: small dims ride broadcasts, ≤2 shuffle exchanges") {
     val plan = executed(EcommerceQueries.q10StarJoin(spark, sf0001))
     val broadcasts = countOccurrences(plan, "BroadcastHashJoin")
