@@ -97,8 +97,15 @@ object LshArtifact {
     * would cache are bounded by the candidate set, not the corpus. */
   def verifiedPairs(spark: SparkSession, artifactDir: String,
       docs: DataFrame, idCol: String, textCol: String, threshold: Double,
-      shingleN: Int = 3, stop: Array[Long] = null): DataFrame = {
+      shingleN: Int = 3, stop: Array[Long] = null,
+      sinceId: Long = Long.MinValue): DataFrame = {
+    // sinceId narrows to pairs TOUCHING a doc above it — the daily
+    // batch shape: old-old pairs were folded by earlier cycles, so a
+    // growth run verifies only candidates with a new side (ids are
+    // monotone, so doc_b — the larger — catches almost all of them
+    // and the filter sits before the verify joins and the semi join)
     val cands = candidatePairs(spark, artifactDir)
+      .where(col("doc_a") > sinceId || col("doc_b") > sinceId)
     val candIds = cands.select(col("doc_a").as("doc"))
       .union(cands.select(col("doc_b").as("doc"))).distinct()
     val raw = docs.select(col(idCol).cast("long").as("doc"),
@@ -116,5 +123,48 @@ object LshArtifact {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The SELF-DRIVING daily dedup run — the full corpus-growth path in
+    * one call, composing the three persisted artifacts: (1) [[refresh]]
+    * signs only documents above the signature watermark and appends
+    * their band buckets; (2) [[verifiedPairs]] verifies only candidates
+    * touching a document above the CLUSTER cycle's own doc-id watermark
+    * — the day's pair batch; (3) [[EtlControl.runDedupCycle]] folds the
+    * batch into the persisted (node, component) assignment exactly-once
+    * ([[DupGroups.updateClusters]] rebuilds only touched components).
+    *
+    * Exactly-once under any crash ordering: the pair batch is defined
+    * by the CLUSTER watermark, not the signature watermark — so a crash
+    * after the signature commit but before the cluster commit replays
+    * into (0 docs signed, SAME pair batch, idempotent refold), and a
+    * redelivered fully-committed batch id is skipped without running a
+    * job. The two cycles therefore keep separate control sources
+    * (`sourceId#sig` / `sourceId#cc`) in the same control log.
+    *
+    * Returns (docsSigned, pairsInBatch, nAssignments). */
+  def dailyDedupRun(spark: SparkSession, controlDir: String,
+      artifactDir: String, assignDir: String, sourceId: String,
+      docs: DataFrame, idCol: String, textCol: String, batchId: String,
+      threshold: Double = 0.5, numPerm: Int = 64, bands: Int = 16,
+      shingleN: Int = 3, seed: Long = 42L, stop: Array[Long] = null,
+      failBeforeCommit: Boolean = false): (Long, Long, Long) = {
+    // the CLUSTER watermark defines the batch: pairs already folded end
+    // strictly at it, whatever the signature cycle has or hasn't done
+    val wmCc = EtlControl.lastWatermarkMicros(spark, controlDir,
+      s"$sourceId#cc", -1L)
+    val signed = refresh(spark, controlDir, artifactDir, s"$sourceId#sig",
+      docs, idCol, textCol, batchId, numPerm, bands, shingleN, seed, stop)
+    val pairs = verifiedPairs(spark, artifactDir, docs, idCol, textCol,
+      threshold, shingleN, stop, sinceId = wmCc)
+    val newWm = docs.agg(max(col(idCol).cast("long"))).head() match {
+      case r if r.isNullAt(0) => wmCc
+      case r => r.getLong(0)
+    }
+    val nPairs = pairs.count()
+    val (nAssign, _) = EtlControl.runDedupCycle(spark, controlDir,
+      s"$sourceId#cc", pairs, "doc_a", "doc_b", assignDir, batchId,
+      watermarkUs = newWm, failBeforeCommit = failBeforeCommit)
+    (signed, nPairs, nAssign)
   }
 }

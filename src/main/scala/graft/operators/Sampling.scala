@@ -82,6 +82,53 @@ object Sampling {
     df.withColumn("shard", floor(before / budget).cast("long"))
   }
 
+  /** Temperature-scaled mixture sampling (the Pile / multilingual-
+    * balancing discipline): stratum `s` with n_s rows gets target
+    * k_s = min(n_s, round(T · n_s^α / Σ_t n_t^α)) — α = 1 keeps the
+    * natural mix, α = 0 equalizes strata, values between damp the
+    * head-domain dominance a power-law corpus otherwise hands the
+    * training mix. Selection WITHIN each stratum is the md5-rank
+    * discipline ([[capPerGroup]]): deterministic, re-run stable,
+    * engine-portable. Targets are capped at the stratum size — a
+    * stratum smaller than its target contributes everything it has
+    * (up-sampling is an epoch-repetition concern, not a
+    * materialization concern).
+    *
+    * The per-stratum counts collect to the driver: |strata| rows —
+    * bounded-by-construction metadata (the stop-list/centroid
+    * precedent), and what buys the LITERAL max-target rank cap below,
+    * which triggers Spark's WindowGroupLimit rewrite so every input
+    * partition pre-prunes to maxK·|strata| rows before the single
+    * stratum exchange — the same property that makes [[capPerGroup]]
+    * scale. The exact per-stratum cut then applies via a broadcast
+    * decision-table join. */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
+      alpha: Double, totalTarget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(totalTarget >= 1, s"totalTarget must be >= 1, got $totalTarget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val targets = counts.map { case (s, n) =>
+      (s.toString,
+        math.min(n, math.round(totalTarget * math.pow(n.toDouble, alpha) / z)))
+    }
+    val maxK = targets.map(_._2).max.toInt
+    val targetDf = targets.toSeq.toDF("__stratum", "__k")
+    val rk = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(stratumCol)
+        .orderBy(md5(col(idCol).cast("string")), col(idCol)))
+    df.withColumn("__rk", rk)
+      .where(col("__rk") <= maxK) // literal → WindowGroupLimit pre-prune
+      .join(broadcast(targetDf),
+        col(stratumCol).cast("string") === col("__stratum"))
+      .where(col("__rk") <= col("__k"))
+      .drop("__rk", "__k", "__stratum")
+  }
+
   /** Seeded per-stratum sampling (e.g. balance sources or languages in
     * a training mix): keeps ~`fractions(stratum)` of each stratum,
     * deterministic under the seed via the same md5 discipline (id and

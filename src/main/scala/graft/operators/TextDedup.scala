@@ -79,6 +79,63 @@ object TextDedup {
       .drop("__id")
   }
 
+  /** Sub-document SPAN dedup (the C4 / Lee et al. 2022 granularity):
+    * split every document into fixed `chunkTokens`-token chunks, keep
+    * only the globally FIRST occurrence of each distinct chunk (first
+    * = smallest (id, position) — deterministic and re-run stable), and
+    * reassemble each document from its surviving chunks in original
+    * order. Whole-document dedup (exact / MinHash / SimHash) cannot
+    * touch boilerplate repeated ACROSS otherwise-distinct documents —
+    * headers, license banners, navigation chrome — which is exactly
+    * the mass that repeats millions of times in a web corpus; span
+    * dedup removes every copy but the first while leaving the
+    * surrounding unique text intact.
+    *
+    * Scale shape: nothing pairwise. Survivor selection is a groupBy-min
+    * on the 64-bit chunk hash (map-side combinable — a chunk repeated
+    * 10⁶ times leaves each map task as ONE row) + a join-back that AQE
+    * can skew-split, deliberately NOT a row_number window (a window
+    * partition on a hot boilerplate chunk is a straggler cliff the
+    * optimizer cannot split — same argument as [[prefixIndex]]'s
+    * dfreq). Reassembly is one exchange on the doc id. Chunks are
+    * carried once as strings (for rebuild) and joined on xxhash64
+    * (collision odds ~|chunks|²/2⁶⁵ — the [[shingleHashes64]]
+    * precedent).
+    *
+    * Returns (id, text [surviving chunks re-joined], n_chunks_kept,
+    * n_chunks_total); a document whose every chunk appeared earlier
+    * comes back with empty text and n_chunks_kept = 0 — filter
+    * downstream, the row is the audit record. Chunking is positional,
+    * so the operator is NOT idempotent across re-application (removing
+    * a span shifts later chunk boundaries); run it once per corpus
+    * snapshot, like the reference's per-batch dedup. */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val toks = TextFunctions.tokens(col(textCol))
+    val nChunks = greatest(
+      ceil(size(toks).cast("double") / chunkTokens).cast("int"), lit(1))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
+    val exploded = docs
+      .select(col(idCol).as("__id"), posexplode(chunks).as(Seq("pos", "chunk")))
+      .withColumn("__h", xxhash64(col("chunk")))
+    val firsts = exploded.groupBy("__h")
+      .agg(min(struct(col("__id"), col("pos"))).as("__first"))
+    exploded.join(firsts, "__h")
+      .withColumn("__keep",
+        struct(col("__id"), col("pos")) === col("__first"))
+      .groupBy("__id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("pos"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as(textCol),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_chunks_kept"),
+        count(lit(1)).as("n_chunks_total"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Prefix-filtered postings: (doc, block, sz, sh), keeping per doc
     * only its |S| − ⌈t·|S|⌉ + 1 rarest shingles under the global
     * (block-local) order (document frequency asc, hash asc).

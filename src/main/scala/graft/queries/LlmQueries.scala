@@ -18,11 +18,15 @@ object LlmQueries {
     Tables.load(s, dir, name)
 
   /** §2 #17 — exact dedup after a simulated re-ingest (second batch =
-    * every 5th doc with shifted ids → real duplicate groups). */
+    * every 5th doc with shifted ids → real duplicate groups). The
+    * shifted ids are offset by the power of ten above max(doc_id) —
+    * see q54 — so they cannot collide with real ids at any SF. */
   def q17ExactDedup(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
-    val reingest = d.where(col("doc_id") % 5 === 0)
-      .withColumn("doc_id", col("doc_id") + 10000)
+    val off = d.agg(pow(lit(10), length(max(col("doc_id")).cast("string")))
+      .cast("long").as("off"))
+    val reingest = d.where(col("doc_id") % 5 === 0).crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"), col("text"))
     TextDedup.exact(d.unionByName(reingest), "doc_id", "text")
       .orderBy("text_hash")
   }
@@ -529,7 +533,45 @@ object LlmQueries {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("doc_a", "doc_b")
 
+  /** Fixed 20-token boilerplate (2 whole 10-token chunks) prepended to
+    * every 4th doc by q67 — the cross-document repeated-span mass
+    * (cookie banners, license headers) that whole-doc dedup cannot
+    * touch. */
+  private val Boilerplate =
+    "this site uses cookies accept terms of service privacy policy " +
+      "all rights reserved copyright twenty twenty four navigation home about"
+
+  /** New-in-r7 — sub-document SPAN dedup ([[TextDedup.chunkDedup]],
+    * the C4 / Lee et al. granularity): a simulated boilerplate crawl
+    * (every 4th doc prefixed with the same 20-token banner) chunked
+    * into 10-token spans; only the globally-first occurrence of each
+    * span survives, so the banner's two chunks stay in exactly ONE
+    * document and every other affected doc is rebuilt without them.
+    * Survivor rule is groupBy-min + join-back (skew-safe), not a
+    * window — the oracle's row_number formulation is equivalent
+    * (rn = 1 ⇔ min (id, pos)). */
+  def q67ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val crawl = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(lit(Boilerplate + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    TextDedup.chunkDedup(crawl, "doc_id", "text", chunkTokens = 10)
+      .orderBy("doc_id")
+  }
+
+  /** New-in-r7 — temperature-scaled language-mixture sampling
+    * ([[Sampling.temperatureMix]]): the corpus is ~40% English; α = 0.5
+    * damps the head so the 200-doc mix draws ~√-proportionally from
+    * each language — the Pile/multilingual-balancing discipline,
+    * selection md5-rank-deterministic and engine-portable. */
+  def q68TempMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(t(s, dir, "documents"), "lang", "doc_id",
+        alpha = 0.5, totalTarget = 200L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("lang", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_chunk_dedup" -> (q67ChunkDedup _),
+    "q68_temp_mix" -> (q68TempMix _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),
@@ -838,11 +880,45 @@ object LlmQueries {
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.f_lo, b.f_lo)) + bit_count(xor(a.f_hi, b.f_hi)) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q67_chunk_dedup" ->
+      s"""WITH crawl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN '$Boilerplate ' || text ELSE text END AS text
+         |  FROM documents),
+         |w AS (SELECT doc_id, $toksSql AS w FROM crawl),
+         |ch0 AS (SELECT doc_id,
+         |    list_transform(range(CAST(greatest(ceil(len(w) / 10.0), 1) AS BIGINT)),
+         |      i -> array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ')) AS chunks
+         |  FROM w),
+         |ch AS (SELECT doc_id, unnest(chunks) AS chunk,
+         |    generate_subscripts(chunks, 1) - 1 AS pos FROM ch0),
+         |r AS (SELECT doc_id, pos, chunk,
+         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM ch)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS text,
+         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_chunks_kept,
+         |  CAST(count(*) AS BIGINT) AS n_chunks_total
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q68_temp_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+        |z AS (SELECT sum(power(n, 0.5)) AS z FROM c),
+        |t AS (SELECT lang, least(CAST(n AS BIGINT),
+        |    CAST(round(200 * power(n, 0.5) / z.z) AS BIGINT)) AS k FROM c, z),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang) WHERE rk <= t.k
+        |ORDER BY lang, doc_id""".stripMargin,
+
     "q17_exact_dedup" ->
-      s"""WITH all_docs AS (
+      s"""WITH off AS (
+         |  SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS o FROM documents),
+         |all_docs AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |  SELECT doc_id + off.o AS doc_id, text FROM documents, off WHERE doc_id % 5 = 0),
          |h AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash FROM all_docs)
          |SELECT text_hash, CAST(min(doc_id) AS BIGINT) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
          |FROM h GROUP BY text_hash ORDER BY text_hash""".stripMargin,

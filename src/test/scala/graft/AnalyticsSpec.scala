@@ -305,6 +305,65 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("chunkDedup: first occurrence of a repeated span survives, later copies drop, unique text intact") {
+    val banner = "b01 b02 b03 b04 b05 b06 b07 b08 b09 b10" // exactly one 10-token chunk
+    val docs = Seq(
+      (1L, s"$banner u11 u12 u13 u14 u15 u16 u17 u18 u19 u20"),
+      (2L, s"$banner v11 v12 v13 v14"),   // banner repeats; own tail unique
+      (3L, "w01 w02 w03"),                 // untouched
+      (4L, banner)                         // ONLY the banner → empties out
+    ).toDF("doc_id", "text")
+    val out = TextDedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 is the banner's first occurrence — fully intact
+    assert(out(1L) === ((s"$banner u11 u12 u13 u14 u15 u16 u17 u18 u19 u20", 2L, 2L)))
+    // doc 2 loses the banner chunk, keeps its own tail, order preserved
+    assert(out(2L) === (("v11 v12 v13 v14", 1L, 2L)))
+    // untouched doc round-trips
+    assert(out(3L) === (("w01 w02 w03", 1L, 1L)))
+    // fully-duplicated doc comes back empty but present (audit row)
+    assert(out(4L) === (("", 0L, 1L)))
+    // global invariant: kept chunks = distinct chunks in the corpus
+    // (banner, doc-1 tail, doc-2 tail, doc-3 text)
+    val keptTotal = TextDedup.chunkDedup(docs, "doc_id", "text", 10)
+      .agg(sum("n_chunks_kept")).head().getLong(0)
+    assert(keptTotal === 4L)
+  }
+
+  test("temperatureMix: per-stratum targets follow n^alpha, capped, deterministic") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val mixed = Sampling.temperatureMix(docs, "lang", "doc_id",
+      alpha = 0.5, totalTarget = 200L)
+    val got = mixed.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val z = n.values.map(v => math.sqrt(v.toDouble)).sum
+    n.foreach { case (lang, cnt) =>
+      val k = math.min(cnt, math.round(200 * math.sqrt(cnt.toDouble) / z))
+      assert(got(lang) === k, s"lang $lang")
+    }
+    // alpha damps the head: en's share shrinks vs its natural share
+    val natural = n("en").toDouble / n.values.sum
+    assert(got("en").toDouble / got.values.sum < natural)
+    // alpha = 1 reproduces the natural mix (rounded)
+    val nat = Sampling.temperatureMix(docs, "lang", "doc_id", 1.0, 200L)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    n.foreach { case (lang, cnt) =>
+      assert(nat(lang) === math.min(cnt, math.round(200.0 * cnt / n.values.sum)), s"alpha=1 $lang")
+    }
+    // re-run keeps the SAME rows (md5 discipline)
+    val a = mixed.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.temperatureMix(docs, "lang", "doc_id", 0.5, 200L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+    // the literal max-target cap pre-prunes via WindowGroupLimit
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"mixture rank must pre-prune per partition:\n$plan")
+  }
+
   test("q27/q28/q29 run green at sf0.001") {
     assert(AnalyticsQueries.q27Sessionize(spark, sf0001).count() > 0)
     val asof = AnalyticsQueries.q28AsofJoin(spark, sf0001)

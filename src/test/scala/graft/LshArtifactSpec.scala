@@ -72,6 +72,56 @@ class LshArtifactSpec extends SparkTestBase {
       "doc_id", "text", batchId = "b3") == 0L)
   }
 
+  test("dailyDedupRun: two growth days + worst-ordered crash equal the full rebuild") {
+    import graft.operators.DupGroups
+    val control = tmp("daily-control")
+    val artifact = tmp("daily-artifact") + "/bb"
+    val assign = tmp("daily-assign") + "/cc"
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val day1 = docs.where(col("doc_id") < 250)
+
+    def assignment: Map[Long, Long] =
+      spark.read.parquet(assign).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def rebuilt(d: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val ctl = tmp("daily-rb-ctl"); val art = tmp("daily-rb-art") + "/bb"
+      LshArtifact.refresh(spark, ctl, art, "rb", d, "doc_id", "text", "rb1")
+      DupGroups.connectedComponents(
+        LshArtifact.verifiedPairs(spark, art, d, "doc_id", "text", 0.5),
+        "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    // day 1: bootstrap — signs everything, full CC over the day's pairs
+    val (s1, p1, _) = LshArtifact.dailyDedupRun(spark, control, artifact,
+      assign, "corpus", day1, "doc_id", "text", batchId = "day1")
+    assert(s1 == day1.count() && p1 > 0)
+    assert(assignment == rebuilt(day1))
+
+    // day 2 CRASHES after the signature commit + assignment publish but
+    // before the cluster commit — the worst ordering for the composition
+    LshArtifact.dailyDedupRun(spark, control, artifact, assign, "corpus",
+      docs, "doc_id", "text", batchId = "day2", failBeforeCommit = true)
+    // replay: signs ZERO docs (signature watermark advanced), rebuilds
+    // the SAME pair batch (cluster watermark did not), refold is a no-op
+    val (s2r, p2r, _) = LshArtifact.dailyDedupRun(spark, control, artifact,
+      assign, "corpus", docs, "doc_id", "text", batchId = "day2")
+    assert(s2r == 0L && p2r > 0)
+    assert(assignment == rebuilt(docs))
+
+    // redelivery of the committed day-2 batch: skipped without a fold
+    val (_, _, n3) = LshArtifact.dailyDedupRun(spark, control, artifact,
+      assign, "corpus", docs, "doc_id", "text", batchId = "day2")
+    assert(n3 == assignment.size.toLong)
+    assert(assignment == rebuilt(docs))
+
+    // control log holds the two sources' cycles separately
+    val log = spark.read.parquet(control)
+    assert(log.where(col("source_id") === "corpus#sig").count() >= 2)
+    assert(log.where(col("source_id") === "corpus#cc" &&
+      col("status") === "SUCCESS").count() == 2)
+  }
+
   test("artifact-backed verified pairs equal the in-session pipeline") {
     val control = tmp("lsh-control3")
     val artifact = tmp("lsh-artifact3") + "/bb"
