@@ -180,6 +180,127 @@ object Multimodal {
       }
   }
 
+  case class ImageHash(id: Long, dhash: Long)
+
+  /** Deterministic synthetic PHOTO-LIKE image: 16×12 RGB with
+    * pseudo-random per-pixel content keyed by `contentKey` (two ids
+    * sharing a key have pixel-identical content), plus a flat
+    * `brightness` offset. Channel values stay in [0, 200+brightness] —
+    * no clipping, so a brightness shift preserves every pixel GRADIENT
+    * exactly: the dHash-invariance property real near-dup images
+    * (re-exposures, re-encodes) exhibit. Unlike [[syntheticImage]]'s
+    * monotone x/y gradients (whose dHash degenerates to all-ones),
+    * this content exercises every bit. */
+  private[graft] def syntheticPhoto(contentKey: Long, brightness: Int): BufferedImage = {
+    val (w, h) = (16, 12)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def ch(b: Int): Int = {
+          val m = contentKey * 2654435761L + x * 40503L + y * 65537L + b * 97L
+          (((m ^ (m >>> 13)) % 200 + 200) % 200).toInt + brightness
+        }
+        img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode the per-id synthetic PHOTO as real PNG bytes; `contentKey`
+    * and `brightness` are column expressions so callers plant duplicate
+    * groups (same key) and perceptual-but-not-byte duplicates
+    * (brightness-shifted re-exposures). */
+  def encodePhotoPng(spark: SparkSession, rows: Dataset[Row], idCol: String,
+      contentKeyCol: String, brightnessCol: String,
+      batchSize: Int = 64): Dataset[EncodedImage] = {
+    import spark.implicits._
+    rows.select(col(idCol).cast("long"), col(contentKeyCol).cast("long"),
+        col(brightnessCol).cast("int")).as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, key, bright) =>
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(syntheticPhoto(key, bright), "png", bos)
+            EncodedImage(id, bos.toByteArray)
+          }
+        }
+      }
+  }
+
+  /** Perceptual difference hash (dHash): decode → grayscale (band
+    * mean) → area-average onto a 9×8 grid → 64 bits, bit (x,y) = 1
+    * iff gray(x+1,y) > gray(x,y). Robust to re-encoding, uniform
+    * brightness shifts, and mild rescaling — the properties that make
+    * it the standard first pass of image dedup (byte/md5 equality
+    * catches none of those). Partition-local like every codec stage;
+    * the 8-byte hash is all that ever reaches an exchange, so the
+    * downstream dedup (exact groupBy, or banded Hamming via the
+    * [[SimHash]] machinery) shuffles 8 bytes per image, not pixels. */
+  def dHash64(spark: SparkSession, rows: Dataset[Row], idCol: String,
+      payloadCol: String, batchSize: Int = 64): Dataset[ImageHash] = {
+    import spark.implicits._
+    rows.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              val bands = raster.getNumBands
+              // integer box sums + cross-multiplied comparisons: the
+              // hash is computed in EXACT arithmetic, so a tie between
+              // adjacent boxes stays a tie under any uniform brightness
+              // shift (with double means, FP rounding of the shifted
+              // sums flips near-tie bits — observed on ~7% of random
+              // test images, since integer box sums collide at ~1/10³
+              // per adjacent pair)
+              val (gw, gh) = (9, 8)
+              val sums = new Array[Long](gw * gh)
+              val cnts = new Array[Long](gw * gh)
+              var cy = 0
+              while (cy < gh) {
+                val y0 = cy * h / gh; val y1 = math.max((cy + 1) * h / gh, y0 + 1)
+                var cx = 0
+                while (cx < gw) {
+                  val x0 = cx * w / gw; val x1 = math.max((cx + 1) * w / gw, x0 + 1)
+                  var s = 0L; var n = 0L
+                  var y = y0
+                  while (y < math.min(y1, h)) {
+                    var x = x0
+                    while (x < math.min(x1, w)) {
+                      var b = 0
+                      while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+                      n += 1; x += 1
+                    }
+                    y += 1
+                  }
+                  sums(cy * gw + cx) = s; cnts(cy * gw + cx) = math.max(n, 1L)
+                  cx += 1
+                }
+                cy += 1
+              }
+              var bits = 0L
+              var i = 0
+              while (i < 64) {
+                val a = (i / 8) * gw + (i % 8)
+                // mean(a+1) > mean(a) ⇔ sum(a+1)·n(a) > sum(a)·n(a+1)
+                if (sums(a + 1) * cnts(a) > sums(a) * cnts(a + 1))
+                  bits |= (1L << i)
+                i += 1
+              }
+              Some(ImageHash(id, bits))
+            }
+          }
+        }
+      }
+  }
+
   /** Frame-sample STUB: treats the payload as a "video" of fixed-size
     * frames and emits every `stride`-th frame with its byte offset —
     * the decode-free keyframe-sampling shape (a real sampler reads

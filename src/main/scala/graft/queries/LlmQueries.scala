@@ -504,6 +504,33 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** New-in-r7 — PERCEPTUAL image dedup ([[Multimodal.dHash64]]): a
+    * simulated photo corpus where ids congruent mod 400 share pixel
+    * content and the later copy is a +20-brightness "re-exposure" —
+    * its PNG bytes (and md5) differ, so exact/byte dedup finds
+    * nothing, while the difference hash is gradient-based and lands
+    * identical. Encode → dHash are batched partition-local codec
+    * stages; only the 8-byte hash reaches the exchange. Output: one
+    * row per duplicate group (≥ 2 images), keep-min survivor.
+    * Rows-only (a SQL oracle cannot run a PNG codec); the dHash
+    * invariances and the planted-group recovery are asserted in
+    * MultimodalSpec. */
+  def q69ImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 400).as("content_key"),
+      (when(col("doc_id") >= 400, 20).otherwise(0)).as("brightness"))
+    val png = Multimodal.encodePhotoPng(s, ids, "doc_id",
+      "content_key", "brightness").toDF()
+    Multimodal.dHash64(s, png, "id", "payload").toDF()
+      .groupBy(col("dhash"))
+      .agg(min(col("id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .where(col("n_copies") > 1)
+      .select(lower(hex(col("dhash"))).as("dhash_hex"), col("keep_doc_id"),
+        col("n_copies"), col("members"))
+      .orderBy("keep_doc_id")
+  }
+
   /** Per-corpus LSH band-bucket artifact dir: built ONCE per dir via
     * [[LshArtifact.refresh]] (the cross-run "write signatures once"
     * discipline), then only READ by every q66 run. */
@@ -572,6 +599,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_chunk_dedup" -> (q67ChunkDedup _),
     "q68_temp_mix" -> (q68TempMix _),
+    "q69_image_dedup" -> (q69ImageDedup _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),

@@ -83,6 +83,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.pixels.toSeq == r2.pixels.toSeq)
   }
 
+  test("dHash64: invariant to re-encode and brightness shift, discriminates content, recovers planted groups") {
+    // same content, one +20-brightness "re-exposure": PNG bytes differ,
+    // perceptual hash does not
+    val trio = Seq((1L, 7L, 0), (2L, 7L, 20), (3L, 8L, 0))
+      .toDF("doc_id", "content_key", "brightness")
+    val png = Multimodal.encodePhotoPng(spark, trio, "doc_id",
+      "content_key", "brightness").toDF()
+    val payloads = png.collect().map(r =>
+      r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(!payloads(1L).sameElements(payloads(2L)),
+      "brightness shift must change the encoded bytes")
+    val hashes = Multimodal.dHash64(spark, png, "id", "payload")
+      .collect().map(h => h.id -> h.dhash).toMap
+    assert(hashes(1L) == hashes(2L),
+      "dHash is gradient-based — a uniform brightness shift is invisible")
+    assert(hashes(1L) != hashes(3L),
+      "different content must hash differently")
+    // re-encoding the identical image yields identical bytes → same hash
+    val again = Multimodal.encodePhotoPng(spark,
+        Seq((9L, 7L, 0)).toDF("doc_id", "content_key", "brightness"),
+        "doc_id", "content_key", "brightness")
+      .toDF()
+    val h9 = Multimodal.dHash64(spark, again, "id", "payload").head().dhash
+    assert(h9 == hashes(1L))
+
+    // q69 at sf0.001: ids 0..499 — keys 0..99 occur twice ({k, k+400},
+    // the copy brightness-shifted), keys 100..399 once → exactly 100
+    // dup groups, each recovered as {k, k+400} with keep-min survivor
+    val groups = graft.queries.LlmQueries.q69ImageDedup(spark, sf0001)
+      .collect()
+    assert(groups.length == 100)
+    groups.foreach { g =>
+      val keep = g.getLong(1)
+      assert(g.getLong(2) == 2L && g.getSeq[Long](3) == Seq(keep, keep + 400))
+    }
+  }
+
   test("frameSample: every stride-th fixed-size frame with byte offsets") {
     val payload = Array.tabulate[Byte](160)(_.toByte) // 10 frames of 16
     val df = Seq((5L, payload)).toDF("doc_id", "payload")

@@ -92,6 +92,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(df.agg(sum("n_items")).head().getLong(0) == flat)
   }
 
+  test("chunk dedup (q67): survivor selection is windowless — partial-agg min + join-back, no straggler partition") {
+    val plan = executed(LlmQueries.q67ChunkDedup(spark, sf0001))
+    // the whole point of the groupBy-min formulation: NO window over the
+    // chunk key (a hot boilerplate chunk would serialize into one
+    // partition AQE cannot split); the final orderBy sort is fine
+    assert(!plan.contains("Window"), s"q67 must not window over chunks:\n$plan")
+    // survivor pick map-side combines before its exchange
+    assert(plan.contains("partial_min") || plan.contains("partial min") ||
+      "HashAggregate.*min".r.findFirstIn(plan).isDefined,
+      s"groupBy-min must partial-aggregate:\n$plan")
+  }
+
   test("no cartesian products in any registered non-broadcast query") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = executed(fn(spark, sf0001))
