@@ -531,6 +531,30 @@ object LlmQueries {
       .orderBy("keep_doc_id")
   }
 
+  /** New-in-r7 — real WAV audio decode ([[Audio]]): per-id synthetic
+    * integer-sawtooth PCM encoded through the JDK's RIFF/WAV codec
+    * (`javax.sound.sampled`), decoded back, and reduced to per-file
+    * features — energy (sum of squares + RMS), strict zero-crossing
+    * count, absolute peak. Every sample is exact integer arithmetic in
+    * (doc_id, k), so the SQL oracle replays the full
+    * encode→decode→feature pipeline bit-for-bit — the audio analogue
+    * of q64's closed-form image round-trip. Both codec stages are
+    * batched partition-local; payload bytes never enter a shuffle. */
+  def q70AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val wav = Audio.encodeWav(s, ids, "doc_id").toDF()
+    Audio.decodeAudio(s, wav, "id", "payload").toDF()
+      .select(col("id").as("doc_id"),
+        col("sampleRate").cast("long").as("sample_rate"),
+        col("nSamples").cast("long").as("n_samples"),
+        col("sumSquares").as("sum_squares"),
+        round(sqrt(col("sumSquares").cast("double") / col("nSamples")), 6)
+          .as("rms"),
+        col("zeroCrossings").cast("long").as("zero_crossings"),
+        col("peak").cast("long").as("peak"))
+      .orderBy("doc_id")
+  }
+
   /** Per-corpus LSH band-bucket artifact dir: built ONCE per dir via
     * [[LshArtifact.refresh]] (the cross-run "write signatures once"
     * discipline), then only READ by every q66 run. */
@@ -600,6 +624,7 @@ object LlmQueries {
     "q67_chunk_dedup" -> (q67ChunkDedup _),
     "q68_temp_mix" -> (q68TempMix _),
     "q69_image_dedup" -> (q69ImageDedup _),
+    "q70_audio_decode" -> (q70AudioDecode _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),
@@ -939,6 +964,25 @@ object LlmQueries {
         |  FROM documents)
         |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang) WHERE rk <= t.k
         |ORDER BY lang, doc_id""".stripMargin,
+
+    "q70_audio_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |    400 + (doc_id % 5) * 100 AS n,
+        |    3 + doc_id % 7 AS f,
+        |    40 + (doc_id % 3) * 10 AS a
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, f, a, unnest(range(n)) AS k FROM p),
+        |v AS (SELECT doc_id, n, k, a * (2 * ((k * f) % 512) - 512) AS v FROM s),
+        |w AS (SELECT doc_id, n, k, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM v)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_squares,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / max(n)), 6) AS rms,
+        |  CAST(count(CASE WHEN pv * v < 0 THEN 1 END) AS BIGINT) AS zero_crossings,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q17_exact_dedup" ->
       s"""WITH off AS (
