@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   * driver, never through a shuffle — decode is embarrassingly
   * parallel, so the ONLY design question at 100 TB is keeping the
   * bytes out of the exchange, which mapPartitions guarantees), and
-  * deterministic output a correctness oracle can replay. Only video
-  * frame-sampling remains a stub ([[frameSample]] — no container
-  * demuxer in the JDK); its partition-local row→frame fan-out contract
-  * is real and tested.
+  * deterministic output a correctness oracle can replay. Video
+  * frame-sampling is real over an MJPEG-style intra-coded stream
+  * ([[frameSample]]): the container is a concatenation of
+  * self-delimiting PNG frames (lossless, so decoded statistics stay
+  * oracle-exact) and the demuxer genuinely walks the PNG chunk grammar
+  * — signature, then length-prefixed chunks to IEND — to find frame
+  * boundaries. What the JDK still lacks is an INTER-frame codec
+  * (MP4/MKV/H.264), so motion-compensated streams stay out of scope;
+  * intra-only streams (MJPEG's shape) are fully handled.
   */
 object Multimodal {
 
@@ -44,6 +49,9 @@ object Multimodal {
 
   case class SampledFrame(id: Long, frameIdx: Int, offset: Long,
       frame: Array[Byte])
+
+  case class DecodedFrame(id: Long, frameIdx: Int, width: Int, height: Int,
+      nChannels: Int, channelMeans: Array[Double], pixelSum: Long)
 
   /** Deterministic synthetic RGB image for id: width 8 + id % 5,
     * height 4 + id % 3, R = (id·7) mod 256 (constant), G = x, B = y.
@@ -301,25 +309,155 @@ object Multimodal {
       }
   }
 
-  /** Frame-sample STUB: treats the payload as a "video" of fixed-size
-    * frames and emits every `stride`-th frame with its byte offset —
-    * the decode-free keyframe-sampling shape (a real sampler reads
-    * container metadata instead of fixed strides; the JDK has no video
-    * demuxer, so the codec stays stubbed while the partition-local
-    * row → frames fan-out — the Spark-side contract — is real). */
+  /** Deterministic synthetic video frame f of id's video: dimensions
+    * are constant across a video's frames (as real codecs require),
+    * content is closed-form in (id, f) — R = (id·7 + f·11) mod 256
+    * constant, G = x, B = y — so per-frame decoded statistics are
+    * SQL-expressible, the [[syntheticImage]] discipline per frame. */
+  private[graft] def syntheticVideoFrame(id: Long, f: Int): BufferedImage = {
+    val w = (8 + id % 5).toInt
+    val h = (4 + id % 3).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val r = ((id * 7 + f * 11L) % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (r << 16) | (x << 8) | y)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Real video ENCODE: the per-id synthetic video — 6 + id mod 5
+    * frames — as an MJPEG-style intra-coded stream, each frame a
+    * complete PNG byte stream (lossless, so the decode oracle is
+    * bit-exact), frames concatenated back-to-back. PNG streams are
+    * self-delimiting (signature + length-prefixed chunks to IEND), so
+    * the concatenation needs no index header to demux — the same
+    * property MJPEG exploits with JPEG's marker structure. */
+  def encodeVideo(spark: SparkSession, rows: Dataset[Row], idCol: String,
+      batchSize: Int = 64): Dataset[EncodedImage] = {
+    import spark.implicits._
+    rows.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { id =>
+            val bos = new ByteArrayOutputStream()
+            val nFrames = (6 + id % 5).toInt
+            var f = 0
+            while (f < nFrames) {
+              ImageIO.write(syntheticVideoFrame(id, f), "png", bos)
+              f += 1
+            }
+            EncodedImage(id, bos.toByteArray)
+          }
+        }
+      }
+  }
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Walk ONE PNG stream starting at `off` through the real chunk
+    * grammar — 8-byte signature, then (4-byte big-endian length,
+    * 4-byte type, data, 4-byte CRC) chunks until IEND — and return the
+    * end offset, or -1 if the bytes are not a well-formed PNG (the
+    * demux quarantine signal). */
+  private[graft] def pngStreamEnd(bytes: Array[Byte], off: Int): Int = {
+    if (off + 8 > bytes.length) return -1
+    var i = 0
+    while (i < 8) {
+      if ((bytes(off + i) & 0xff) != PngSig(i)) return -1
+      i += 1
+    }
+    var p = off + 8
+    while (p + 8 <= bytes.length) {
+      val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      if (len < 0) return -1
+      val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
+        bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
+      val next = p + 8L + len + 4L
+      if (next > bytes.length) return -1
+      p = next.toInt
+      if (isEnd) return p
+    }
+    -1
+  }
+
+  /** Real frame-sampling: DEMUX the intra-coded stream by walking each
+    * frame's PNG chunk grammar to its IEND (genuine container parsing —
+    * no fixed strides, no index header), then emit every `stride`-th
+    * frame with its true byte offset. A malformed frame quarantines the
+    * payload's REMAINDER (everything demuxed before the corruption is
+    * kept) — the per-frame analogue of the corrupt-blob contract.
+    * Partition-local row → frames fan-out; payload bytes never enter a
+    * shuffle, and only sampled frames are ever copied out of the
+    * payload buffer. */
   def frameSample(spark: SparkSession, rows: Dataset[Row], idCol: String,
-      payloadCol: String, frameBytes: Int = 16, stride: Int = 4): Dataset[SampledFrame] = {
+      payloadCol: String, stride: Int = 4): Dataset[SampledFrame] = {
     import spark.implicits._
     rows.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val nFrames = bytes.length / frameBytes
-          (0 until nFrames by stride).map { f =>
-            val off = f.toLong * frameBytes
-            SampledFrame(id, f, off,
-              java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + frameBytes))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SampledFrame]
+          var off = 0
+          var f = 0
+          var end = pngStreamEnd(bytes, off)
+          while (end > 0) {
+            if (f % stride == 0)
+              out += SampledFrame(id, f, off.toLong,
+                java.util.Arrays.copyOfRange(bytes, off, end))
+            off = end
+            f += 1
+            end = if (off >= bytes.length) -1 else pngStreamEnd(bytes, off)
+          }
+          out
+        }
+      }
+  }
+
+  /** Real per-frame DECODE of sampled frames: ImageIO parses each
+    * frame's bytes, pixel statistics come out per (video, frame).
+    * Narrow stage over [[frameSample]]'s output — the two codec stages
+    * fuse into one task with no exchange between them. Undecodable
+    * frames are dropped (quarantine). */
+  def decodeFrames(spark: SparkSession,
+      frames: Dataset[SampledFrame], batchSize: Int = 64): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { sf =>
+          val img = ImageIO.read(new ByteArrayInputStream(sf.frame))
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val sums = new Array[Double](bands)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var b = 0
+                while (b < bands) {
+                  val s = raster.getSample(x, y, b)
+                  sums(b) += s
+                  total += s
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            Some(DecodedFrame(sf.id, sf.frameIdx, w, h, bands,
+              sums.map(_ / (w.toLong * h)), total))
           }
         }
       }
+    }
   }
 }

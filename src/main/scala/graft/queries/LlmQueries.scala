@@ -555,6 +555,29 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** New-in-r7 — real video frame-sampling ([[Multimodal.frameSample]]):
+    * per-id synthetic videos encoded as MJPEG-style intra-coded streams
+    * (concatenated self-delimiting PNG frames), DEMUXED by walking each
+    * frame's PNG chunk grammar to IEND, every 2nd frame sampled and
+    * decoded through the real codec. Frame content is closed-form in
+    * (doc_id, frame_idx), so the SQL oracle replays the full
+    * encode→demux→sample→decode pipeline bit-for-bit — the video
+    * analogue of q64/q70. All three codec stages are partition-local
+    * and fuse into one narrow stage; payload bytes never shuffle. */
+  def q71VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val vid = Multimodal.encodeVideo(s, ids, "doc_id").toDF()
+    val frames = Multimodal.frameSample(s, vid, "id", "payload", stride = 2)
+    Multimodal.decodeFrames(s, frames).toDF()
+      .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
+        col("width"), col("height"), col("nChannels").as("n_channels"),
+        round(element_at(col("channelMeans"), 1), 6).as("r_mean"),
+        round(element_at(col("channelMeans"), 2), 6).as("g_mean"),
+        round(element_at(col("channelMeans"), 3), 6).as("b_mean"),
+        col("pixelSum").as("pixel_sum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Per-corpus LSH band-bucket artifact dir: built ONCE per dir via
     * [[LshArtifact.refresh]] (the cross-run "write signatures once"
     * discipline), then only READ by every q66 run. */
@@ -625,6 +648,7 @@ object LlmQueries {
     "q68_temp_mix" -> (q68TempMix _),
     "q69_image_dedup" -> (q69ImageDedup _),
     "q70_audio_decode" -> (q70AudioDecode _),
+    "q71_video_frames" -> (q71VideoFrames _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),
@@ -983,6 +1007,22 @@ object LlmQueries {
         |  CAST(count(CASE WHEN pv * v < 0 THEN 1 END) AS BIGINT) AS zero_crossings,
         |  CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q71_video_frames" ->
+      """WITH p AS (SELECT doc_id, 6 + doc_id % 5 AS nf,
+        |    CAST(8 + doc_id % 5 AS INTEGER) AS w,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, unnest(range(nf)) AS fi FROM p),
+        |s AS (SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, w, h,
+        |    (doc_id * 7 + fi * 11) % 256 AS r FROM f WHERE fi % 2 = 0)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, frame_idx,
+        |  w AS width, h AS height, CAST(3 AS INTEGER) AS n_channels,
+        |  round(CAST(r AS DOUBLE), 6) AS r_mean,
+        |  round((w - 1) / 2.0, 6) AS g_mean,
+        |  round((h - 1) / 2.0, 6) AS b_mean,
+        |  CAST(w * h * r + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS BIGINT) AS pixel_sum
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q17_exact_dedup" ->
       s"""WITH off AS (

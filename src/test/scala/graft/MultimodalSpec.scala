@@ -120,14 +120,51 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
-  test("frameSample: every stride-th fixed-size frame with byte offsets") {
-    val payload = Array.tabulate[Byte](160)(_.toByte) // 10 frames of 16
-    val df = Seq((5L, payload)).toDF("doc_id", "payload")
-    val frames = Multimodal.frameSample(spark, df, "doc_id", "payload",
-      frameBytes = 16, stride = 4).collect().sortBy(_.frameIdx)
+  test("frameSample: real PNG-stream demux — every stride-th frame at true chunk-walked offsets") {
+    // id 9 → 6 + 9%5 = 10 frames; stride 4 samples frames 0, 4, 8
+    val video = Multimodal.encodeVideo(spark, Seq(9L).toDF("doc_id"), "doc_id")
+      .toDF()
+    val payload = video.head().getAs[Array[Byte]]("payload")
+    val frames = Multimodal.frameSample(spark, video, "id", "payload",
+      stride = 4).collect().sortBy(_.frameIdx)
     assert(frames.map(_.frameIdx).toSeq == Seq(0, 4, 8))
-    assert(frames.map(_.offset).toSeq == Seq(0L, 64L, 128L))
-    assert(frames.forall(_.frame.length == 16))
-    assert(frames(1).frame(0) == 64.toByte, "frame bytes must come from the offset")
+    // offsets must be the REAL frame boundaries the chunk walk found:
+    // each sampled frame is a complete standalone PNG starting at its
+    // offset (signature present, IEND-delimited, ImageIO-decodable)
+    frames.foreach { f =>
+      assert(payload(f.offset.toInt) == 0x89.toByte &&
+        payload(f.offset.toInt + 1) == 'P'.toByte)
+      val end = Multimodal.pngStreamEnd(payload, f.offset.toInt)
+      assert(end - f.offset.toInt == f.frame.length)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame))
+      assert(img != null && img.getWidth == (8 + 9 % 5))
+    }
+    // frame offsets are strictly increasing and frame 0 starts at 0
+    assert(frames.head.offset == 0L)
+    assert(frames.map(_.offset).toSeq == frames.map(_.offset).toSeq.sorted)
+
+    // decodeFrames: stats match the closed-form frame content
+    // (R = (id·7 + f·11) mod 256 constant, G = x, B = y)
+    val decoded = Multimodal.decodeFrames(spark,
+      Multimodal.frameSample(spark, video, "id", "payload", stride = 4))
+      .collect().sortBy(_.frameIdx)
+    decoded.foreach { d =>
+      val (w, h) = (8 + 9 % 5, 4 + 9 % 3)
+      assert(d.width == w && d.height == h && d.nChannels == 3)
+      assert(d.channelMeans(0) == ((9L * 7 + d.frameIdx * 11L) % 256).toDouble)
+      assert(d.channelMeans(1) == (w - 1) / 2.0)
+      assert(d.channelMeans(2) == (h - 1) / 2.0)
+    }
+
+    // corruption quarantines the REMAINDER: truncate mid-frame-2 —
+    // frames before the corruption still demux
+    val cut = java.util.Arrays.copyOfRange(payload, 0,
+      Multimodal.pngStreamEnd(payload,
+        Multimodal.pngStreamEnd(payload, 0)) + 10)
+    val cutFrames = Multimodal.frameSample(spark,
+      Seq((9L, cut)).toDF("id", "payload"), "id", "payload", stride = 1)
+      .collect()
+    assert(cutFrames.map(_.frameIdx).sorted.toSeq == Seq(0, 1))
   }
 }
