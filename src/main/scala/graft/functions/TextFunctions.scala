@@ -133,6 +133,40 @@ object TextFunctions {
   def tokenHashMd5(t: Column): Column =
     conv(substring(md5(t), 1, 8), 16, 10).cast("long")
 
+  /** Hashed n-gram LINEAR CLASSIFIER score in milli-units — the
+    * fastText / GPT-3-quality-filter discipline (Joulin et al. 2016;
+    * Brown et al. 2020 §Appendix A), and the selection shape DSIR
+    * (Xie et al. 2023) reduces to once its importance weights are
+    * estimated: score(doc) = Σ over word uni+bigrams of
+    * w(hash(gram) mod `buckets`).
+    *
+    * The weight table here is a deterministic integer stand-in
+    * (w(b) = (b·2654435761 mod 2³¹) mod 2001 − 1000 ∈ [−1000, 1000]
+    * milli-units) — in production the weight expression is swapped for
+    * trained weights (a broadcast lookup array or a generated CASE);
+    * the OPERATOR is the plumbing around it, which is the expensive
+    * part at scale. Everything is integer arithmetic on md5 buckets,
+    * so a SQL oracle replays scores bit-exactly.
+    *
+    * Pure Column expressions — codegen'd, row-local, ZERO shuffle:
+    * classifier-scoring a 100 TB corpus is a map-only pass over the
+    * scan, the plan you want (a shuffle here would be a design bug).
+    * The token array is bound once as a lambda value (the
+    * [[topNgramFraction]] interpreted-eval discipline) — it is
+    * referenced three times (unigrams + both bigram slices). */
+  def classifierScoreMilli(c: Column, buckets: Int = 65536): Column = {
+    val scored = transform(array(tokens(c)), ts => {
+      val n1 = greatest(size(ts) - 1, lit(0))
+      val bigrams = zip_with(slice(ts, lit(1), n1), slice(ts, lit(2), n1),
+        (a, b) => concat(a, lit("_"), b))
+      aggregate(concat(ts, bigrams), lit(0L), (acc, g) => {
+        val bkt = tokenHashMd5(g) % lit(buckets.toLong)
+        acc + (bkt * lit(2654435761L) % lit(2147483648L) % lit(2001L) - lit(1000L))
+      })
+    })
+    element_at(scored, 1)
+  }
+
   /** Polynomial rolling-hash document fingerprint over token md5-hashes,
     * mod 1e9+7 (modulo applied per step — keeps every intermediate in
     * 35 bits so the same fold works in engines that trap on int64

@@ -578,6 +578,21 @@ object LlmQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** New-in-r7 — hashed n-gram classifier quality gate
+    * ([[TextFunctions.classifierScoreMilli]]): every doc scored by a
+    * linear model over hashed word uni+bigrams (the fastText / GPT-3
+    * quality-filter and DSIR importance-selection shape), kept iff the
+    * score is positive. Scoring is pure codegen'd Column arithmetic —
+    * a map-only pass with ZERO shuffle (the final orderBy is the test
+    * harness's determinism, not the operator). Integer milli-weights
+    * end-to-end → the oracle replays scores bit-exactly. */
+  def q72ClassifierGate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.classifierScoreMilli(col("text")).as("score_milli"))
+      .withColumn("keep", col("score_milli") > 0)
+      .orderBy("doc_id")
+
   /** Per-corpus LSH band-bucket artifact dir: built ONCE per dir via
     * [[LshArtifact.refresh]] (the cross-run "write signatures once"
     * discipline), then only READ by every q66 run. */
@@ -649,6 +664,7 @@ object LlmQueries {
     "q69_image_dedup" -> (q69ImageDedup _),
     "q70_audio_decode" -> (q70AudioDecode _),
     "q71_video_frames" -> (q71VideoFrames _),
+    "q72_classifier_gate" -> (q72ClassifierGate _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),
@@ -1023,6 +1039,19 @@ object LlmQueries {
         |  round((h - 1) / 2.0, 6) AS b_mean,
         |  CAST(w * h * r + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS BIGINT) AS pixel_sum
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q72_classifier_gate" ->
+      s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(w || [w[i] || '_' || w[i+1]
+         |    for i in generate_series(1, len(w) - 1)]) AS g FROM w),
+         |s AS (SELECT doc_id,
+         |    sum(((('0x' || substr(md5(g), 1, 8))::BIGINT % 65536)
+         |      * 2654435761) % 2147483648 % 2001 - 1000) AS score_milli
+         |  FROM g GROUP BY doc_id)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(score_milli AS BIGINT) AS score_milli,
+         |  score_milli > 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q17_exact_dedup" ->
       s"""WITH off AS (

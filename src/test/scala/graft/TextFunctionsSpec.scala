@@ -62,6 +62,28 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(rows(3) === ((0.0, 0.0)))
   }
 
+  test("classifierScoreMilli: deterministic linear score over hashed uni+bigrams") {
+    val df = Seq("alpha beta gamma", "alpha beta gamma", "gamma beta alpha", "solo")
+      .toDF("t").select(TextFunctions.classifierScoreMilli(col("t")).as("s"))
+    val s = df.collect().map(_.getLong(0))
+    assert(s(0) == s(1), "same text must score equal")
+    assert(s(0) != s(2), "bigram features make word order matter")
+    // manual replay for "solo": one unigram, no bigrams
+    def w(g: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bkt = java.lang.Long.parseLong(md5.take(8), 16) % 65536L
+      bkt * 2654435761L % 2147483648L % 2001L - 1000L
+    }
+    assert(s(3) == w("solo"))
+    // manual replay for the 3-token doc: 3 unigrams + 2 bigrams
+    val expect = Seq("alpha", "beta", "gamma", "alpha_beta", "beta_gamma")
+      .map(w).sum
+    assert(s(0) == expect)
+    // score range sanity: |score| <= 1000 * n_grams
+    assert(math.abs(s(0)) <= 5000)
+  }
+
   test("redactPii scrubs emails and IPv4s, leaves clean text alone") {
     val df = Seq(
       "reach me at jo.doe+x@sub.example.org or 10.0.200.25 thanks",
