@@ -593,6 +593,55 @@ object LlmQueries {
       .withColumn("keep", col("score_milli") > 0)
       .orderBy("doc_id")
 
+  /** New-in-r7 — BPE pair statistics ([[Bpe]]): the round-0 merge
+    * candidates of tokenizer induction — adjacent character-pair
+    * frequencies over the word dictionary, top-20 by (freq desc, pair
+    * asc). The corpus-sized work is ONE pass (the word-dict shuffle);
+    * the pair explosion runs over the vocabulary-sized dict. */
+  def q73BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val dict = Bpe.wordDict(t(s, dir, "documents"), "text")
+    Bpe.pairCounts(Bpe.symbolize(dict))
+      .orderBy(col("pair_freq").desc, col("left"), col("right"))
+      .limit(20)
+  }
+
+  /** New-in-r7 — BPE merge-table training ([[Bpe.train]]): 8 rounds of
+    * the Sennrich et al. loop, each round one dict-sized aggregate +
+    * a 1-row argmax collect (bounded metadata). Rows-only (the
+    * iterative argmax-dependent rewrite is beyond SQL); BpeSpec
+    * asserts bit-equality of the learned table against an independent
+    * in-memory reference implementation. */
+  def q74BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val merges = Bpe.train(t(s, dir, "documents"), "text", 8)
+    import s.implicits._
+    merges.toDF().select(col("rank"), col("left"), col("right"),
+      col("merged"), col("freq")).orderBy("rank")
+  }
+
+  /** The fixed merge-table prefix q75 tokenizes under: a deterministic
+    * high-frequency-English stand-in (production uses [[Bpe.train]]'s
+    * output; the APPLY path is what q75 oracle-checks). */
+  private val FixedMerges = Seq(
+    Bpe.Merge(0, "t", "h", "th", 0L),
+    Bpe.Merge(1, "th", "e</w>", "the</w>", 0L),
+    Bpe.Merge(2, "i", "n", "in", 0L),
+    Bpe.Merge(3, "a", "n", "an", 0L),
+    Bpe.Merge(4, "e", "r</w>", "er</w>", 0L))
+
+  /** New-in-r7 — subword counting under a merge table
+    * ([[Bpe.subwordCount]]): the corpus-wide MAP-ONLY apply pass —
+    * merges fold into the expression as constants, no broadcast, no
+    * shuffle, no UDF. The oracle replays greedy merging exactly via
+    * left-to-right non-overlapping string replace over symbols joined
+    * by DOUBLE separators: a match consumes only the inner separator
+    * char of each boundary, so matches stay symbol-aligned AND
+    * adjacent pair occurrences (which share a boundary) still match —
+    * the same greedy semantics as the Column fold. */
+  def q75SubwordCount(s: SparkSession, dir: String): DataFrame =
+    Bpe.subwordCount(t(s, dir, "documents"), "text", FixedMerges)
+      .select(col("doc_id"), col("n_subwords"))
+      .orderBy("doc_id")
+
   /** Per-corpus LSH band-bucket artifact dir: built ONCE per dir via
     * [[LshArtifact.refresh]] (the cross-run "write signatures once"
     * discipline), then only READ by every q66 run. */
@@ -665,6 +714,9 @@ object LlmQueries {
     "q70_audio_decode" -> (q70AudioDecode _),
     "q71_video_frames" -> (q71VideoFrames _),
     "q72_classifier_gate" -> (q72ClassifierGate _),
+    "q73_bpe_pairs" -> (q73BpePairs _),
+    "q74_bpe_merges" -> (q74BpeMerges _),
+    "q75_subword_count" -> (q75SubwordCount _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),
@@ -1052,6 +1104,39 @@ object LlmQueries {
          |  CAST(score_milli AS BIGINT) AS score_milli,
          |  score_milli > 0 AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q73_bpe_pairs" ->
+      s"""WITH t AS (SELECT $toksSql AS ws FROM documents),
+         |words AS (SELECT unnest(ws) AS word FROM t),
+         |d AS (SELECT word, count(*) AS freq FROM words WHERE len(word) > 0 GROUP BY word),
+         |s AS (SELECT freq, [substr(word, i, 1) || CASE WHEN i = len(word) THEN '</w>' ELSE '' END
+         |       for i in generate_series(1, len(word))] AS syms FROM d),
+         |pairs AS (SELECT freq, unnest([{'l': syms[i], 'r': syms[i+1]}
+         |       for i in generate_series(1, len(syms) - 1)]) AS pr FROM s),
+         |agg AS (SELECT pr.l AS "left", pr.r AS "right", sum(freq) AS pair_freq
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT "left", "right", CAST(pair_freq AS BIGINT) AS pair_freq
+         |FROM agg ORDER BY pair_freq DESC, "left", "right" LIMIT 20""".stripMargin,
+
+    "q75_subword_count" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+         |w AS (SELECT doc_id, unnest(ws) AS word FROM t),
+         |s AS (SELECT doc_id, chr(1) || chr(1) || array_to_string(
+         |    [substr(word, i, 1) || CASE WHEN i = len(word) THEN '</w>' ELSE '' END
+         |     for i in generate_series(1, len(word))], chr(1) || chr(1))
+         |    || chr(1) || chr(1) AS j
+         |  FROM w WHERE len(word) > 0),
+         |m AS (SELECT doc_id,
+         |  replace(replace(replace(replace(replace(j,
+         |    chr(1) || 't' || chr(1) || chr(1) || 'h' || chr(1), chr(1) || 'th' || chr(1)),
+         |    chr(1) || 'th' || chr(1) || chr(1) || 'e</w>' || chr(1), chr(1) || 'the</w>' || chr(1)),
+         |    chr(1) || 'i' || chr(1) || chr(1) || 'n' || chr(1), chr(1) || 'in' || chr(1)),
+         |    chr(1) || 'a' || chr(1) || chr(1) || 'n' || chr(1), chr(1) || 'an' || chr(1)),
+         |    chr(1) || 'e' || chr(1) || chr(1) || 'r</w>' || chr(1), chr(1) || 'er</w>' || chr(1)) AS j
+         |  FROM s)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(sum(len(string_split(j, chr(1) || chr(1))) - 2) AS BIGINT) AS n_subwords
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q17_exact_dedup" ->
       s"""WITH off AS (

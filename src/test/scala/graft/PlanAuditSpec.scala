@@ -132,6 +132,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("classifier gate (q72): scoring is map-only — zero hash shuffles, pruned 2-column scan") {
+    val plan = executed(LlmQueries.q72ClassifierGate(spark, sf0001))
+    // the ONLY exchange is the harness's deterministic output sort
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 0,
+      s"classifier scoring must not shuffle:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"scoring must be a pure projection:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n$plan")
+  }
+
+  test("video frames (q71): codec stages fuse into one narrow stage — no mid-pipeline exchange") {
+    val plan = executed(LlmQueries.q71VideoFrames(spark, sf0001))
+    // encode → demux/sample → decode are all mapPartitions: the only
+    // exchange is the output sort; payload bytes never shuffle
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 0,
+      s"codec pipeline must not hash-shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
   test("as-of join and sessionize shuffle once; running total reuses its window sort") {
     import graft.queries.AnalyticsQueries
     val asof = executed(AnalyticsQueries.q28AsofJoin(spark, sf0001))
