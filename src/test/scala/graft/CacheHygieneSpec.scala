@@ -20,7 +20,8 @@ class CacheHygieneSpec extends SparkTestBase {
     "q42_simhash_idf",     // idf-weighted fingerprint buckets
     "q54_dup_clusters",    // pairs + CC steps (DupGroups)
     "q61_corpus_pipeline", // composed pipeline
-    "q66_lsh_artifact")    // artifact read path
+    "q66_lsh_artifact",    // artifact read path
+    "q74_bpe_merges")      // per-round dict persists + localCheckpoints (Bpe.train)
 
   for (name <- cacheHeavy) test(s"$name: no persistent RDDs after action + releaseAll") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
