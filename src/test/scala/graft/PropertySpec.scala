@@ -149,6 +149,80 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("Bpe.applyMerge agrees with an in-memory greedy fold on random symbol arrays") {
+    val symsGen: Gen[List[String]] =
+      Gen.listOfN(12, Gen.oneOf("a", "b", "c", "ab", "bc"))
+    val pairGen: Gen[(String, String)] = for {
+      l <- Gen.oneOf("a", "b", "c", "ab")
+      r <- Gen.oneOf("a", "b", "c", "bc")
+    } yield (l, r)
+    def refMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      syms.foreach { s =>
+        if (out.nonEmpty && out.last == a && s == b) {
+          out.remove(out.length - 1); out += (a + b)
+        } else out += s
+      }
+      out.toList
+    }
+    val cases = samples(symsGen.flatMap(s => pairGen.map(p => (s, p))), 40)
+    val df = cases.zipWithIndex
+      .map { case ((s, _), i) => (i, s) }.toDF("i", "syms")
+    // one pass per distinct pair, applied only to its own rows
+    cases.map(_._2).distinct.foreach { case (a, b) =>
+      val mine = cases.filter(_._2 == (a, b))
+      val ids = cases.zipWithIndex.collect { case ((_, p), i) if p == (a, b) => i }
+      val got = df.where(col("i").isin(ids: _*))
+        .select(col("i"), graft.operators.Bpe.applyMerge(col("syms"), a, b).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+      ids.zip(mine).foreach { case (i, (s, _)) =>
+        assert(got(i) == refMerge(s, a, b),
+          s"merge ($a,$b) on $s: got ${got(i)}, want ${refMerge(s, a, b)}")
+      }
+    }
+  }
+
+  test("pngStreamEnd: any truncation/corruption demuxes a prefix, never crashes or over-reads") {
+    val payload = {
+      val bos = new java.io.ByteArrayOutputStream()
+      (0 until 4).foreach { f =>
+        javax.imageio.ImageIO.write(
+          graft.operators.Multimodal.syntheticVideoFrame(3L, f), "png", bos)
+      }
+      bos.toByteArray
+    }
+    // frame boundaries via the real chunk walk
+    def boundaries(b: Array[Byte]): List[Int] = {
+      var off = 0; var acc = List.empty[Int]
+      var end = graft.operators.Multimodal.pngStreamEnd(b, off)
+      while (end > 0) {
+        acc = end :: acc; off = end
+        end = if (off >= b.length) -1
+          else graft.operators.Multimodal.pngStreamEnd(b, off)
+      }
+      acc.reverse
+    }
+    val full = boundaries(payload)
+    assert(full.length == 4 && full.last == payload.length)
+    // every truncation point yields exactly the frames wholly before it
+    samples(Gen.choose(0, payload.length - 1), 60).foreach { cut =>
+      val t = java.util.Arrays.copyOfRange(payload, 0, cut)
+      val got = boundaries(t)
+      val want = full.takeWhile(_ <= cut)
+      assert(got == want, s"cut=$cut: got $got want $want")
+    }
+    // corrupting one byte inside frame 2's body keeps frames 0-1
+    val mid = (full(1) + full(2)) / 2
+    val corrupted = payload.clone()
+    corrupted(mid) = (corrupted(mid) ^ 0xff).toByte
+    // chunk-walk structure survives a BODY flip (lengths/types intact),
+    // so demux still finds the boundaries; a flip in a LENGTH field
+    // truncates from that frame on — both are prefix semantics
+    val gotC = boundaries(corrupted)
+    assert(gotC.startsWith(full.take(2)),
+      s"body corruption must keep intact leading frames: $gotC vs $full")
+  }
+
   test("deleteInsert preserves non-delta rows exactly") {
     samples(rowsGen.flatMap(a => rowsGen.map(b => (a, b))), 6).foreach { case (baseRows, deltaRows) =>
       val base = baseRows.toDF("k", "seq", "v")
