@@ -96,4 +96,10 @@ class GoldenPlanSpec extends SparkTestBase {
   snapshot("q54_dup_clusters", LlmQueries.q54DupClusters(spark, sf0001))
   snapshot("q61_corpus_pipeline", LlmQueries.q61CorpusPipeline(spark, sf0001))
   snapshot("q62_ivf_knn_join", LlmQueries.q62IvfKnnJoin(spark, sf0001))
+  // r7: classifier scoring must stay a map-only projection (its only
+  // exchange the output sort); BPE pair stats must keep the
+  // partial-agg → single-exchange shape; subword counting map-only
+  snapshot("q72_classifier_gate", LlmQueries.q72ClassifierGate(spark, sf0001))
+  snapshot("q73_bpe_pairs", LlmQueries.q73BpePairs(spark, sf0001))
+  snapshot("q75_subword_count", LlmQueries.q75SubwordCount(spark, sf0001))
 }
