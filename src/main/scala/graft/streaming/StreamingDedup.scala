@@ -124,5 +124,55 @@ object StreamingDedup {
       .drop(col(s"r.$key"))
   }
 
+  /** CONTINUOUS-INGEST near-dup maintenance: every micro-batch of new
+    * documents is (1) idempotently appended to the corpus lake table
+    * (doc-id anti-join guard), then (2) folded through
+    * [[graft.operators.LshArtifact.dailyDedupRun]] — sign the new
+    * docs into the persisted band-bucket artifact, probe it for
+    * candidates touching the batch, verify, and fold the pair batch
+    * into the persisted (node, component) assignment exactly-once.
+    *
+    * The streaming at-least-once hazard (foreachBatch re-delivers a
+    * batch after a crash) is absorbed by layers that are each
+    * idempotent already: the corpus append and artifact append are
+    * anti-join-guarded, and the control log skips a fully-committed
+    * batch id without running a job — so redelivery is a no-op, and
+    * the maintained assignment equals what one big batch rebuild over
+    * the same documents would say (asserted in StreamingDedupSpec).
+    *
+    * Per-batch cost is batch-sized + candidate-sized, never
+    * corpus-sized: signatures are computed only for the batch (the
+    * artifact watermark), and verification shingles only candidate
+    * docs (semi-join narrowed). Start with
+    * `.trigger(...)`/`.option("checkpointLocation", ...)` as usual. */
+  def continuousDedup(docs: org.apache.spark.sql.DataFrame,
+      corpusDir: String, controlDir: String, artifactDir: String,
+      assignDir: String, sourceId: String, idCol: String, textCol: String,
+      threshold: Double = 0.5, numPerm: Int = 64, bands: Int = 16,
+      shingleN: Int = 3):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.col
+        val fs = new org.apache.hadoop.fs.Path(corpusDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val corpusExists = fs.exists(new org.apache.hadoop.fs.Path(corpusDir)) &&
+          fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir)).nonEmpty
+        val guarded =
+          if (!corpusExists) batch
+          else batch.join(spark.read.parquet(corpusDir).select(col(idCol)),
+            Seq(idCol), "left_anti")
+        if (!guarded.isEmpty)
+          guarded.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(corpusDir)
+        graft.operators.LshArtifact.dailyDedupRun(spark, controlDir,
+          artifactDir, assignDir, sourceId,
+          spark.read.parquet(corpusDir), idCol, textCol,
+          batchId = s"stream-$id", threshold = threshold,
+          numPerm = numPerm, bands = bands, shingleN = shingleN)
+        ()
+    }
+
   val outputMode: OutputMode = OutputMode.Update()
 }

@@ -196,4 +196,69 @@ class StreamingDedupSpec extends SparkTestBase {
         s"unexpected sessions: ${rows.mkString("; ")}")
     } finally query.stop()
   }
+
+  test("continuousDedup: streamed micro-batches equal one big rebuild; redelivery is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{DupGroups, LshArtifact}
+
+    def tmp(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val corpus = tmp("cd-corpus") + "/docs"
+    val control = tmp("cd-control")
+    val artifact = tmp("cd-artifact") + "/bb"
+    val assign = tmp("cd-assign") + "/cc"
+
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (day1, day2) = docs.partition(_._1 < 250)
+
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingDedup.continuousDedup(
+        input.toDF().toDF("doc_id", "text"),
+        corpus, control, artifact, assign, "stream", "doc_id", "text")
+      .option("checkpointLocation", tmp("cd-ckpt"))
+      .start()
+    try {
+      input.addData(day1.toSeq: _*)
+      query.processAllAvailable()
+      val afterB0 = spark.read.parquet(assign).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(afterB0.nonEmpty, "batch 0 must produce dup clusters")
+
+      input.addData(day2.toSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // the corpus lake table carries exactly the streamed docs
+    assert(spark.read.parquet(corpus).count() == docs.length.toLong)
+
+    // maintained assignment == one big batch rebuild over everything
+    def rebuilt: Map[Long, Long] = {
+      val ctl = tmp("cd-rb-ctl"); val art = tmp("cd-rb-art") + "/bb"
+      val full = spark.read.parquet(corpus)
+      LshArtifact.refresh(spark, ctl, art, "rb", full, "doc_id", "text", "rb1")
+      DupGroups.connectedComponents(
+        LshArtifact.verifiedPairs(spark, art, full, "doc_id", "text", 0.5),
+        "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def assignment: Map[Long, Long] =
+      spark.read.parquet(assign).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rebuilt
+    assert(assignment == want,
+      "streamed maintenance must equal the full rebuild")
+
+    // foreachBatch REDELIVERY of the last committed batch: the corpus
+    // append anti-joins to nothing, the signature watermark excludes
+    // everything, and the control log skips the fold — pure no-op
+    val (signed, _, nAssign) = LshArtifact.dailyDedupRun(spark, control,
+      artifact, assign, "stream", spark.read.parquet(corpus),
+      "doc_id", "text", batchId = "stream-1")
+    assert(signed == 0L && nAssign == want.size.toLong)
+    assert(assignment == want, "redelivery must not change the assignment")
+  }
 }
