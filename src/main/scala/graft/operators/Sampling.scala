@@ -26,9 +26,12 @@ object Sampling {
     * percentage cut points (e.g. 80/10/10 → trainPct=80, valPct=10).
     * Percentages are scaled to the bucket count, so a non-default
     * `buckets` changes split granularity, not the split fractions. */
-  def hashSplit(df: DataFrame, idCol: String,
-      trainPct: Int = 80, valPct: Int = 10,
-      buckets: Int = 100): DataFrame = {
+  /** The split label as a pure COLUMN function of the id — usable
+    * anywhere a row carries the id (e.g. labeling both sides of a
+    * near-dup pair without joining the corpus: split is derived, not
+    * stored, so the audit stays map-only). */
+  def splitOf(idCol: Column, trainPct: Int = 80, valPct: Int = 10,
+      buckets: Int = 100): Column = {
     require(trainPct + valPct < 100, "train+val must leave room for test")
     val cutTrain = trainPct * buckets / 100
     val cutVal = (trainPct + valPct) * buckets / 100
@@ -37,12 +40,16 @@ object Sampling {
       s"buckets=$buckets too coarse for trainPct=$trainPct")
     require(valPct == 0 || cutVal > cutTrain,
       s"buckets=$buckets too coarse for valPct=$valPct")
-    val b = hashBucket(col(idCol), buckets)
-    df.withColumn("split",
-      when(b < cutTrain, lit("train"))
-        .when(b < cutVal, lit("val"))
-        .otherwise(lit("test")))
+    val b = hashBucket(idCol, buckets)
+    when(b < cutTrain, lit("train"))
+      .when(b < cutVal, lit("val"))
+      .otherwise(lit("test"))
   }
+
+  def hashSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10,
+      buckets: Int = 100): DataFrame =
+    df.withColumn("split", splitOf(col(idCol), trainPct, valPct, buckets))
 
   /** Deterministic per-group quota: keep at most `n` rows per group,
     * chosen by md5-rank of the row id — the corpus-balancing cap

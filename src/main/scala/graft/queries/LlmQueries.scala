@@ -642,6 +642,35 @@ object LlmQueries {
       .select(col("doc_id"), col("n_subwords"))
       .orderBy("doc_id")
 
+  /** New-in-r7 — cross-split LEAKAGE audit (eval hygiene): near-dup
+    * pairs that STRADDLE a train/val/test boundary — each one is an
+    * eval answer sitting in the training set. The split label is a
+    * pure function of the doc id ([[Sampling.splitOf]]), so labeling
+    * both sides of every pair is a MAP-ONLY post-pass on the pair
+    * frame — no join against the corpus, no extra shuffle beyond the
+    * pair pipeline itself. Production path (native hashes); the
+    * md5-portable twin q77 carries the end-to-end DuckDB oracle (the
+    * q18/q37 discipline). */
+  def q76SplitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakage(s, dir, portable = false)
+
+  /** q76's md5-portable twin: DuckDB replays
+    * shingles→signatures→bands→verify→split-label end-to-end. */
+  def q77SplitLeakagePortable(s: SparkSession, dir: String): DataFrame =
+    splitLeakage(s, dir, portable = true)
+
+  private def splitLeakage(s: SparkSession, dir: String,
+      portable: Boolean): DataFrame =
+    MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, portable = portable,
+        stop = minhashStop(s, dir, portable = portable))
+      .withColumn("split_a", Sampling.splitOf(col("doc_a")))
+      .withColumn("split_b", Sampling.splitOf(col("doc_b")))
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
   /** Per-corpus LSH band-bucket artifact dir: built ONCE per dir via
     * [[LshArtifact.refresh]] (the cross-run "write signatures once"
     * discipline), then only READ by every q66 run. */
@@ -717,6 +746,8 @@ object LlmQueries {
     "q73_bpe_pairs" -> (q73BpePairs _),
     "q74_bpe_merges" -> (q74BpeMerges _),
     "q75_subword_count" -> (q75SubwordCount _),
+    "q76_split_leakage" -> (q76SplitLeakage _),
+    "q77_split_leakage_portable" -> (q77SplitLeakagePortable _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),
@@ -749,6 +780,34 @@ object LlmQueries {
 
   private val toksSql =
     """string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"""
+
+  /** Full DuckDB replay of the portable MinHash-LSH near-dup pipeline
+    * (q37's oracle); q76 wraps it as a CTE to audit cross-split
+    * pairs. */
+  private lazy val minhashPortableSql: String =
+    s"""WITH perms(i, a, b) AS (VALUES $permsValues),
+       |w AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |d3 AS (SELECT doc_id,
+       |  list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, greatest(len(w)-2, 1))]) AS shs FROM w),
+       |sh AS (SELECT doc_id, unnest(shs) AS s FROM d3),
+       |hashes0 AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS h FROM sh),
+       |hdf AS (SELECT h, count(*) AS c FROM hashes0 GROUP BY h),
+       |hashes AS (SELECT doc_id, h FROM hashes0 JOIN hdf USING (h)
+       |           WHERE c <= 0.5 * (SELECT count(*) FROM documents)),
+       |sigs AS (SELECT doc_id, i, min((h * a + b) % 2147483647) AS m
+       |         FROM hashes CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 4 AS band, string_agg(m, ',' ORDER BY i) AS bkey
+       |          FROM sigs GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hashes GROUP BY doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |        CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |          / CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS jac
+       |      FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+       |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   /** The 64 (a,b) permutation constants (seed 42) inlined as a VALUES
     * list so the oracle replays the exact signature arithmetic. */
@@ -936,30 +995,20 @@ object LlmQueries {
         |SELECT query_id, vec_id, round(cs, 6) AS cos_sim FROM r WHERE rk <= 5
         |ORDER BY query_id, round(cs, 6) DESC, vec_id""".stripMargin,
 
-    "q37_minhash_portable" ->
-      s"""WITH perms(i, a, b) AS (VALUES $permsValues),
-         |w AS (SELECT doc_id, $toksSql AS w FROM documents),
-         |d3 AS (SELECT doc_id,
-         |  list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2]) for i in generate_series(1, greatest(len(w)-2, 1))]) AS shs FROM w),
-         |sh AS (SELECT doc_id, unnest(shs) AS s FROM d3),
-         |hashes0 AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS h FROM sh),
-         |hdf AS (SELECT h, count(*) AS c FROM hashes0 GROUP BY h),
-         |hashes AS (SELECT doc_id, h FROM hashes0 JOIN hdf USING (h)
-         |           WHERE c <= 0.5 * (SELECT count(*) FROM documents)),
-         |sigs AS (SELECT doc_id, i, min((h * a + b) % 2147483647) AS m
-         |         FROM hashes CROSS JOIN perms GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, i // 4 AS band, string_agg(m, ',' ORDER BY i) AS bkey
-         |          FROM sigs GROUP BY doc_id, i // 4),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hashes GROUP BY doc_id),
-         |j AS (SELECT doc_a, doc_b,
-         |        CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-         |          / CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE) AS jac
-         |      FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b)
-         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
-         |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q37_minhash_portable" -> minhashPortableSql,
+
+    "q77_split_leakage_portable" ->
+      s"""WITH pairs AS ($minhashPortableSql),
+         |lab AS (SELECT doc_a, doc_b, jaccard,
+         |    ('0x' || substr(md5(doc_a::VARCHAR), 1, 8))::BIGINT % 100 AS ba,
+         |    ('0x' || substr(md5(doc_b::VARCHAR), 1, 8))::BIGINT % 100 AS bb
+         |  FROM pairs),
+         |s AS (SELECT doc_a, doc_b, jaccard,
+         |    CASE WHEN ba < 80 THEN 'train' WHEN ba < 90 THEN 'val' ELSE 'test' END AS split_a,
+         |    CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val' ELSE 'test' END AS split_b
+         |  FROM lab)
+         |SELECT doc_a, doc_b, split_a, split_b, jaccard FROM s
+         |WHERE split_a <> split_b ORDER BY doc_a, doc_b""".stripMargin,
     "q38_simhash_portable" ->
       s"""WITH w AS (SELECT doc_id, $toksSql AS w FROM documents),
          |d3 AS (SELECT doc_id,
