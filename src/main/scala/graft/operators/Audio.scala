@@ -81,6 +81,112 @@ object Audio {
       }
   }
 
+  case class AudioHash(id: Long, ehash: Long)
+
+  /** Synthetic CONTENT-KEYED PCM: waveform params derive from
+    * `contentKey` (two ids sharing a key have the same waveform up to
+    * gain), the GAIN from the caller — so planted re-gained copies
+    * share no bytes with their originals. A MIXTURE of two sawtooths
+    * with independent key-derived frequencies and phases (37, 73 ⊥
+    * 512, so distinct keys → distinct phase pairs): one pure sawtooth
+    * has a near-flat energy envelope whose gradient bits carry little
+    * content entropy — the two-component beat pattern makes the
+    * envelope content-specific. |v| ≤ 2·512·gain, so gains ≤ 30 stay
+    * inside 16 bits. */
+  private[graft] def syntheticPcmKeyed(contentKey: Long, gain: Int): Array[Short] = {
+    val n = (400 + (contentKey % 5) * 100).toInt
+    val f1 = (3 + contentKey % 7).toInt
+    val f2 = (5 + contentKey % 11).toInt
+    val p1 = ((contentKey * 37) % Period).toInt
+    val p2 = ((contentKey * 73) % Period).toInt
+    Array.tabulate(n) { k =>
+      val m1 = ((k.toLong * f1 + p1) % Period).toInt
+      val m2 = ((k.toLong * f2 + p2) % Period).toInt
+      (gain * ((2 * m1 - Period) + (2 * m2 - Period))).toShort
+    }
+  }
+
+  /** Real WAV encode of the content-keyed family; `keyCol`/`gainCol`
+    * are column expressions so callers plant duplicate groups (same
+    * key) and volume-shifted re-encodes (different gain) — the audio
+    * analogue of [[Multimodal.encodePhotoPng]]. */
+  def encodeWavKeyed(spark: SparkSession, rows: Dataset[Row], idCol: String,
+      keyCol: String, gainCol: String, batchSize: Int = 64): Dataset[EncodedAudio] = {
+    import spark.implicits._
+    rows.select(col(idCol).cast("long"), col(keyCol).cast("long"),
+        col(gainCol).cast("int")).as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        val fmt = new AudioFormat(8000f, 16, 1, true, false)
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, key, gain) =>
+            val pcm = syntheticPcmKeyed(key, gain)
+            val bytes = new Array[Byte](pcm.length * 2)
+            var k = 0
+            while (k < pcm.length) {
+              bytes(2 * k) = (pcm(k) & 0xff).toByte
+              bytes(2 * k + 1) = ((pcm(k) >> 8) & 0xff).toByte
+              k += 1
+            }
+            val bos = new ByteArrayOutputStream()
+            AudioSystem.write(
+              new AudioInputStream(new ByteArrayInputStream(bytes), fmt,
+                pcm.length),
+              AudioFileFormat.Type.WAVE, bos)
+            EncodedAudio(id, bos.toByteArray)
+          }
+        }
+      }
+  }
+
+  /** Perceptual audio fingerprint: a VOLUME-INVARIANT energy-envelope
+    * gradient hash — the audio sibling of [[Multimodal.dHash64]].
+    * Decode (real codec) → 64 window energy sums in exact integer
+    * arithmetic (window of sample k is k·64/n, the area-bucketing
+    * discipline) → 63 bits, bit w = 1 iff e(w+1) > e(w).
+    *
+    * Volume invariance is EXACT, not approximate: a gain change scales
+    * every sample by g, so every window energy scales by g² and every
+    * comparison — including ties — is preserved (for the synthetic
+    * family, e_w = a²·s_w with s_w amplitude-free). A re-encoded or
+    * re-gained copy that shares no bytes with the original therefore
+    * lands on the identical 63-bit hash, while different content
+    * diverges in the envelope. Downstream dedup shuffles 8 bytes per
+    * file, never PCM. */
+  def envelopeHash64(spark: SparkSession, rows: Dataset[Row], idCol: String,
+      payloadCol: String, batchSize: Int = 64): Dataset[AudioHash] = {
+    import spark.implicits._
+    rows.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            try {
+              val ais = AudioSystem.getAudioInputStream(
+                new ByteArrayInputStream(bytes))
+              val data = ais.readAllBytes()
+              val n = data.length / 2
+              if (n < 64) None
+              else {
+                val e = new Array[Long](64)
+                var k = 0
+                while (k < n) {
+                  val v = ((data(2 * k) & 0xff) | (data(2 * k + 1) << 8)).toShort.toLong
+                  e((k.toLong * 64 / n).toInt) += v * v
+                  k += 1
+                }
+                var bits = 0L
+                var w = 0
+                while (w < 63) {
+                  if (e(w + 1) > e(w)) bits |= (1L << w)
+                  w += 1
+                }
+                Some(AudioHash(id, bits))
+              }
+            } catch { case _: Exception => None }
+          }
+        }
+      }
+  }
+
   /** Real WAV DECODE: AudioSystem parses the RIFF container and
     * format, the PCM frames are read back, and per-file features come
     * out in exact integer arithmetic — sum of squared samples (energy;

@@ -671,6 +671,31 @@ object LlmQueries {
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** New-in-r7 — perceptual AUDIO dedup ([[Audio.envelopeHash64]]): a
+    * simulated audio corpus where ids congruent mod 400 share waveform
+    * content and later copies are re-GAINED (volume-shifted) — their
+    * WAV bytes and md5 differ, so exact dedup finds nothing, while the
+    * energy-envelope gradient hash is provably gain-invariant and
+    * lands identical. Everything is exact integer arithmetic, so —
+    * unlike image dHash, where a SQL oracle cannot run the PNG codec —
+    * DuckDB replays the FULL pipeline: waveform → window energies →
+    * gradient bits → hash → dup groups. Only the 8-byte hash reaches
+    * the exchange. */
+  def q78AudioDedup(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"),
+      (col("doc_id") % 400).as("content_key"),
+      (floor(col("doc_id") / 400) % 3 * 5 + 20).cast("int").as("gain"))
+    val wav = Audio.encodeWavKeyed(s, ids, "doc_id", "content_key", "gain").toDF()
+    Audio.envelopeHash64(s, wav, "id", "payload").toDF()
+      .groupBy("ehash")
+      .agg(min(col("id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
+        max(col("id")).as("max_doc_id"))
+      .where(col("n_copies") > 1)
+      .select(col("ehash"), col("keep_doc_id"), col("n_copies"),
+        col("max_doc_id"))
+      .orderBy("keep_doc_id")
+  }
+
   /** Per-corpus LSH band-bucket artifact dir: built ONCE per dir via
     * [[LshArtifact.refresh]] (the cross-run "write signatures once"
     * discipline), then only READ by every q66 run. */
@@ -748,6 +773,7 @@ object LlmQueries {
     "q75_subword_count" -> (q75SubwordCount _),
     "q76_split_leakage" -> (q76SplitLeakage _),
     "q77_split_leakage_portable" -> (q77SplitLeakagePortable _),
+    "q78_audio_dedup" -> (q78AudioDedup _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),
@@ -1186,6 +1212,28 @@ object LlmQueries {
          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |  CAST(sum(len(string_split(j, chr(1) || chr(1))) - 2) AS BIGINT) AS n_subwords
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q78_audio_dedup" ->
+      """WITH p AS (SELECT doc_id, doc_id % 400 AS c,
+        |    20 + ((doc_id // 400) % 3) * 5 AS g FROM documents),
+        |d AS (SELECT doc_id, g, 400 + (c % 5) * 100 AS n,
+        |    3 + c % 7 AS f1, 5 + c % 11 AS f2,
+        |    (c * 37) % 512 AS p1, (c * 73) % 512 AS p2 FROM p),
+        |s AS (SELECT doc_id, g, n, f1, f2, p1, p2, unnest(range(n)) AS k FROM d),
+        |v AS (SELECT doc_id, (k * 64) // n AS w,
+        |    g * ((2 * ((k * f1 + p1) % 512) - 512)
+        |       + (2 * ((k * f2 + p2) % 512) - 512)) AS v FROM s),
+        |e AS (SELECT doc_id, w, sum(v * v) AS e FROM v GROUP BY doc_id, w),
+        |b AS (SELECT doc_id, w, e,
+        |    lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS en FROM e),
+        |h AS (SELECT doc_id, CAST(sum(CASE WHEN en > e
+        |      THEN CAST(1 AS BIGINT) << w ELSE 0 END) AS BIGINT) AS ehash
+        |  FROM b WHERE w < 63 GROUP BY doc_id)
+        |SELECT ehash, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+        |FROM h GROUP BY ehash HAVING count(*) > 1
+        |ORDER BY keep_doc_id""".stripMargin,
 
     "q17_exact_dedup" ->
       s"""WITH off AS (

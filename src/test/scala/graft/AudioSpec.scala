@@ -51,4 +51,30 @@ class AudioSpec extends SparkTestBase {
     // waveform amplitude never clips 16-bit: peak ≤ 60·512 < 2¹⁵
     assert(out.agg(max("peak")).head().getLong(0) <= 30720L)
   }
+
+  test("envelopeHash64: gain-invariant, content-discriminating, recovers planted re-gained copies") {
+    import spark.implicits._
+    // same content key under three different gains → identical hash;
+    // different keys → different hashes
+    val rows = Seq((1L, 7L, 20), (2L, 7L, 25), (3L, 7L, 30), (4L, 8L, 20))
+      .toDF("id", "key", "gain")
+    val wav = Audio.encodeWavKeyed(spark, rows, "id", "key", "gain").toDF()
+    val h = Audio.envelopeHash64(spark, wav, "id", "payload")
+      .collect().map(a => a.id -> a.ehash).toMap
+    assert(h(1L) == h(2L) && h(2L) == h(3L),
+      "a volume change must not move the envelope hash")
+    assert(h(1L) != h(4L), "different content must hash differently")
+    // byte-level: the re-gained copy really shares no bytes
+    val payloads = wav.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(!java.util.Arrays.equals(payloads(1L), payloads(2L)))
+
+    // q78 at sf0.001: keys 0..99 occur twice ({k, k+400}, the copy
+    // gain-shifted), keys 100..399 once → exactly 100 dup groups
+    val groups = graft.queries.LlmQueries.q78AudioDedup(spark, sf0001).collect()
+    assert(groups.length == 100)
+    groups.foreach { g =>
+      val keep = g.getLong(1)
+      assert(g.getLong(2) == 2L && g.getLong(3) == keep + 400)
+    }
+  }
 }
