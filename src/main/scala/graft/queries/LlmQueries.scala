@@ -512,9 +512,13 @@ object LlmQueries {
     * identical. Encode → dHash are batched partition-local codec
     * stages; only the 8-byte hash reaches the exchange. Output: one
     * row per duplicate group (≥ 2 images), keep-min survivor.
-    * Rows-only (a SQL oracle cannot run a PNG codec); the dHash
-    * invariances and the planted-group recovery are asserted in
-    * MultimodalSpec. */
+    *
+    * FULL SQL oracle (upgraded from rows-only): a SQL engine cannot
+    * run the PNG codec, but the dHash is exact integer arithmetic over
+    * CLOSED-FORM pixel content — so DuckDB replays content → gray box
+    * sums → cross-multiplied gradient bits → hash → groups, and the
+    * comparison proves the Spark side's encode→decode→hash round-trip
+    * is pixel-exact (the q64 argument extended through the hash). */
   def q69ImageDedup(s: SparkSession, dir: String): DataFrame = {
     val ids = t(s, dir, "documents").select(col("doc_id"),
       (col("doc_id") % 400).as("content_key"),
@@ -524,10 +528,10 @@ object LlmQueries {
     Multimodal.dHash64(s, png, "id", "payload").toDF()
       .groupBy(col("dhash"))
       .agg(min(col("id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
-        sort_array(collect_list(col("id"))).as("members"))
+        max(col("id")).as("max_doc_id"))
       .where(col("n_copies") > 1)
-      .select(lower(hex(col("dhash"))).as("dhash_hex"), col("keep_doc_id"),
-        col("n_copies"), col("members"))
+      .select(col("dhash"), col("keep_doc_id"), col("n_copies"),
+        col("max_doc_id"))
       .orderBy("keep_doc_id")
   }
 
@@ -1212,6 +1216,41 @@ object LlmQueries {
          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |  CAST(sum(len(string_split(j, chr(1) || chr(1))) - 2) AS BIGINT) AS n_subwords
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q69_image_dedup" ->
+      """WITH img AS (SELECT doc_id, doc_id % 400 AS key,
+        |    CASE WHEN doc_id >= 400 THEN 20 ELSE 0 END AS br FROM documents),
+        |px AS (SELECT doc_id, key, br, x, y, b,
+        |    key * 2654435761 + x * 40503 + y * 65537 + b * 97 AS m
+        |  FROM img
+        |  CROSS JOIN (SELECT unnest(range(16)) AS x)
+        |  CROSS JOIN (SELECT unnest(range(12)) AS y)
+        |  CROSS JOIN (SELECT unnest(range(3)) AS b)),
+        |ch AS (SELECT doc_id, x, y,
+        |    ((xor(m, m >> 13) % 200) + 200) % 200 + br AS v FROM px),
+        |exe AS (SELECT cx, (cx * 16) // 9 AS x0, ((cx + 1) * 16) // 9 AS x1
+        |  FROM (SELECT unnest(range(9)) AS cx)),
+        |eye AS (SELECT cy, (cy * 12) // 8 AS y0, ((cy + 1) * 12) // 8 AS y1
+        |  FROM (SELECT unnest(range(8)) AS cy)),
+        |cells AS (SELECT c.doc_id, f.cy * 9 + e.cx AS a, sum(c.v) AS s, count(*) AS cnt
+        |  FROM ch c
+        |  JOIN exe e ON c.x >= e.x0 AND c.x < e.x1
+        |  JOIN eye f ON c.y >= f.y0 AND c.y < f.y1
+        |  GROUP BY 1, 2),
+        |bits AS (SELECT l.doc_id, (l.a // 9) * 8 + (l.a % 9) AS i,
+        |    CASE WHEN r.s * l.cnt > l.s * r.cnt THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r ON r.doc_id = l.doc_id AND r.a = l.a + 1
+        |  WHERE l.a % 9 < 8),
+        |h AS (SELECT doc_id,
+        |    CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+        |      THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT) AS dhash
+        |  FROM (SELECT doc_id, sum(CASE WHEN bit = 1 THEN 1::HUGEINT << i ELSE 0::HUGEINT END) AS hh
+        |        FROM bits GROUP BY doc_id))
+        |SELECT dhash, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+        |FROM h GROUP BY dhash HAVING count(*) > 1
+        |ORDER BY keep_doc_id""".stripMargin,
 
     "q78_audio_dedup" ->
       """WITH p AS (SELECT doc_id, doc_id % 400 AS c,

@@ -116,7 +116,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(groups.length == 100)
     groups.foreach { g =>
       val keep = g.getLong(1)
-      assert(g.getLong(2) == 2L && g.getSeq[Long](3) == Seq(keep, keep + 400))
+      assert(g.getLong(2) == 2L && g.getLong(3) == keep + 400)
     }
   }
 
