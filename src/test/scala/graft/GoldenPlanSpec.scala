@@ -31,7 +31,7 @@ class GoldenPlanSpec extends SparkTestBase {
   private def normalize(plan: String): String =
     plan
       .replaceAll("#\\d+", "#_")
-      .replaceAll("\\bx_\\d+", "x_") // lambda vars use a session-global counter
+      .replaceAll("\\b[xy]_\\d+", "v_") // lambda vars (x_N, zip_with/merge y_N) use a session-global counter
       .replaceAll("plan_id=\\d+", "plan_id=_")
       .replaceAll("RDD\\[\\d+\\]", "RDD[_]") // checkpoint-scan RDD ids are session-global
       .replaceAll("-?\\d+\\.\\d+(E-?\\d+)?", "<f>")
