@@ -17,6 +17,8 @@ object Bench {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // GC'd checkpointed RDDs (one per q54-family rep) drop their files
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated subset for focused iteration runs.

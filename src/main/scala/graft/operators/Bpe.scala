@@ -94,8 +94,6 @@ object Bpe {
     * re-run stable across partitionings). Returns the merge table —
     * the tokenizer artifact. */
   def train(docs: DataFrame, textCol: String, k: Int): Seq[Merge] = {
-    val spark = docs.sparkSession
-    DupGroups.ensureCheckpointDir(spark)
     var syms = symbolize(wordDict(docs, textCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ONE job per round: the round's argmax action is also what

@@ -63,4 +63,28 @@ object CacheRegistry {
     * checkpoint cannot be recomputed. */
   def freeLocalCheckpoint(df: DataFrame): Unit =
     localCheckpointRdd(df).foreach(_.unpersist(blocking = false))
+
+  /** Delete the RELIABLE-checkpoint files behind every LogicalRDD in
+    * `df`'s plan (no-op where there are none). Spark only auto-removes
+    * checkpoint data when the RDD is GC'd AND
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is enabled —
+    * neither is guaranteed — so iterative/streaming callers that
+    * checkpoint per cycle free explicitly once the contents are
+    * durable elsewhere (e.g. written to parquet), or the checkpoint
+    * store grows one snapshot per cycle forever. Only call once
+    * nothing will read `df` again. */
+  def freeReliableCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case p if p.getClass.getSimpleName == "LogicalRDD" => p
+    }.foreach { p =>
+      scala.util.Try(p.getClass.getMethod("rdd").invoke(p)
+        .asInstanceOf[RDD[_]]).toOption.foreach { rdd =>
+        rdd.getCheckpointFile.foreach { dir =>
+          val path = new org.apache.hadoop.fs.Path(dir)
+          val fs = path.getFileSystem(rdd.context.hadoopConfiguration)
+          fs.delete(path, true)
+          ()
+        }
+      }
+    }
 }

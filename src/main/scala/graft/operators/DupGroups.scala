@@ -38,8 +38,12 @@ import org.apache.spark.storage.StorageLevel
   * its `distinct`). Steps are cache-persisted, each freed as soon as
   * its successor materializes; the returned frame is reliable-
   * checkpointed so EVERY internal cache block is released before the
-  * call returns — callers own no cleanup, and a failure path releases
-  * the same blocks via try/finally.
+  * call returns — callers own no CACHE cleanup, and a failure path
+  * releases the same blocks via try/finally. The checkpoint FILES
+  * live until the RDD is GC'd (with cleanCheckpoints on) or the
+  * caller frees them via [[CacheRegistry.freeReliableCheckpoints]]
+  * once the result is durable elsewhere — which the per-cycle
+  * consumer ([[EtlControl.runDedupCycle]]) does.
   */
 object DupGroups {
 

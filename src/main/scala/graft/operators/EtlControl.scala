@@ -157,6 +157,11 @@ object EtlControl {
           aCol, bCol)
     ParquetSink.atomicReplace(spark, assignDir)(
       staging => updated.write.parquet(staging))
+    // the assignment is durably in parquet now — free the CC result's
+    // reliable-checkpoint files, or a per-cycle caller (the streaming
+    // continuousDedup path) grows the checkpoint store one snapshot
+    // per batch forever
+    CacheRegistry.freeReliableCheckpoints(updated)
     val n = spark.read.parquet(assignDir).count()
     if (!failBeforeCommit)
       commitRun(spark, controlDir, sourceId, batchId, watermarkUs, n)

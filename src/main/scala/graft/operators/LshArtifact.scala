@@ -155,16 +155,24 @@ object LshArtifact {
       s"$sourceId#cc", -1L)
     val signed = refresh(spark, controlDir, artifactDir, s"$sourceId#sig",
       docs, idCol, textCol, batchId, numPerm, bands, shingleN, seed, stop)
+    // the verify pipeline (candidate self-join + shingle recompute +
+    // Jaccard) is scanned several times downstream — the batch count
+    // here, updateClusters' touched-node derivation, and the CC
+    // input's cache fill. Persist ONCE so the cycle pays verify once;
+    // the frame is batch-sized (the day's pairs), not corpus-sized.
     val pairs = verifiedPairs(spark, artifactDir, docs, idCol, textCol,
       threshold, shingleN, stop, sinceId = wmCc)
-    val newWm = docs.agg(max(col(idCol).cast("long"))).head() match {
-      case r if r.isNullAt(0) => wmCc
-      case r => r.getLong(0)
-    }
-    val nPairs = pairs.count()
-    val (nAssign, _) = EtlControl.runDedupCycle(spark, controlDir,
-      s"$sourceId#cc", pairs, "doc_a", "doc_b", assignDir, batchId,
-      watermarkUs = newWm, failBeforeCommit = failBeforeCommit)
-    (signed, nPairs, nAssign)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newWm = docs.agg(max(col(idCol).cast("long"))).head() match {
+        case r if r.isNullAt(0) => wmCc
+        case r => r.getLong(0)
+      }
+      val nPairs = pairs.count()
+      val (nAssign, _) = EtlControl.runDedupCycle(spark, controlDir,
+        s"$sourceId#cc", pairs, "doc_a", "doc_b", assignDir, batchId,
+        watermarkUs = newWm, failBeforeCommit = failBeforeCommit)
+      (signed, nPairs, nAssign)
+    } finally { pairs.unpersist(blocking = false); () }
   }
 }

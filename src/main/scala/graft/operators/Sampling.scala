@@ -115,14 +115,22 @@ object Sampling {
     require(totalTarget >= 1, s"totalTarget must be >= 1, got $totalTarget")
     val spark = df.sparkSession
     import spark.implicits._
+    // null-stratum rows cannot survive the equi-join below (NULL never
+    // equals the decision table's key), so drop them from the count up
+    // front — explicitly, not via a driver NPE — and return an empty
+    // frame for an empty input instead of crashing on max of nothing
     val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.get(0), r.getLong(1)))
+      .collect().flatMap(r =>
+        Option(r.get(0)).map(s => (s.toString, r.getLong(1))))
+    if (counts.isEmpty) return df.limit(0)
     val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
     val targets = counts.map { case (s, n) =>
-      (s.toString,
-        math.min(n, math.round(totalTarget * math.pow(n.toDouble, alpha) / z)))
+      (s, math.min(n, math.round(totalTarget * math.pow(n.toDouble, alpha) / z)))
     }
-    val maxK = targets.map(_._2).max.toInt
+    // the rank-cap pre-prune is an OPTIMIZATION (the exact per-stratum
+    // cut applies via the decision table) — clamping, never wrapping,
+    // keeps it merely less effective when a target exceeds Int range
+    val maxK = math.min(targets.map(_._2).max, Int.MaxValue.toLong).toInt
     val targetDf = targets.toSeq.toDF("__stratum", "__k")
     val rk = row_number().over(
       org.apache.spark.sql.expressions.Window

@@ -163,14 +163,20 @@ object StreamingDedup {
           if (!corpusExists) batch
           else batch.join(spark.read.parquet(corpusDir).select(col(idCol)),
             Seq(idCol), "left_anti")
-        if (!guarded.isEmpty)
+        val appended = !guarded.isEmpty
+        if (appended)
           guarded.write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(corpusDir)
-        graft.operators.LshArtifact.dailyDedupRun(spark, controlDir,
-          artifactDir, assignDir, sourceId,
-          spark.read.parquet(corpusDir), idCol, textCol,
-          batchId = s"stream-$id", threshold = threshold,
-          numPerm = numPerm, bands = bands, shingleN = shingleN)
+        // an EMPTY first batch (routine under ProcessingTime triggers
+        // and restarts) leaves corpusDir nonexistent — there is nothing
+        // to dedup yet, and reading the unwritten path would kill the
+        // stream
+        if (corpusExists || appended)
+          graft.operators.LshArtifact.dailyDedupRun(spark, controlDir,
+            artifactDir, assignDir, sourceId,
+            spark.read.parquet(corpusDir), idCol, textCol,
+            batchId = s"stream-$id", threshold = threshold,
+            numPerm = numPerm, bands = bands, shingleN = shingleN)
         ()
     }
 

@@ -364,6 +364,19 @@ class AnalyticsSpec extends SparkTestBase {
       s"mixture rank must pre-prune per partition:\n$plan")
   }
 
+  test("temperatureMix edges: null strata are dropped explicitly, empty input returns empty") {
+    import spark.implicits._
+    val withNull = Seq((1L, "en"), (2L, "en"), (3L, null), (4L, "vi"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.temperatureMix(withNull, "lang", "doc_id", 0.5, 10L)
+    // no NPE on the driver, and the null-stratum row is excluded (it
+    // could never survive the decision-table equi-join anyway)
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    val empty = Sampling.temperatureMix(
+      withNull.where($"doc_id" < 0), "lang", "doc_id", 0.5, 10L)
+    assert(empty.isEmpty && empty.columns.toSeq == withNull.columns.toSeq)
+  }
+
   test("q27/q28/q29 run green at sf0.001") {
     assert(AnalyticsQueries.q27Sessionize(spark, sf0001).count() > 0)
     val asof = AnalyticsQueries.q28AsofJoin(spark, sf0001)

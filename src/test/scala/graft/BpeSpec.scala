@@ -102,6 +102,12 @@ class BpeSpec extends SparkTestBase {
   }
 
   test("q74 trains 8 merges at sf0.001; training leaves no persisted blocks") {
+    // start from a released state: earlier suites' registered caches
+    // can re-materialize into this window via Catalyst cache
+    // substitution and would pollute the delta below
+    graft.operators.CacheRegistry.releaseAll(blocking = true)
+    spark.catalog.clearCache()
+    val before0 = spark.sparkContext.getPersistentRDDs.keySet
     val df = graft.queries.LlmQueries.q74BpeMerges(spark, sf0001)
     val rows = df.collect()
     assert(rows.length == 8)
@@ -110,7 +116,8 @@ class BpeSpec extends SparkTestBase {
     // rounds (a merge can create a new high-freq pair), but every
     // chosen pair had freq > 1
     assert(rows.forall(_.getLong(4) > 1))
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "train must release its per-round persists")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before0
+    assert(leaked.isEmpty,
+      s"train must release its per-round persists, leaked: $leaked")
   }
 }

@@ -42,10 +42,33 @@ class CacheHygieneSpec extends SparkTestBase {
       s"connectedComponents left persistent RDDs ${leaked.mkString(",")}")
   }
 
+  test("freeReliableCheckpoints deletes a CC result's checkpoint files once durable") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val cc = graft.operators.DupGroups.connectedComponents(pairs, "a", "b")
+    val files = cc.queryExecution.analyzed.collect {
+      case p if p.getClass.getSimpleName == "LogicalRDD" => p
+    }.flatMap(p => scala.util.Try(p.getClass.getMethod("rdd").invoke(p)
+      .asInstanceOf[org.apache.spark.rdd.RDD[_]]).toOption)
+      .flatMap(_.getCheckpointFile)
+    assert(files.nonEmpty, "the CC result must be reliably checkpointed")
+    def exists(f: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    assert(files.forall(exists))
+    CacheRegistry.freeReliableCheckpoints(cc)
+    assert(files.forall(f => !exists(f)),
+      "checkpoint files must be gone after freeReliableCheckpoints")
+  }
+
   test("releaseAll forces recomputation, not staleness: a released query re-runs correctly") {
     val a = SparkEntry.queries("q20_ngram_jaccard")(spark, sf0001).collect().toSeq
     CacheRegistry.releaseAll()
     val b = SparkEntry.queries("q20_ngram_jaccard")(spark, sf0001).collect().toSeq
     assert(a == b && a.nonEmpty)
+    // the hygiene suite itself must not leave the second run's
+    // registered frames behind for later suites' delta assertions
+    CacheRegistry.releaseAll(blocking = true)
   }
 }

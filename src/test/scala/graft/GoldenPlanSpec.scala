@@ -34,6 +34,7 @@ class GoldenPlanSpec extends SparkTestBase {
       .replaceAll("\\b[xy]_\\d+", "v_") // lambda vars (x_N, zip_with/merge y_N) use a session-global counter
       .replaceAll("plan_id=\\d+", "plan_id=_")
       .replaceAll("RDD\\[\\d+\\]", "RDD[_]") // checkpoint-scan RDD ids are session-global
+      .replaceAll("\\.scala:\\d+", ".scala:_") // callsite line numbers shift with edits
       .replaceAll("-?\\d+\\.\\d+(E-?\\d+)?", "<f>")
       .replaceAll("Location: [^\\n]*", "Location: <loc>")
       .linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n")
