@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** TRAINED hashed-gram importance model — the DSIR discipline (Xie et
+  * al. 2023, "Data Selection for Language Models via Importance
+  * Resampling") with estimated weights, upgrading
+  * [[TextFunctions.classifierScoreMilli]]'s deterministic stand-in:
+  * estimate P(target | gram bucket) from a labeled corpus split
+  * (target = the distribution you want more of — a reference corpus,
+  * a language, a quality tier), then score every document by the sum
+  * of its grams' centered probabilities.
+  *
+  * Weights are EXACT INTEGERS: w(b) = (ct+1)·1000 div (ct+cr+2) − 500
+  * — a Laplace-smoothed, milli-scaled P̂(target|b) centered at 0
+  * (monotone in the log-odds DSIR uses, without the transcendental:
+  * floor division replays bit-for-bit in any engine, ln does not).
+  *
+  * Scale shape: TRAINING is one pass — explode grams, one shuffle on
+  * the bucket (map-side combined), weight table = `buckets` rows (a
+  * lake artifact at 100 TB, the pretrained-centroid discipline).
+  * SCORING is one pass — explode grams, BROADCAST-join the weight
+  * table, one map-side-combined sum per doc; the corpus never joins
+  * itself and the only corpus-sized shuffle is the per-doc sum. */
+object ImportanceModel {
+
+  /** Hashed uni+bigram bucket ids of a text column — the same feature
+    * space as [[TextFunctions.classifierScoreMilli]] (md5-portable).
+    * Token array bound once per the interpreted-eval discipline. */
+  def gramBuckets(c: Column, buckets: Int = 65536): Column = {
+    val out = transform(array(TextFunctions.tokens(c)), ts => {
+      val n1 = greatest(size(ts) - 1, lit(0))
+      val bigrams = zip_with(slice(ts, lit(1), n1), slice(ts, lit(2), n1),
+        (a, b) => concat(a, lit("_"), b))
+      transform(concat(ts, bigrams),
+        g => TextFunctions.tokenHashMd5(g) % lit(buckets.toLong))
+    })
+    element_at(out, 1)
+  }
+
+  /** Estimate the weight table from a labeled corpus: (bucket,
+    * w_milli) for every bucket seen in training. One gram explode +
+    * one bucket-keyed aggregate. */
+  def train(docs: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 65536): DataFrame =
+    docs.select(isTarget.cast("boolean").as("__t"),
+        explode(gramBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("cr"))
+      .select(col("bucket"),
+        (expr("(ct + 1) * 1000 div (ct + cr + 2)") - 500).as("w_milli"))
+
+  /** Score every doc under a trained weight table: Σ w(bucket) over
+    * the doc's grams, unseen buckets scoring 0. `weights` broadcasts
+    * (bounded by `buckets`); the gram fan-out never shuffles — only
+    * the per-doc partial sums do. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int = 65536): DataFrame = {
+    val scores = docs
+      .select(col(idCol).as("__id"),
+        explode(gramBuckets(col(textCol), buckets)).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("__id")
+      .agg(sum(coalesce(col("w_milli"), lit(0L))).as("score_milli"))
+    docs.join(scores, docs(idCol) === scores("__id"), "left")
+      .withColumn("score_milli", coalesce(col("score_milli"), lit(0L)))
+      .drop("__id")
+  }
+}

@@ -700,6 +700,23 @@ object LlmQueries {
       .orderBy("keep_doc_id")
   }
 
+  /** New-in-r7 — TRAINED importance scoring ([[ImportanceModel]]):
+    * the DSIR target-vs-raw discipline with weights estimated from the
+    * corpus itself (target = English docs), replacing q72's stand-in
+    * weights. Training is one gram explode + one bucket aggregate;
+    * scoring broadcast-joins the bounded weight table — the corpus
+    * never self-joins. Exact integer weights (milli-scaled smoothed
+    * P̂(target|bucket), floor division) keep the full
+    * train→score→gate pipeline bit-exact in the oracle. */
+  def q79ImportanceScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val wts = ImportanceModel.train(docs, "text", col("lang") === "en")
+    ImportanceModel.score(docs, "doc_id", "text", wts)
+      .select(col("doc_id"), col("score_milli"),
+        (col("score_milli") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Per-corpus LSH band-bucket artifact dir: built ONCE per dir via
     * [[LshArtifact.refresh]] (the cross-run "write signatures once"
     * discipline), then only READ by every q66 run. */
@@ -778,6 +795,7 @@ object LlmQueries {
     "q76_split_leakage" -> (q76SplitLeakage _),
     "q77_split_leakage_portable" -> (q77SplitLeakagePortable _),
     "q78_audio_dedup" -> (q78AudioDedup _),
+    "q79_importance_score" -> (q79ImportanceScore _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),
@@ -1273,6 +1291,23 @@ object LlmQueries {
         |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
         |FROM h GROUP BY ehash HAVING count(*) > 1
         |ORDER BY keep_doc_id""".stripMargin,
+
+    "q79_importance_score" ->
+      s"""WITH w AS (SELECT doc_id, lang, $toksSql AS w FROM documents),
+         |g AS (SELECT doc_id, lang = 'en' AS t,
+         |    unnest(w || [w[i] || '_' || w[i+1]
+         |      for i in generate_series(1, len(w) - 1)]) AS g FROM w),
+         |b AS (SELECT doc_id, t,
+         |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 65536 AS bucket FROM g),
+         |cnt AS (SELECT bucket, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr FROM b GROUP BY bucket),
+         |wt AS (SELECT bucket, (ct + 1) * 1000 // (ct + cr + 2) - 500 AS w_milli FROM cnt),
+         |s AS (SELECT doc_id, sum(w_milli) AS score_milli
+         |  FROM b JOIN wt USING (bucket) GROUP BY doc_id)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(score_milli AS BIGINT) AS score_milli,
+         |  score_milli > 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q17_exact_dedup" ->
       s"""WITH off AS (
