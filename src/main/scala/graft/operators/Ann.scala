@@ -297,6 +297,38 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF top-k over a CELL-PARTITIONED lake layout
+    * ([[graft.sources.ParquetSink.writeIvfPartitioned]]): the probe
+    * choice for the (driver-held, bounded — one vector) query becomes
+    * a LITERAL `isin` on the layout's PARTITION column, so the scan
+    * reads ONLY the probed cell directories — PartitionFilters prune
+    * at file-listing time, the true nprobe/k read that the in-session
+    * [[ivfTopK]] can only approximate with a post-scan filter
+    * (plan-audited in PlanAuditSpec). Same probe order (distance, then
+    * index) as the row-local variants. */
+  def ivfTopKOnLayout(layout: DataFrame, queryVec: Array[Double],
+      idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int,
+      cellCol: String = "__c"): DataFrame = {
+    require(centroids.nonEmpty, "empty quantizer")
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length && j < queryVec.length) {
+        val t = c(j) - queryVec(j); d += t * t; j += 1
+      }
+      (i, d)
+    }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
+    val qn = math.sqrt(queryVec.map(v => v * v).sum)
+    layout.where(col(cellCol).isin(probes: _*))
+      .withColumn("cos_sim",
+        VectorFunctions.dotConst(col(vecCol), queryVec) /
+          (VectorFunctions.norm(col(vecCol)) * lit(qn)))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(desc("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Convenience form that trains the quantizer inline (tests /
     * exploratory use — production paths pretrain via
     * [[trainCentroids]] and call the pretrained overload). */

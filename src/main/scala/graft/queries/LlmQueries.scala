@@ -184,6 +184,42 @@ object LlmQueries {
         k = 8, iters = 2, sampleMod = 4)
     })
 
+  /** Per-corpus IVF-partitioned lake layout: the embeddings written
+    * ONCE per dir into cell directories
+    * ([[graft.sources.ParquetSink.writeIvfPartitioned]] over the
+    * pretrained quantizer's assignment) — the 100 TB layout every IVF
+    * doc in this file points at, now materialized and read by q80. */
+  private val ivfLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfLayoutDir(s: SparkSession, dir: String): String =
+    ivfLayoutCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ivf-layout").toString + "/emb"
+      val celled = t(s, dir, "embeddings")
+        .withColumn("__c", Ann.clusterOf(col("embedding"), q22Centroids(s, dir)))
+      graft.sources.ParquetSink.writeIvfPartitioned(celled, out)
+      out
+    })
+
+  /** New-in-r7 — PARTITION-PRUNED IVF probe over the cell-partitioned
+    * lake layout ([[Ann.ivfTopKOnLayout]]): the probe list is a
+    * literal filter on the layout's partition column, so the scan
+    * reads only nprobe of the cell directories — the plan-verified
+    * 100 TB read path (q22 approximates it with a post-scan filter).
+    * Rows-only like q22 (probe choices are engine-specific);
+    * AnnSpec asserts equality with the in-session ivfTopK. */
+  def q80IvfLayoutAnn(s: SparkSession, dir: String): DataFrame = {
+    val qv = t(s, dir, "embeddings").where(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Any](0)
+      .map { case f: Float => f.toDouble; case d: Double => d }.toArray
+    val layout = s.read.parquet(ivfLayoutDir(s, dir))
+      .where(col("vec_id") =!= 7)
+    Ann.ivfTopKOnLayout(layout, qv, "vec_id", "embedding", k = 10,
+        q22Centroids(s, dir), nprobe = 5)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+  }
+
   /** §2 #19 — IVF-bucketed ANN over the pretrained quantizer (scale
     * path: probe nprobe/nClusters of the corpus; the query path is ONE
     * corpus pass — no training jobs). Rows-only; recall@10 vs brute
@@ -796,6 +832,7 @@ object LlmQueries {
     "q77_split_leakage_portable" -> (q77SplitLeakagePortable _),
     "q78_audio_dedup" -> (q78AudioDedup _),
     "q79_importance_score" -> (q79ImportanceScore _),
+    "q80_ivf_layout_ann" -> (q80IvfLayoutAnn _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),

@@ -346,6 +346,22 @@ class AnnSpec extends SparkTestBase {
     assert(probedRows < full, s"probing must prune: $probedRows vs $full")
   }
 
+  test("ivfTopKOnLayout equals the in-session ivfTopK and partition-prunes the read") {
+    val q80 = graft.queries.LlmQueries.q80IvfLayoutAnn(spark, sf0001)
+    val layoutIds = q80.collect().map(_.getLong(0)).toSet
+    // same quantizer, same nprobe, in-session assignment + post-scan
+    // filter — the layout path must return the identical neighbor set
+    val inSession = graft.queries.LlmQueries.q22AnnLsh(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(layoutIds == inSession && layoutIds.size == 10,
+      s"layout path diverged: $layoutIds vs $inSession")
+    // and the probe filter reaches the FileSourceScan as a
+    // PartitionFilter — pruning at file-listing time, not post-scan
+    val plan = q80.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__c"),
+      s"probe filter must partition-prune the layout read:\n$plan")
+  }
+
   test("knnJoin plan: broadcast queries, WindowGroupLimit, one exchange") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val plan = Ann.knnJoin(e.where(col("vec_id") % 100 =!= 3),
