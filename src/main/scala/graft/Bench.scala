@@ -58,7 +58,12 @@ object Bench {
 
     var errors = Map.empty[String, String]
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sorted = queries.toSeq.sortBy(_._1)
+    // a third probe at the loop's midpoint brackets WHERE in the run a
+    // contended window began, not just that one occurred
+    var probeMid = -1.0
+    val results = sorted.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == sorted.length / 2) probeMid = probeSec()
       // min over reps: queries are idempotent reads; min is the
       // standard steady-state estimator under scheduler noise. The
       // library's registered caches are released per rep so persisted
@@ -88,7 +93,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val probeLast = probeSec()
     val drift = if (probeFirst > 0) probeLast / probeFirst else 1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_err":${errors.size},"probe_first_sec":$probeFirst,"probe_last_sec":$probeLast,"probe_drift":$drift,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_err":${errors.size},"probe_first_sec":$probeFirst,"probe_mid_sec":$probeMid,"probe_last_sec":$probeLast,"probe_drift":$drift,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
