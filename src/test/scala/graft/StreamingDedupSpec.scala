@@ -197,6 +197,38 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("map-only ops gate a stream unchanged: classifier scores match batch exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    // classifierScoreMilli is a pure Column expression, so it applies
+    // to a readStream unchanged — no state, no watermark, no shuffle
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).take(100)
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("doc_id", "text")
+      .withColumn("score_milli", TextFunctions.classifierScoreMilli(col("text")))
+      .where(col("score_milli") > 0)
+    val query = scored.writeStream.format("memory")
+      .queryName("clf_stream_out").outputMode("append").start()
+    try {
+      input.addData(docs.take(50).toSeq: _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(50).toSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.sql("SELECT doc_id, score_milli FROM clf_stream_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = docs.toSeq.toDF("doc_id", "text")
+      .withColumn("score_milli", TextFunctions.classifierScoreMilli(col("text")))
+      .where(col("score_milli") > 0)
+      .select("doc_id", "score_milli")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("continuousDedup: streamed micro-batches equal one big rebuild; redelivery is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
