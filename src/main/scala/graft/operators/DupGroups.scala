@@ -61,7 +61,20 @@ object DupGroups {
     * `component` is the minimum node id reachable through the pair
     * graph. Ids must be integral (long-castable). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    componentsCore(pairs, aCol, bCol, maxIter, completeNodes = true)
+
+  /** Iteration core. With `completeNodes` the result covers EVERY
+    * incident node (component minima map to themselves) — the public
+    * contract [[updateClusters]] depends on. Without it the result is
+    * just the converged star set (minima and self-loop-only nodes
+    * absent): exactly what [[assignClusters]] needs, since its left
+    * join + coalesce defaults every unmapped doc to its own id — and
+    * skipping the node-completion stage drops a distinct over the
+    * pair frame, a join, and shrinks the checkpoint from node-count
+    * to star-edge-count rows. */
+  private def componentsCore(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int, completeNodes: Boolean): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     ensureCheckpointDir(spark)
@@ -198,12 +211,16 @@ object DupGroups {
       // nodes absent from any star are their own component. The result
       // is reliable-checkpointed (node+component longs — metadata-sized
       // relative to the corpus) so every cache block below can go.
-      val nodes = p.select($"u".as("n")).union(p.select($"v".as("n")))
-        .distinct()
-      val out = nodes
-        .join(edges.select($"hi".as("n"), $"lo".as("comp")), Seq("n"), "left")
-        .select($"n".as("node"), coalesce($"comp", $"n").as("component"))
-        .checkpoint(eager = true)
+      val result =
+        if (completeNodes) {
+          val nodes = p.select($"u".as("n")).union(p.select($"v".as("n")))
+            .distinct()
+          nodes
+            .join(edges.select($"hi".as("n"), $"lo".as("comp")), Seq("n"), "left")
+            .select($"n".as("node"), coalesce($"comp", $"n").as("component"))
+        } else
+          edges.select($"hi".as("node"), $"lo".as("component"))
+      val out = result.checkpoint(eager = true)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"CCDEBUG ckpt_done t=${System.nanoTime() / 1e9}")
       out
@@ -261,7 +278,12 @@ object DupGroups {
     * stable). `docs.filter(is_keep)` IS the deduplicated corpus. */
   def assignClusters(docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cc = connectedComponents(pairs, aCol, bCol)
+    // star set only: the left join + coalesce below defaults every
+    // unmapped doc (component minima, unpaired docs) to its own id,
+    // so the node-completion stage would be recomputing what the
+    // coalesce already says
+    val cc = componentsCore(pairs, aCol, bCol, maxIter = 50,
+        completeNodes = false)
       .withColumnRenamed("node", "__n")
     docs
       .join(cc, docs(idCol) === cc("__n"), "left")
