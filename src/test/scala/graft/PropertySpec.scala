@@ -182,6 +182,46 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("q75's oracle argument: double-separator string replace == the greedy merge fold") {
+    // the q75 DuckDB oracle replays BPE merging via left-to-right
+    // non-overlapping replace over double-separator-joined symbols;
+    // Java String.replace has the same scan semantics as DuckDB's
+    // replace, so proving fold == replace here proves the oracle
+    // replays the operator for ANY input, not just the corpus
+    val SEP = ""
+    def replayViaReplace(syms: List[String], merges: List[(String, String)]): List[String] = {
+      var s = SEP + SEP + syms.mkString(SEP + SEP) + SEP + SEP
+      merges.foreach { case (a, b) =>
+        s = s.replace(SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP)
+      }
+      s.split(SEP + SEP).toList.filter(_.nonEmpty)
+    }
+    def refFold(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == a && x == b) {
+          out.remove(out.length - 1); out += (a + b)
+        } else out += x
+      }
+      out.toList
+    }
+    val symsGen: Gen[List[String]] =
+      Gen.listOfN(14, Gen.oneOf("a", "b", "ab", "ba", "aa"))
+    val mergesGen: Gen[List[(String, String)]] = Gen.listOfN(3, for {
+      l <- Gen.oneOf("a", "b", "ab", "aa")
+      r <- Gen.oneOf("a", "b", "ba", "ab")
+    } yield (l, r))
+    samples(symsGen.flatMap(s => mergesGen.map(m => (s, m))), 120)
+      .foreach { case (syms, merges) =>
+        if (syms.nonEmpty) {
+          val folded = merges.foldLeft(syms) { case (s, (a, b)) => refFold(s, a, b) }
+          val replaced = replayViaReplace(syms, merges)
+          assert(folded == replaced,
+            s"fold/replace diverged on $syms with $merges: $folded vs $replaced")
+        }
+      }
+  }
+
   test("pngStreamEnd: any truncation/corruption demuxes a prefix, never crashes or over-reads") {
     val payload = {
       val bos = new java.io.ByteArrayOutputStream()
