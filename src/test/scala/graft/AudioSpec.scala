@@ -68,6 +68,22 @@ class AudioSpec extends SparkTestBase {
     val payloads = wav.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
     assert(!java.util.Arrays.equals(payloads(1L), payloads(2L)))
 
+    // files shorter than the 64-window envelope are quarantined, not
+    // hashed on garbage windows
+    val short = {
+      val pcm = Array.fill[Byte](40 * 2)(1) // 40 samples < 64
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, 40),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val dropped = Audio.envelopeHash64(spark,
+      Seq((42L, short)).toDF("id", "payload"), "id", "payload").collect()
+    assert(dropped.isEmpty)
+
     // q78 at sf0.001: keys 0..99 occur twice ({k, k+400}, the copy
     // gain-shifted), keys 100..399 once → exactly 100 dup groups
     val groups = graft.queries.LlmQueries.q78AudioDedup(spark, sf0001).collect()

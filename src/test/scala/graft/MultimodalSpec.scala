@@ -166,5 +166,16 @@ class MultimodalSpec extends SparkTestBase {
       Seq((9L, cut)).toDF("id", "payload"), "id", "payload", stride = 1)
       .collect()
     assert(cutFrames.map(_.frameIdx).sorted.toSeq == Seq(0, 1))
+
+    // stride past the frame count still samples frame 0 (every video
+    // contributes at least its first frame); garbage payloads demux to
+    // nothing rather than throwing
+    val wide = Multimodal.frameSample(spark, video, "id", "payload",
+      stride = 1000).collect()
+    assert(wide.map(_.frameIdx).toSeq == Seq(0))
+    val garbage = Multimodal.frameSample(spark,
+      Seq((5L, Array.fill[Byte](64)(7))).toDF("id", "payload"),
+      "id", "payload", stride = 1).collect()
+    assert(garbage.isEmpty)
   }
 }
