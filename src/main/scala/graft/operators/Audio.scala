@@ -29,6 +29,17 @@ object Audio {
 
   case class EncodedAudio(id: Long, payload: Array[Byte])
 
+  /** The sample layout both decoders' integer kernels assume: signed
+    * 16-bit mono little-endian PCM. A VALID WAV in any other layout
+    * (8-bit, stereo, big-endian, float) would silently produce wrong
+    * features/hashes if fed to the `data.length/2` + manual-LE
+    * assembly below — so format mismatch is treated exactly like an
+    * undecodable payload and the row is quarantine-dropped. */
+  private def is16BitMonoLePcm(fmt: AudioFormat): Boolean =
+    fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+      fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian
+
   case class DecodedAudio(id: Long, sampleRate: Int, nSamples: Int,
       sumSquares: Long, zeroCrossings: Int, peak: Int)
 
@@ -162,6 +173,8 @@ object Audio {
             try {
               val ais = AudioSystem.getAudioInputStream(
                 new ByteArrayInputStream(bytes))
+              if (!is16BitMonoLePcm(ais.getFormat)) None
+              else {
               val data = ais.readAllBytes()
               val n = data.length / 2
               if (n < 64) None
@@ -180,6 +193,7 @@ object Audio {
                   w += 1
                 }
                 Some(AudioHash(id, bits))
+              }
               }
             } catch { case _: Exception => None }
           }
@@ -204,6 +218,8 @@ object Audio {
               val ais = AudioSystem.getAudioInputStream(
                 new ByteArrayInputStream(bytes))
               val fmt = ais.getFormat
+              if (!is16BitMonoLePcm(fmt)) None
+              else {
               val data = ais.readAllBytes()
               val n = data.length / 2
               var sumSq = 0L
@@ -220,6 +236,7 @@ object Audio {
                 k += 1
               }
               Some(DecodedAudio(id, fmt.getSampleRate.toInt, n, sumSq, zc, peak))
+              }
             } catch { case _: Exception => None }
           }
         }

@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * watermark): the watermark unit is the DOC ID high-water mark —
   * unlike timestamps, ids are unique, so the window is strictly-above
   * and no boundary replay is needed. The append itself is guarded by
-  * an anti join on the artifact's existing doc ids, so a crash between
-  * append and commit replays the window into a no-op (re-signed rows
-  * are dropped, never duplicated) — asserted in LshArtifactSpec.
+  * an anti join on the artifact's existing (doc, band) keys, so a
+  * crash between append and commit replays the window into a no-op
+  * (re-signed rows are dropped, never duplicated), and a TORN append —
+  * one that task-committed only some of a doc's band rows before the
+  * job died — is healed on replay, which appends exactly the missing
+  * (doc, band) rows — asserted in LshArtifactSpec.
   */
 object LshArtifact {
 
@@ -57,15 +60,25 @@ object LshArtifact {
         filter(col("sh"), h => !array_contains(lit(stop), h)).as("sh"))
     val bb = MinHashLSH.bandBucketsFromHashes(filtered, numPerm, bands,
       seed, persistResult = false)
-    // replay guard: only docs whose rows never landed are appended
+    // replay guard at (doc, band) granularity, NOT doc presence: a
+    // crash mid-append can task-commit SOME of a doc's band rows
+    // (FileOutputCommitter v2 / death during job commit), and a
+    // doc-level guard would then skip the doc forever with a partial
+    // signature — silently losing candidate recall. Anti-joining on
+    // the (doc, band) key re-appends exactly the missing rows (each
+    // band_hash is a pure function of the text, so refills are
+    // bit-identical to what the torn run would have written) and is a
+    // no-op for complete docs. Parquet task commits are file-atomic,
+    // so a (doc, band) row is either fully present or absent — there
+    // is no sub-row tear to guard.
     val toWrite =
       if (!exists(spark, artifactDir)) bb
       else bb.join(
-        spark.read.parquet(artifactDir).select(col("doc")).distinct(),
-        Seq("doc"), "left_anti")
+        spark.read.parquet(artifactDir).select(col("doc"), col("band")).distinct(),
+        Seq("doc", "band"), "left_anti")
     val staged = toWrite.persist()
     try {
-      val written = staged.count() / bands
+      val written = staged.select(countDistinct(col("doc"))).head().getLong(0)
       if (written > 0)
         staged.write.mode(SaveMode.Append).parquet(artifactDir)
       // a catch-up replay (n > 0 docs scanned, 0 written) still commits

@@ -123,7 +123,14 @@ object Sampling {
       .collect().flatMap(r =>
         Option(r.get(0)).map(s => (s.toString, r.getLong(1))))
     if (counts.isEmpty) return df.limit(0)
-    val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    // the normalizer is a floating-point sum, so its value depends on
+    // addend ORDER — collect order here is partition-arbitrary, and an
+    // oracle engine sums in its own order; at a round() half-boundary
+    // that can shift a target by 1. Canonical order (stratum name)
+    // makes z a pure function of the data on any engine that sums the
+    // same way (the q68 oracle uses sum(... ORDER BY lang))
+    val z = counts.sortBy(_._1)
+      .map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
     val targets = counts.map { case (s, n) =>
       (s, math.min(n, math.round(totalTarget * math.pow(n.toDouble, alpha) / z)))
     }

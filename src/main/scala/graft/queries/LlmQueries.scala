@@ -1181,7 +1181,7 @@ object LlmQueries {
 
     "q68_temp_mix" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
-        |z AS (SELECT sum(power(n, 0.5)) AS z FROM c),
+        |z AS (SELECT sum(power(n, 0.5) ORDER BY lang) AS z FROM c),
         |t AS (SELECT lang, least(CAST(n AS BIGINT),
         |    CAST(round(200 * power(n, 0.5) / z.z) AS BIGINT)) AS k FROM c, z),
         |r AS (SELECT doc_id, lang,
@@ -1267,10 +1267,14 @@ object LlmQueries {
          |    chr(1) || 'i' || chr(1) || chr(1) || 'n' || chr(1), chr(1) || 'in' || chr(1)),
          |    chr(1) || 'a' || chr(1) || chr(1) || 'n' || chr(1), chr(1) || 'an' || chr(1)),
          |    chr(1) || 'e' || chr(1) || chr(1) || 'r</w>' || chr(1), chr(1) || 'er</w>' || chr(1)) AS j
-         |  FROM s)
-         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |  CAST(sum(len(string_split(j, chr(1) || chr(1))) - 2) AS BIGINT) AS n_subwords
-         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |  FROM s),
+         |agg AS (SELECT doc_id,
+         |    sum(len(string_split(j, chr(1) || chr(1))) - 2) AS n
+         |  FROM m GROUP BY doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(agg.n, 0) AS BIGINT) AS n_subwords
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q69_image_dedup" ->
       """WITH img AS (SELECT doc_id, doc_id % 400 AS key,

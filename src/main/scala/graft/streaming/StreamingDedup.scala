@@ -159,9 +159,16 @@ object StreamingDedup {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val corpusExists = fs.exists(new org.apache.hadoop.fs.Path(corpusDir)) &&
           fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir)).nonEmpty
+        // the anti join only guards against ids ALREADY IN the corpus;
+        // duplicate ids arriving within one micro-batch (routine under
+        // at-least-once sources) would all survive it and append
+        // duplicate corpus rows + 2x band rows per doc into the
+        // artifact — dedupe the batch itself first
+        val batchDistinct = batch.dropDuplicates(Seq(idCol))
         val guarded =
-          if (!corpusExists) batch
-          else batch.join(spark.read.parquet(corpusDir).select(col(idCol)),
+          if (!corpusExists) batchDistinct
+          else batchDistinct.join(
+            spark.read.parquet(corpusDir).select(col(idCol)),
             Seq(idCol), "left_anti")
         val appended = !guarded.isEmpty
         if (appended)

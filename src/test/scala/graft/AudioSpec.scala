@@ -45,6 +45,32 @@ class AudioSpec extends SparkTestBase {
     assert(out.map(_.id).toSeq == Seq(3L))
   }
 
+  test("valid WAVs in a non-16-bit-mono-LE layout are quarantined, not mis-decoded") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    // genuine RIFF streams the codec parses fine — but their sample
+    // layout breaks the decoders' 16-bit mono LE integer kernels, so
+    // they must take the quarantine path, not produce silent garbage
+    def wav(fmt: AudioFormat, frames: Int, bytesPerFrame: Int): Array[Byte] = {
+      val data = new Array[Byte](frames * bytesPerFrame)
+      java.util.Arrays.fill(data, 7.toByte)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val stereo16 = wav(new AudioFormat(8000f, 16, 2, true, false), 256, 4)
+    val mono8 = wav(new AudioFormat(8000f, 8, 1, false, false), 256, 1)
+    val good = Audio.encodeWav(spark, Seq(1L).toDF("doc_id"), "doc_id").toDF()
+    val rows = Seq((90L, stereo16), (91L, mono8)).toDF("id", "payload")
+      .unionByName(good)
+    assert(Audio.decodeAudio(spark, rows, "id", "payload")
+      .collect().map(_.id).toSeq == Seq(1L))
+    assert(Audio.envelopeHash64(spark, rows, "id", "payload")
+      .collect().map(_.id).toSeq == Seq(1L))
+  }
+
   test("q70 runs green at sf0.001 with one row per doc") {
     val out = graft.queries.LlmQueries.q70AudioDecode(spark, sf0001)
     assert(out.count() == Tables.load(spark, sf0001, "documents").count())

@@ -72,6 +72,43 @@ class LshArtifactSpec extends SparkTestBase {
       "doc_id", "text", batchId = "b3") == 0L)
   }
 
+  test("torn append (partial band rows committed) is healed on replay") {
+    val control = tmp("lsh-control4")
+    val artifact = tmp("lsh-artifact4") + "/bb"
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val d1 = docs.where(col("doc_id") < 50)
+    LshArtifact.refresh(spark, control, artifact, "docs", d1,
+      "doc_id", "text", batchId = "b1")
+    // crash-ordered grown run: rows land, watermark does not
+    LshArtifact.refresh(spark, control, artifact, "docs", docs,
+      "doc_id", "text", batchId = "b2", failBeforeCommit = true)
+
+    // simulate the committer-v2 tear: the job died with only HALF of
+    // each new doc's band rows task-committed — a doc-presence replay
+    // guard would now skip these docs forever with partial signatures
+    val full = spark.read.parquet(artifact)
+    val schema = full.schema
+    val torn = full.where(!(col("doc") >= 50 && col("band") >= 8)).collect()
+    val fs = new org.apache.hadoop.fs.Path(artifact)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(artifact), true)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(torn.toSeq), schema)
+      .write.parquet(artifact)
+
+    // replay appends exactly the missing (doc, band) rows
+    LshArtifact.refresh(spark, control, artifact, "docs", docs,
+      "doc_id", "text", batchId = "b2-replay")
+    val art = LshArtifact.bandBuckets(spark, artifact)
+    assert(art.groupBy("doc").count().where(col("count") =!= 16).isEmpty)
+    assert(art.groupBy("doc", "band").count().where(col("count") > 1).isEmpty)
+    val fresh = MinHashLSH.bandBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(art.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet == fresh)
+  }
+
   test("dailyDedupRun: two growth days + worst-ordered crash equal the full rebuild") {
     import graft.operators.DupGroups
     val control = tmp("daily-control")

@@ -229,6 +229,44 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("continuousDedup: duplicate ids WITHIN one micro-batch append once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def tmp(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val corpus = tmp("cdd-corpus") + "/docs"
+    val control = tmp("cdd-control")
+    val artifact = tmp("cdd-artifact") + "/bb"
+    val assign = tmp("cdd-assign") + "/cc"
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).take(60)
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingDedup.continuousDedup(
+        input.toDF().toDF("doc_id", "text"),
+        corpus, control, artifact, assign, "stream", "doc_id", "text")
+      .option("checkpointLocation", tmp("cdd-ckpt"))
+      .start()
+    try {
+      // at-least-once source: every doc delivered TWICE inside the
+      // batch — the corpus anti join alone cannot catch these (the
+      // corpus doesn't hold them yet), only the intra-batch dedupe does
+      input.addData((docs ++ docs).toSeq: _*)
+      query.processAllAvailable()
+      // next batch redelivers half of batch 1, again duplicated
+      input.addData((docs.take(30) ++ docs.take(30)).toSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val ids = spark.read.parquet(corpus).groupBy("doc_id").count()
+    assert(ids.where(col("count") > 1).isEmpty, "no duplicate corpus ids")
+    assert(ids.count() == docs.length.toLong)
+    // and the artifact holds exactly `bands` rows per doc — no 2x rows
+    val bb = spark.read.parquet(artifact).groupBy("doc").count()
+    assert(bb.where(col("count") =!= 16).isEmpty,
+      "exactly bands band rows per doc in the artifact")
+  }
+
   test("continuousDedup: streamed micro-batches equal one big rebuild; redelivery is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
