@@ -22,19 +22,23 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * map to its microsecond TimestampType. Read it as raw nanos
-    * (legacy nanosAsLong) and expose BOTH:
-    *   - `ts`    timestamp (micros, for date math / output), and
-    *   - `ts_ns` raw long — incremental window filters compare on this
-    *     so the predicate still pushes into the parquet scan
-    *     (PushedFilters); a filter on the derived `ts` would not.
+  /** `events.ts` is parquet TIMESTAMP(MICROS) with isAdjustedToUTC =
+    * false (a pandas-written naive timestamp; the generator's wall
+    * clock is UTC). Read with `inferTimestampNTZ=false` so the
+    * physical column maps STRAIGHT to Spark's session-tz TimestampType
+    * (sessions here pin UTC, so the instants are unchanged) — no cast
+    * sits on the scan column and timestamp window filters reach
+    * PushedFilters. Expose BOTH:
+    *   - `ts`    the physical timestamp (micros) — filter on THIS, and
+    *   - `ts_ns` nano-epoch long, derived — kept for the integer
+    *     date-math call sites; being derived it does NOT push down, so
+    *     incremental window filters belong on `ts`
+    *     ([[graft.operators.Incremental.windowFilter]]).
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_ns", unix_micros(col("ts")) * 1000)
   }
 
   /** Nanos since epoch for a UTC literal like "2024-03-01 00:00:00". */

@@ -22,9 +22,11 @@ object Incremental {
   def windowFilter(df: DataFrame, tsCol: String, watermark: String): DataFrame =
     df.where(col(tsCol) >= lit(watermark).cast("timestamp"))
 
-  /** Variant for nano-epoch long columns (Tables.loadEvents.ts_ns): the
-    * comparison stays on the physical parquet column so it reaches
-    * PushedFilters; a filter on a derived timestamp would not. */
+  /** Variant for nano-epoch long columns. NOTE (r8): events.ts_ns is
+    * now DERIVED from the physical micros timestamp, so this no longer
+    * reaches PushedFilters there — incremental event windows belong on
+    * [[windowFilter]] over `ts` (the physical column). Kept for long
+    * epoch columns that ARE physical. */
   def windowFilterNanos(df: DataFrame, nsCol: String, watermarkNs: Long): DataFrame =
     df.where(col(nsCol) >= lit(watermarkNs))
 

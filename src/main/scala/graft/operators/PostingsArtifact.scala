@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted Jaccard shingle artifact: the (doc, block, sz, shs)
+  * shingle-hash frame written ONCE as a lake artifact (parquet) and
+  * incrementally appended as the corpus grows — [[LshArtifact]]'s
+  * watermark discipline applied to the prefix-filtered blocked-Jaccard
+  * pipeline ([[TextDedup.blockedJaccardPairs]]). Without it every
+  * dedup run re-reads the corpus TEXT and re-tokenizes every document
+  * — at 100 TB the text scan + shingling dwarfs the pair work; with it
+  * a daily run shingles ONLY the day's new documents and the whole
+  * candidate + verify pipeline (postings, document frequencies, prefix
+  * ranking, buckets, exact-Jaccard verify) runs off the compact
+  * integer artifact.
+  *
+  * What is persisted is deliberately the PRE-prefix shingle frame, not
+  * the prefix-filtered postings: a document's shingle set is a pure
+  * function of its text (append-only, replay-safe), while its prefix
+  * depends on corpus-global document frequencies that CHANGE as the
+  * corpus grows — freezing the prefix at append time would silently
+  * lose recall (a shingle rare today may be hot tomorrow, reordering
+  * every prefix). Re-ranking runs per query over the persisted
+  * integers — cheap next to the text scan it replaces — and keeps the
+  * prefix filter recall-exact at every corpus size
+  * ([[TextDedup.prefixIndex]]'s argument needs the CURRENT global
+  * frequency order).
+  *
+  * Control-log contract (the [[LshArtifact]] ordering: append, then
+  * watermark): the watermark unit is the doc-id high-water mark. The
+  * artifact holds exactly ONE row per document (the shingle array),
+  * and parquet task commits are file-atomic, so a row is either fully
+  * present or absent — doc-presence anti-join is therefore a COMPLETE
+  * replay guard here (no sub-doc tear exists, unlike the per-band rows
+  * that forced [[LshArtifact]] to guard on (doc, band)). A crash
+  * between append and watermark commit replays the window into
+  * appending exactly the docs the torn run missed.
+  */
+object PostingsArtifact {
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Shingle any documents not yet in the artifact and append their
+    * (doc, block, sz, shs) rows; commit the new doc-id watermark.
+    * Returns the number of NEW documents shingled — 0 on a replay or
+    * an unchanged corpus (the "second run recomputes zero shingle
+    * sets" observable).
+    *
+    * `failBeforeCommit` stops after the append but before the
+    * watermark commit — the worst-ordered crash, absorbed on the next
+    * run by the doc-presence anti-join. */
+  def refresh(spark: SparkSession, controlDir: String, artifactDir: String,
+      sourceId: String, docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, batchId: String, shingleN: Int = 3,
+      failBeforeCommit: Boolean = false): Long = {
+    val wm = EtlControl.lastWatermarkMicros(spark, controlDir, sourceId, -1L)
+    val delta = docs.where(col(idCol) > wm)
+    val stats = delta.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+    val (n, newWm) = (stats.getLong(0),
+      if (stats.isNullAt(1)) wm else stats.getLong(1))
+    if (n == 0L) return 0L
+    val base = delta.select(col(idCol).cast("long").as("doc"),
+        col(blockCol).as("block"),
+        TextDedup.shingleHashes64(col(textCol), shingleN).as("shs"))
+      .withColumn("sz", size(col("shs")).cast("long"))
+    val toWrite =
+      if (!exists(spark, artifactDir)) base
+      else base.join(
+        spark.read.parquet(artifactDir).select(col("doc")).distinct(),
+        Seq("doc"), "left_anti")
+    val staged = toWrite.persist()
+    try {
+      val written = staged.count()
+      if (written > 0)
+        staged.write.mode(SaveMode.Append).parquet(artifactDir)
+      // a catch-up replay (n > 0 docs scanned, 0 written) still commits
+      // SUCCESS so the watermark advances past the replayed window
+      if (!failBeforeCommit)
+        EtlControl.commitRun(spark, controlDir, sourceId, batchId,
+          watermarkUs = newWm, recordsLoaded = written)
+      written
+    } finally { staged.unpersist(); () }
+  }
+
+  /** The persisted (doc, block, sz, shs) frame. */
+  def shingleFrame(spark: SparkSession, artifactDir: String): DataFrame =
+    spark.read.parquet(artifactDir)
+
+  /** Exact blocked-Jaccard pairs from the artifact alone — ZERO text
+    * access, ZERO tokenization: postings, document frequencies, prefix
+    * ranking, buckets, pair expansion, and the exact `array_intersect`
+    * verify all read the persisted integer arrays. Identical output to
+    * [[TextDedup.blockedJaccardPairs]] over the same corpus (shared
+    * pipeline — [[TextDedup.pairsFromBase]]).
+    *
+    * `sinceId` narrows to pairs TOUCHING a doc above it — the daily
+    * batch shape (old–old pairs were emitted by earlier runs: the
+    * prefix filter was recall-exact over the smaller corpus too, so a
+    * growth run only owes candidates with a new side). The frame is
+    * registered with [[CacheRegistry]] for the intra-query reuse
+    * (postings pass + two verify sides), released like every query
+    * cache. */
+  def pairs(spark: SparkSession, artifactDir: String, minJaccard: Double,
+      sinceId: Long = Long.MinValue): DataFrame =
+    TextDedup.pairsFromBase(
+      CacheRegistry.persist(shingleFrame(spark, artifactDir)),
+      minJaccard, sinceId)
+}

@@ -197,6 +197,22 @@ object TextDedup {
       docs.select(col(idCol).as("doc"), col(blockCol).as("block"),
           shingleHashes64(col(textCol), n).as("shs"))
         .withColumn("sz", size(col("shs")).cast("long")))
+    pairsFromBase(base, minJaccard)
+  }
+
+  /** Candidate + verify pipeline over an already-materialized shingle
+    * frame (doc, block, sz, shs) — shared bit-for-bit by
+    * [[blockedJaccardPairs]] (in-session frame) and
+    * [[PostingsArtifact]] (persisted parquet frame), so the
+    * artifact-backed path provably returns the same pairs. `sinceId`
+    * (doc ids strictly above it) narrows to pairs TOUCHING a new doc —
+    * the daily-batch shape; the prefix ranking still runs over the
+    * FULL frame (document frequencies are corpus-global, so re-ranking
+    * over all postings is what keeps the filter recall-exact as the
+    * corpus grows), but pair expansion, the distinct shuffle, and the
+    * verify joins all see only the batch. */
+  private[graft] def pairsFromBase(base: DataFrame, minJaccard: Double,
+      sinceId: Long = Long.MinValue): DataFrame = {
     val buckets = prefixIndex(base, minJaccard)
       .groupBy("block", "sh")
       .agg(sort_array(collect_list(struct(col("doc"), col("sz")))).as("ds"))
@@ -212,12 +228,17 @@ object TextDedup {
           element_at(col("ds"), i + 1).getField("sz").as("sz_a"),
           d.getField("doc").as("doc_b"),
           d.getField("sz").as("sz_b")))))
-    val cands = buckets.select(explode(pairCombos).as("p"))
+    val raw = buckets.select(explode(pairCombos).as("p"))
       // length filter: size-incompatible pairs die BEFORE the distinct
       // shuffle and the verify joins.
       .where(least(col("p.sz_a"), col("p.sz_b")) >=
         lit(minJaccard) * greatest(col("p.sz_a"), col("p.sz_b")))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    // batch scoping sits BEFORE the distinct shuffle and the verify
+    // joins; skipped entirely (no always-true filter polluting golden
+    // plans) for full-corpus runs
+    val cands = (if (sinceId == Long.MinValue) raw
+      else raw.where(col("doc_a") > sinceId || col("doc_b") > sinceId))
       .distinct()
     cands
       .join(base.select(col("doc").as("doc_a"), col("shs").as("shs_a"),

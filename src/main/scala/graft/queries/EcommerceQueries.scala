@@ -121,8 +121,11 @@ object EcommerceQueries {
   /** §2 #13 — incremental window filter pushed to the scan, then rollup
     * (incremental_etl_dag.py:59-84). */
   def q09IncrementalAgg(s: SparkSession, dir: String): DataFrame =
-    Incremental.windowFilterNanos(t(s, dir, "events"), "ts_ns",
-        Tables.utcNanos("2024-01-20 00:00:00"))
+    // the filter sits on the PHYSICAL `ts` column (r8: events.ts is
+    // parquet micros now, ts_ns the derived one) so it reaches
+    // PushedFilters — pinned by the golden plan
+    Incremental.windowFilter(t(s, dir, "events"), "ts",
+        "2024-01-20 00:00:00")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))

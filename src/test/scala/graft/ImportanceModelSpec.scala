@@ -38,4 +38,24 @@ class ImportanceModelSpec extends SparkTestBase {
     // the en doc's own grams are all-target (ct=1, cr=0 → w = 666-500 > 0)
     assert(a.toMap.apply(1L) > 0)
   }
+
+  test("q81 trained gate separates HELD-OUT seeded spam from real docs") {
+    val out = graft.queries.LlmQueries.q81TrainedGate(spark, sf0001)
+      .select(col("doc_id"), col("is_spam"), col("keep"),
+        // held-out = odd ids (the model trained only on even ids)
+        (col("doc_id") % 2 =!= 0).as("held_out"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    val spam = out.filter(_._2)
+    val good = out.filterNot(_._2)
+    assert(spam.nonEmpty && spam.exists(_._4),
+      "seed must produce held-out spam twins")
+    // every spam twin — including held-out ones the model never saw —
+    // is dropped on learned gram weights alone
+    assert(spam.forall(!_._3), s"kept spam: ${spam.filter(_._3).take(5).toSeq}")
+    // real docs overwhelmingly survive the gate (some tiny/degenerate
+    // docs may score 0 — the gate is strict-positive)
+    val keptFrac = good.count(_._3).toDouble / good.length
+    assert(keptFrac >= 0.9, s"good kept fraction $keptFrac")
+  }
 }
