@@ -110,21 +110,58 @@ object TextDedup {
     * a span shifts later chunk boundaries); run it once per corpus
     * snapshot, like the reference's per-batch dedup. */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int = 10): DataFrame = {
+      chunkTokens: Int = 10): DataFrame =
+    chunkDedupAgainst(docs, idCol, textCol, chunkTokens, prior = null)
+
+  /** The (id, pos, chunk, hash) frame [[chunkDedup]] dedups over —
+    * shared by the batch operator and the streaming fold. */
+  private[graft] def chunkExplode(docs: DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     val toks = TextFunctions.tokens(col(textCol))
     val nChunks = greatest(
       ceil(size(toks).cast("double") / chunkTokens).cast("int"), lit(1))
     val chunks = transform(sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
-    val exploded = docs
+    docs
       .select(col(idCol).as("__id"), posexplode(chunks).as(Seq("pos", "chunk")))
       .withColumn("__h", xxhash64(col("chunk")))
+  }
+
+  /** Distinct (chunk_hash, doc_id) of `docs` — doc_id the smallest id
+    * carrying the hash; the batch contribution to a persisted
+    * chunk-hash store ([[graft.streaming.StreamingDedup]]'s
+    * continuous fold). */
+  def chunkHashes(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame =
+    chunkExplode(docs, idCol, textCol, chunkTokens)
+      .groupBy(col("__h").as("chunk_hash"))
+      .agg(min(col("__id")).as("doc_id"))
+
+  /** [[chunkDedup]] with an optional PRIOR chunk-hash frame (column
+    * `chunk_hash`): a chunk is kept iff it is the batch's first
+    * occurrence AND its hash is absent from `prior` — the incremental
+    * form (prior = everything earlier batches kept or saw; null =
+    * plain whole-corpus dedup). The prior join is a hash-equi left
+    * join flagging seen chunks; rows are never dropped (the reassembly
+    * needs every chunk for n_chunks_total). */
+  def chunkDedupAgainst(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, prior: DataFrame): DataFrame = {
+    val exploded = chunkExplode(docs, idCol, textCol, chunkTokens)
     val firsts = exploded.groupBy("__h")
       .agg(min(struct(col("__id"), col("pos"))).as("__first"))
-    exploded.join(firsts, "__h")
+    val withSeen =
+      if (prior == null)
+        exploded.join(firsts, "__h").withColumn("__seen", lit(false))
+      else
+        exploded.join(firsts, "__h")
+          .join(prior.select(col("chunk_hash").as("__h")).distinct()
+            .withColumn("__s", lit(true)), Seq("__h"), "left")
+          .withColumn("__seen", coalesce(col("__s"), lit(false)))
+          .drop("__s")
+    withSeen
       .withColumn("__keep",
-        struct(col("__id"), col("pos")) === col("__first"))
+        struct(col("__id"), col("pos")) === col("__first") && !col("__seen"))
       .groupBy("__id")
       .agg(
         array_join(transform(

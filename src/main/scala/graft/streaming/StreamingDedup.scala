@@ -187,5 +187,73 @@ object StreamingDedup {
         ()
     }
 
+  /** CONTINUOUS sub-document (chunk) span dedup: each micro-batch's
+    * documents are chunk-deduped against a persisted chunk-hash store
+    * ([[graft.operators.TextDedup.chunkDedupAgainst]]) and appended to
+    * the deduped output table; the store then absorbs the batch's
+    * hashes. Per-batch cost is batch-chunks + one hash-equi join
+    * against the store — never corpus-sized recompute.
+    *
+    * Equals the batch operator over the whole corpus when documents
+    * arrive in doc-id order (the corpus-growth shape — ids are
+    * monotone): a chunk seen by ANY earlier batch precedes every later
+    * (id, pos) occurrence, so "absent from store + batch-first" is
+    * exactly the global first-occurrence rule. Asserted in
+    * StreamingDedupSpec.
+    *
+    * At-least-once replay: output append is doc-id-guarded; the store
+    * append is hash-guarded and rows carry the introducing doc id, so
+    * a crash BETWEEN store append and output append (the torn window)
+    * is healed on redelivery by excluding store rows introduced by the
+    * to-be-reprocessed docs — the batch replays against exactly the
+    * pre-crash prior. The reverse tear (output landed, store did not)
+    * heals because the store append recomputes from the full delivered
+    * batch, not the guarded remainder. */
+  def continuousChunkDedup(docs: org.apache.spark.sql.DataFrame,
+      outDir: String, storeDir: String, idCol: String, textCol: String,
+      chunkTokens: Int = 10):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.col
+        import graft.operators.TextDedup
+        def nonEmptyDir(dir: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.exists(p) && fs.listStatus(p).nonEmpty
+        }
+        val batchD = batch.dropDuplicates(Seq(idCol))
+        val guarded =
+          if (!nonEmptyDir(outDir)) batchD
+          else batchD.join(spark.read.parquet(outDir).select(col(idCol)),
+            Seq(idCol), "left_anti")
+        if (!guarded.isEmpty) {
+          // prior = the store MINUS rows introduced by docs this batch
+          // is (re)processing — restores the pre-crash prior when a
+          // torn run appended hashes but never published the docs
+          val prior =
+            if (!nonEmptyDir(storeDir)) null
+            else spark.read.parquet(storeDir)
+              .join(guarded.select(col(idCol).as("doc_id")),
+                Seq("doc_id"), "left_anti")
+          TextDedup.chunkDedupAgainst(guarded, idCol, textCol,
+              chunkTokens, prior)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+        // store maintenance from the FULL delivered batch (not the
+        // guard survivors): heals the output-landed/store-missed tear
+        val hashes = TextDedup.chunkHashes(batchD, idCol, textCol, chunkTokens)
+        val newHashes =
+          if (!nonEmptyDir(storeDir)) hashes
+          else hashes.join(
+            spark.read.parquet(storeDir).select(col("chunk_hash")),
+            Seq("chunk_hash"), "left_anti")
+        if (!newHashes.isEmpty)
+          newHashes.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(storeDir)
+        ()
+    }
+
   val outputMode: OutputMode = OutputMode.Update()
 }

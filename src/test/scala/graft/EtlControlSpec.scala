@@ -60,6 +60,66 @@ class EtlControlSpec extends SparkTestBase {
     assert(!again)
   }
 
+  test("backfill soak: 10 out-of-order batches with duplicates and crashes equal the full rebuild") {
+    import spark.implicits._
+    import graft.operators.DupGroups
+    val control = Files.createTempDirectory("soak-control").toString
+    val assign = Files.createTempDirectory("soak-assign").toString + "/cc"
+
+    // batch i: a chain inside its own id block, a merge edge back into
+    // the previous block (so components grow ACROSS batches), and a
+    // duplicate of one earlier edge (cross-batch duplicate delivery)
+    def mkBatch(i: Int): Seq[(Long, Long)] = {
+      val base = i * 100L
+      val chain = (0 until 6).map(j => (base + j, base + j + 1))
+      val merge = if (i > 0) Seq((base, base - 100L + 3)) else Nil
+      val dup = if (i > 1) Seq(((i - 1) * 100L, (i - 1) * 100L + 1)) else Nil
+      chain ++ merge ++ dup
+    }
+    val batches = (0 until 10).map(mkBatch)
+    // out-of-order arrival (fixed shuffle), two batches redelivered,
+    // two arriving first as a worst-ordered crash
+    val arrival = Seq(2, 0, 5, 1, 4, 3, 8, 6, 9, 7)
+    val crashed = Set(5, 9)
+    val redelivered = Set(1, 6)
+
+    def assignment: Map[Long, Long] = spark.read.parquet(assign)
+      .as[(Long, Long)].collect().toMap
+    var delivered = Seq.empty[(Long, Long)]
+    arrival.foreach { i =>
+      val df = batches(i).toDF("a", "b")
+      if (crashed(i)) {
+        EtlControl.runDedupCycle(spark, control, "soak", df, "a", "b",
+          assign, batchId = s"b$i", watermarkUs = i.toLong,
+          failBeforeCommit = true)
+      }
+      EtlControl.runDedupCycle(spark, control, "soak", df, "a", "b",
+        assign, batchId = s"b$i", watermarkUs = i.toLong)
+      if (redelivered(i)) {
+        val stamp = assignment
+        val (_, applied) = EtlControl.runDedupCycle(spark, control, "soak",
+          df, "a", "b", assign, batchId = s"b$i", watermarkUs = i.toLong)
+        assert(!applied && assignment == stamp,
+          s"redelivered committed batch b$i must be skipped untouched")
+      }
+      delivered ++= batches(i)
+      // invariant after EVERY fold: the maintained assignment equals a
+      // from-scratch CC over everything delivered so far
+      assert(assignment ==
+        DupGroups.connectedComponents(delivered.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap,
+        s"assignment diverged from full rebuild after batch b$i")
+    }
+    // all ten blocks merged into one component rooted at node 0
+    val a = assignment
+    assert(a(903L) == 0L && a(500L) == 0L && a.values.toSet == Set(0L))
+    // control log: exactly 10 SUCCESS commits (crashes and redeliveries
+    // never double-commit)
+    val ok = spark.read.parquet(control)
+      .where(col("source_id") === "soak" && col("status") === "SUCCESS")
+    assert(ok.count() == 10)
+  }
+
   test("two incremental cycles + crash-replay land every row exactly once") {
     val dir = Files.createTempDirectory("etlctl").toString
     val control = s"$dir/control"

@@ -331,4 +331,85 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(signed == 0L && nAssign == want.size.toLong)
     assert(assignment == want, "redelivery must not change the assignment")
   }
+
+  test("continuousChunkDedup: id-ordered batches equal whole-corpus chunkDedup; redelivery and torn store heal") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextDedup
+    def tmp(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val out = tmp("ccd-out") + "/docs"
+    val store = tmp("ccd-store") + "/hashes"
+
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .take(120)
+    val Array(b1, b2, b3) = docs.grouped(40).toArray
+
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingDedup.continuousChunkDedup(
+        input.toDF().toDF("doc_id", "text"), out, store, "doc_id", "text")
+      .option("checkpointLocation", tmp("ccd-ckpt"))
+      .start()
+    try {
+      // batch 1 delivered with intra-batch duplicates (at-least-once)
+      input.addData((b1 ++ b1).toSeq: _*)
+      query.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      query.processAllAvailable()
+      // batch 3 redelivers half of batch 2 alongside the new docs
+      input.addData((b3 ++ b2.take(20)).toSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Long)] =
+      df.collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("text")),
+        r.getLong(r.fieldIndex("n_chunks_kept")),
+        r.getLong(r.fieldIndex("n_chunks_total")))).toSet
+    val full = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+      .where(col("doc_id").isin(docs.map(_._1): _*))
+    val want = resultSet(TextDedup.chunkDedup(full, "doc_id", "text"))
+    assert(resultSet(spark.read.parquet(out)) == want,
+      "streamed fold must equal the batch operator on id-ordered arrival")
+    assert(spark.read.parquet(out).count() == docs.length.toLong)
+
+    // torn window: a crashed run appended batch-4 hashes to the store
+    // but never published the docs — redelivery must reprocess against
+    // the PRE-crash prior (store rows tagged with the batch's own ids
+    // are excluded), reproducing exactly the batch operator's answer
+    val b4 = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .slice(120, 160)
+    val b4df = b4.toSeq.toDF("doc_id", "text")
+    TextDedup.chunkHashes(b4df, "doc_id", "text")
+      .join(spark.read.parquet(store).select("chunk_hash"),
+        Seq("chunk_hash"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store)
+    val query2 = StreamingDedup.continuousChunkDedup(
+        input.toDF().toDF("doc_id", "text"), out, store, "doc_id", "text")
+      .option("checkpointLocation", tmp("ccd-ckpt2"))
+      .start()
+    try {
+      input.addData(b4.toSeq: _*)
+      query2.processAllAvailable()
+      // and a full redelivery of everything: pure no-op
+      input.addData(docs.toSeq: _*)
+      query2.processAllAvailable()
+    } finally query2.stop()
+    val fullPlus = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+      .where(col("doc_id").isin((docs ++ b4).map(_._1): _*))
+    assert(resultSet(spark.read.parquet(out)) ==
+      resultSet(TextDedup.chunkDedup(fullPlus, "doc_id", "text")),
+      "torn store append must heal to the batch answer")
+    // store holds one row per distinct chunk hash
+    val dup = spark.read.parquet(store).groupBy("chunk_hash").count()
+      .where(col("count") > 1)
+    assert(dup.isEmpty, "no duplicate store hashes")
+  }
 }
