@@ -59,41 +59,62 @@ object Bench {
     var errors = Map.empty[String, String]
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val sorted = queries.toSeq.sortBy(_._1)
-    // a third probe at the loop's midpoint brackets WHERE in the run a
-    // contended window began, not just that one occurred
-    var probeMid = -1.0
-    val results = sorted.zipWithIndex.map { case ((name, fn), qi) =>
-      if (qi == sorted.length / 2) probeMid = probeSec()
-      // min over reps: queries are idempotent reads; min is the
-      // standard steady-state estimator under scheduler noise. The
-      // library's registered caches are released per rep so persisted
-      // QUERY intermediates (LSH signatures, shingle frames) are
-      // recomputed — every rep pays the query's full cost. Pretrained
-      // per-corpus artifacts (PQ code frames, centroids, stop lists,
-      // the LSH parquet artifact) survive by design: their lifetime is
-      // the corpus, not the query.
-      val times = (1 to reps).map { _ =>
-        graft.operators.CacheRegistry.releaseAll()
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch {
-            case e: Throwable =>
-              errors += name -> e.getClass.getSimpleName; false
-          }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+
+    case class Attempt(results: Seq[(String, Double)], probeFirst: Double,
+        probeMid: Double, probeLast: Double) {
+      def drift: Double = if (probeFirst > 0) probeLast / probeFirst else 1.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def runAttempt(): Attempt = {
+      val pf = probeSec()
+      // a third probe at the loop's midpoint brackets WHERE in the run
+      // a contended window began, not just that one occurred
+      var pm = -1.0
+      val rs = sorted.zipWithIndex.map { case ((name, fn), qi) =>
+        if (qi == sorted.length / 2) pm = probeSec()
+        // min over reps: queries are idempotent reads; min is the
+        // standard steady-state estimator under scheduler noise. The
+        // library's registered caches are released per rep so persisted
+        // QUERY intermediates (LSH signatures, shingle frames) are
+        // recomputed — every rep pays the query's full cost. Pretrained
+        // per-corpus artifacts (PQ code frames, centroids, stop lists,
+        // the LSH parquet artifact) survive by design: their lifetime is
+        // the corpus, not the query.
+        val times = (1 to reps).map { _ =>
+          graft.operators.CacheRegistry.releaseAll()
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch {
+              case e: Throwable =>
+                errors += name -> e.getClass.getSimpleName; false
+            }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      }
+      Attempt(rs, pf, pm, probeSec())
+    }
+
+    // Clean-window discipline (VERDICT r7 item 8): a drift far from
+    // 1.0 marks a contended measurement window, making per-query
+    // round-over-round deltas unusable. Re-run the whole loop (up to
+    // maxAttempts) while drift ≥ the bar, then report the CLEANEST
+    // attempt — with every attempt's drift kept so a still-dirty
+    // result is visibly flagged rather than silently trusted.
+    val driftBar = sys.env.getOrElse("SPARK_GRAFT_DRIFT_BAR", "1.3").toDouble
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    var attempts = List(runAttempt())
+    while (attempts.head.drift >= driftBar && attempts.length < maxAttempts)
+      attempts ::= runAttempt()
+    val best = attempts.minBy(_.drift)
+    val qs = best.results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val probeLast = probeSec()
-    val drift = if (probeFirst > 0) probeLast / probeFirst else 1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_err":${errors.size},"probe_first_sec":$probeFirst,"probe_mid_sec":$probeMid,"probe_last_sec":$probeLast,"probe_drift":$drift,"sf":"$sfDir"}""")
+    val total = best.results.collect { case (_, v) if v >= 0 => v }.sum
+    val allDrifts = attempts.reverse.map(_.drift).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_err":${errors.size},"probe_first_sec":${best.probeFirst},"probe_mid_sec":${best.probeMid},"probe_last_sec":${best.probeLast},"probe_drift":${best.drift},"attempts":${attempts.length},"attempt_drifts":$allDrifts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -356,6 +356,43 @@ object LlmQueries {
       enc
     })
 
+  /** Per-corpus IVF-PQ compact-codes LAKE LAYOUT: the encoded frame
+    * written ONCE per dir into ivf_cell directories — the 100 TB
+    * shape q52's scaladoc points at, materialized (the q80 discipline
+    * applied to the PQ codes artifact). */
+  private val ivfPqLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqLayoutDir(s: SparkSession, dir: String): String =
+    ivfPqLayoutCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-layout").toString + "/codes"
+      graft.sources.ParquetSink.writeIvfPartitioned(
+        ivfPqEncoded(s, dir), out, clusterCol = "ivf_cell")
+      out
+    })
+
+  /** New-in-r8 — IVF-PQ over the PARTITION-PRUNED codes layout
+    * (VERDICT r7 item 6): q52's ADC scan + exact re-rank composed with
+    * q80's cell-partitioned lake read. `ivf_cell` is the layout's
+    * partition column, so the probe `isin` prunes at file-listing time
+    * — the scan touches nprobe/k of the CODE directories (32×-smaller
+    * than raw vectors), then re-ranks rerank·k survivors against the
+    * raw table. PartitionFilters + pq_adc pinned together in the
+    * golden plan; rows-only (probe choices engine-specific) — equality
+    * with the in-session q52 path and recall ≥ 0.8 asserted in
+    * AnnSpec. */
+  def q82IvfPqLayout(s: SparkSession, dir: String): DataFrame = {
+    val (cb, _) = pqArtifacts(s, dir)
+    val e = t(s, dir, "embeddings")
+    val layout = s.read.parquet(ivfPqLayoutDir(s, dir))
+    graft.operators.Pq.ivfPqTopK(layout,
+        e.where(col("vec_id") =!= 7), e.where(col("vec_id") === 7),
+        "vec_id", "embedding", k = 10, cb, q22Centroids(s, dir),
+        nprobe = 5, rerank = 5)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+  }
+
   /** New-in-r6 — §2 #39's full composition, benched as its own query:
     * IVF cell pruning (probe 5 of 8 cells) over the PQ codes artifact,
     * ADC-score only the probed cells' codes, exact re-rank of the
@@ -906,6 +943,7 @@ object LlmQueries {
     "q79_importance_score" -> (q79ImportanceScore _),
     "q80_ivf_layout_ann" -> (q80IvfLayoutAnn _),
     "q81_trained_gate" -> (q81TrainedGate _),
+    "q82_ivfpq_layout" -> (q82IvfPqLayout _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),

@@ -362,6 +362,32 @@ class AnnSpec extends SparkTestBase {
       s"probe filter must partition-prune the layout read:\n$plan")
   }
 
+  test("q82 IVF-PQ on the partitioned codes layout: equals the in-session path, partition-prunes, recall >= 0.8") {
+    val q82 = graft.queries.LlmQueries.q82IvfPqLayout(spark, sf0001)
+    val layoutIds = q82.collect().map(_.getLong(0)).toSet
+    // same codebook, coarse quantizer, nprobe, rerank — the layout
+    // read must return the identical neighbor set as in-session q52
+    val inSession = graft.queries.LlmQueries.q52IvfPqAnn(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(layoutIds == inSession && layoutIds.size == 10,
+      s"layout path diverged: $layoutIds vs $inSession")
+    // recall vs exact brute force
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val exact = Ann.bruteForceTopK(e.where(col("vec_id") =!= 7),
+        e.where(col("vec_id") === 7), "vec_id", "embedding", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (layoutIds & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, f"recall@10 $recall%.2f < 0.8")
+    // both prunings visible in ONE plan: the probe isin prunes cell
+    // DIRECTORIES at file listing (PartitionFilters on ivf_cell) and
+    // the ADC scan runs the native pq_adc kernel over the survivors
+    val plan = q82.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"),
+      s"probe filter must partition-prune the codes layout:\n$plan")
+    assert(plan.contains("pq_adc"),
+      s"ADC scoring must run the native kernel:\n$plan")
+  }
+
   test("knnJoin plan: broadcast queries, WindowGroupLimit, one exchange") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val plan = Ann.knnJoin(e.where(col("vec_id") % 100 =!= 3),

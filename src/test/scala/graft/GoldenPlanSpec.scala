@@ -100,6 +100,10 @@ class GoldenPlanSpec extends SparkTestBase {
   // r7: classifier scoring must stay a map-only projection (its only
   // exchange the output sort); BPE pair stats must keep the
   // partial-agg → single-exchange shape; subword counting map-only
+  // r8: the IVF-PQ layout query must keep BOTH prunings in one plan —
+  // PartitionFilters on ivf_cell (file-listing-time directory prune)
+  // and the native pq_adc ADC kernel over the surviving codes
+  snapshot("q82_ivfpq_layout", LlmQueries.q82IvfPqLayout(spark, sf0001))
   snapshot("q72_classifier_gate", LlmQueries.q72ClassifierGate(spark, sf0001))
   snapshot("q73_bpe_pairs", LlmQueries.q73BpePairs(spark, sf0001))
   snapshot("q75_subword_count", LlmQueries.q75SubwordCount(spark, sf0001))
