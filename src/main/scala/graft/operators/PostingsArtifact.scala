@@ -112,4 +112,59 @@ object PostingsArtifact {
     TextDedup.pairsFromBase(
       CacheRegistry.persist(shingleFrame(spark, artifactDir)),
       minJaccard, sinceId)
+
+  /** The VERIFIED-PAIR artifact on top of [[refresh]] — the
+    * [[LshArtifact.dailyDedupRun]] shape applied to blocked Jaccard:
+    * one call signs the day's new documents into the shingle artifact,
+    * verifies ONLY candidates touching them (the batch, scoped before
+    * the distinct shuffle), and appends the new (doc_a, doc_b,
+    * jaccard) rows to a persisted pair table. Steady-state consumers
+    * ([[graft.queries]] q20/q54) then just READ the pair table —
+    * zero candidate work, zero verification, zero text access; the
+    * prior-growth union equals a from-scratch run because the prefix
+    * filter was recall-exact at every earlier corpus size too
+    * (asserted in PostingsArtifactSpec's growth test).
+    *
+    * Exactly-once: the pair cycle keeps its own control source
+    * (`sourceId#pairs`) whose doc-id watermark defines the batch, and
+    * the append is guarded by an anti join on (doc_a, doc_b) — a crash
+    * between append and commit replays into appending nothing new, and
+    * the watermark still advances (the [[refresh]] ordering). Returns
+    * the number of pair rows appended. */
+  def refreshPairs(spark: SparkSession, controlDir: String,
+      artifactDir: String, pairsDir: String, sourceId: String,
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      minJaccard: Double, batchId: String, shingleN: Int = 3,
+      failBeforeCommit: Boolean = false): Long = {
+    refresh(spark, controlDir, artifactDir, s"$sourceId#shs", docs,
+      idCol, textCol, blockCol, batchId, shingleN)
+    val wm = EtlControl.lastWatermarkMicros(spark, controlDir,
+      s"$sourceId#pairs", -1L)
+    val stats = docs.agg(max(col(idCol).cast("long"))).head()
+    val newWm = if (stats.isNullAt(0)) wm else stats.getLong(0)
+    if (newWm <= wm) return 0L
+    val batch = pairs(spark, artifactDir, minJaccard, sinceId = wm)
+    val toWrite =
+      if (!exists(spark, pairsDir)) batch
+      else batch.join(
+        spark.read.parquet(pairsDir).select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
+    val staged = toWrite.persist()
+    try {
+      val written = staged.count()
+      // bootstrap writes even an EMPTY frame: the pair table must be
+      // readable (schema'd) after the first cycle — a corpus with no
+      // qualifying pairs is a legal state, not a missing artifact
+      if (written > 0 || !exists(spark, pairsDir))
+        staged.write.mode(SaveMode.Append).parquet(pairsDir)
+      if (!failBeforeCommit)
+        EtlControl.commitRun(spark, controlDir, s"$sourceId#pairs", batchId,
+          watermarkUs = newWm, recordsLoaded = written)
+      written
+    } finally { staged.unpersist(); () }
+  }
+
+  /** The persisted (doc_a, doc_b, jaccard) frame. */
+  def allPairs(spark: SparkSession, pairsDir: String): DataFrame =
+    spark.read.parquet(pairsDir)
 }

@@ -112,6 +112,47 @@ class PostingsArtifactSpec extends SparkTestBase {
         "doc_id", "text", "source", n = 3, minJaccard = 0.3)))
   }
 
+  test("refreshPairs: growth days + crash replay maintain a pair table equal to from-scratch") {
+    val root = tmp("pairs-root")
+    val (ctl, art, pr) = (root + "/ctl", root + "/art", root + "/pairs")
+    val d1 = docs.where(col("doc_id") < 250)
+
+    // day 1 bootstraps: signs everything, verifies everything (this
+    // half of the corpus may legitimately hold zero qualifying pairs —
+    // the equality is the contract, emptiness included; the planted
+    // near-dups land in day 2's batch, asserted nonempty below)
+    val n1 = PostingsArtifact.refreshPairs(spark, ctl, art, pr, "docs",
+      d1, "doc_id", "text", "source", minJaccard = 0.3, batchId = "day1")
+    val want1 = pairSet(TextDedup.blockedJaccardPairs(d1,
+      "doc_id", "text", "source", n = 3, minJaccard = 0.3))
+    assert(n1 == want1.size.toLong)
+    // the table is readable (schema'd) even when the bootstrap found
+    // zero qualifying pairs
+    assert(pairSet(PostingsArtifact.allPairs(spark, pr)) == want1)
+
+    // unchanged corpus: the whole cycle is a watermark-excluded no-op
+    assert(PostingsArtifact.refreshPairs(spark, ctl, art, pr, "docs",
+      d1, "doc_id", "text", "source", 0.3, batchId = "day1-redeliver") == 0L)
+
+    // day 2 CRASHES between pair append and commit — the worst order
+    PostingsArtifact.refreshPairs(spark, ctl, art, pr, "docs",
+      docs, "doc_id", "text", "source", 0.3, batchId = "day2",
+      failBeforeCommit = true)
+    // replay: the (doc_a, doc_b) anti-join guard appends nothing new,
+    // the watermark advances, and the table equals a from-scratch run
+    assert(PostingsArtifact.refreshPairs(spark, ctl, art, pr, "docs",
+      docs, "doc_id", "text", "source", 0.3, batchId = "day2-replay") == 0L)
+    val all = PostingsArtifact.allPairs(spark, pr)
+    assert(all.groupBy("doc_a", "doc_b").count()
+      .where(col("count") > 1).isEmpty, "no duplicate pair rows")
+    assert(pairSet(all) == pairSet(TextDedup.blockedJaccardPairs(docs,
+      "doc_id", "text", "source", n = 3, minJaccard = 0.3)))
+
+    // one more unchanged run: zero work end to end
+    assert(PostingsArtifact.refreshPairs(spark, ctl, art, pr, "docs",
+      docs, "doc_id", "text", "source", 0.3, batchId = "day3") == 0L)
+  }
+
   test("growth keeps prefix filtering recall-exact (re-ranked dfreq) and sinceId scopes the batch") {
     val control = tmp("post-control3")
     val artifact = tmp("post-artifact3") + "/shs"
