@@ -538,4 +538,216 @@ object Multimodal {
       }
     }
   }
+
+  // --------------------------------------------------------------------
+  // INTER-frame (delta-coded) video — the motion-compensated family.
+  // --------------------------------------------------------------------
+
+  case class InterFrame(id: Long, frameIdx: Int, width: Int, height: Int,
+      channelMeans: Array[Double], pixelSum: Long)
+
+  /** GDV1 container magic. */
+  private val GdvMagic = Array[Byte]('G', 'D', 'V', '1')
+
+  /** Real INTER-frame video encode — the motion-compensated codec
+    * family (H.264-class) in its essential structure, built from
+    * public primitives only: a GOP starts with an I-frame (a complete
+    * PNG through the real `javax.imageio` codec) and continues with
+    * P-frames that store ONLY the per-channel pixel DELTAS against the
+    * previous frame, Deflate-compressed (`java.util.zip` — the real
+    * DEFLATE, not a stand-in). Container grammar is self-describing:
+    * 4-byte magic, then per frame a 1-byte type ('I'/'P'), a 4-byte
+    * big-endian payload length, and the payload. Deltas are mod-256
+    * exact, so reconstruction is LOSSLESS — the same property that let
+    * q71's intra oracle be bit-exact carries over.
+    *
+    * Same synthetic frame content as [[encodeVideo]] (closed-form in
+    * (id, frame)), so the two containers hold identical videos and the
+    * inter path's reconstructed statistics are SQL-checkable. */
+  def encodeVideoInter(spark: SparkSession, rows: Dataset[Row], idCol: String,
+      gop: Int = 4, batchSize: Int = 64): Dataset[EncodedImage] = {
+    import spark.implicits._
+    require(gop >= 1, s"gop must be >= 1, got $gop")
+    rows.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          withPngWriter { w =>
+            batch.map { id =>
+              val bos = new ByteArrayOutputStream()
+              bos.write(GdvMagic)
+              val nFrames = (6 + id % 5).toInt
+              var prev: Array[Byte] = null
+              var f = 0
+              while (f < nFrames) {
+                val img = syntheticVideoFrame(id, f)
+                val cur = rgbBytes(img)
+                val (tpe, payload) =
+                  if (f % gop == 0) ('I'.toByte, writePng(w, img))
+                  else ('P'.toByte, deflate(deltaBytes(prev, cur)))
+                bos.write(tpe)
+                bos.write((payload.length >>> 24) & 0xff)
+                bos.write((payload.length >>> 16) & 0xff)
+                bos.write((payload.length >>> 8) & 0xff)
+                bos.write(payload.length & 0xff)
+                bos.write(payload)
+                prev = cur
+                f += 1
+              }
+              EncodedImage(id, bos.toByteArray)
+            }
+          }
+        }
+      }
+  }
+
+  /** Row-major RGB bytes of a decoded frame (3 bytes per pixel). */
+  private def rgbBytes(img: BufferedImage): Array[Byte] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte]((w * h * 3).toInt)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        out(i) = ((p >> 16) & 0xff).toByte
+        out(i + 1) = ((p >> 8) & 0xff).toByte
+        out(i + 2) = (p & 0xff).toByte
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def deltaBytes(prev: Array[Byte], cur: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](cur.length)
+    var i = 0
+    while (i < cur.length) {
+      out(i) = ((cur(i) - prev(i)) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    try {
+      d.setInput(bytes); d.finish()
+      val bos = new ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      bos.toByteArray
+    } finally d.end()
+  }
+
+  private def inflate(bytes: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(bytes)
+      val out = new Array[Byte](expected)
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(out, off, expected - off)
+        if (n == 0 && inf.needsInput()) return null // truncated
+        off += n
+      }
+      if (off == expected && inf.getRemaining == 0) out else null
+    } catch { case _: java.util.zip.DataFormatException => null }
+    finally inf.end()
+  }
+
+  /** INTER-frame sampling: emit every `stride`-th frame's statistics —
+    * but unlike [[frameSample]], skipping is impossible: a P-frame is
+    * meaningless without every frame since its GOP's I-frame, so the
+    * demux RECONSTRUCTS state sequentially (decode the I-frame through
+    * the real codec, inflate + mod-256-accumulate each delta) and only
+    * the EMIT is strided. This is exactly why motion-compensated
+    * streams resist cheap frame sampling — made concrete and testable
+    * instead of hand-waved ("decode cost is ~all frames, emit cost is
+    * the stride"). Work stays partition-local; payload bytes never
+    * shuffle; only per-frame statistics leave the task.
+    *
+    * Corruption quarantines the payload REMAINDER (frames
+    * reconstructed before the bad byte are kept — the q71 contract):
+    * bad magic → no frames; a torn header, a non-PNG I-frame, an
+    * inflate failure, or a wrong-length delta all stop the walk. */
+  def sampleFramesInter(spark: SparkSession, rows: Dataset[Row], idCol: String,
+      payloadCol: String, stride: Int = 2,
+      batchSize: Int = 64): Dataset[InterFrame] = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    rows.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          withDecoder { dec =>
+            batch.flatMap { case (id, bytes) =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[InterFrame]
+              var ok = bytes.length >= 4 &&
+                bytes(0) == 'G' && bytes(1) == 'D' &&
+                bytes(2) == 'V' && bytes(3) == '1'
+              var off = 4
+              var f = 0
+              var prev: Array[Byte] = null
+              var w = 0
+              var h = 0
+              while (ok && off < bytes.length) {
+                if (off + 5 > bytes.length) ok = false
+                else {
+                  val tpe = bytes(off)
+                  val len = ((bytes(off + 1) & 0xff) << 24) |
+                    ((bytes(off + 2) & 0xff) << 16) |
+                    ((bytes(off + 3) & 0xff) << 8) | (bytes(off + 4) & 0xff)
+                  val start = off + 5
+                  if (len < 0 || start + len > bytes.length) ok = false
+                  else {
+                    val payload = java.util.Arrays.copyOfRange(bytes, start, start + len)
+                    tpe match {
+                      case 'I' =>
+                        val img = dec.read(payload)
+                        if (img == null) ok = false
+                        else {
+                          w = img.getWidth; h = img.getHeight
+                          prev = rgbBytes(img)
+                        }
+                      case 'P' =>
+                        if (prev == null) ok = false
+                        else {
+                          val delta = inflate(payload, w * h * 3)
+                          if (delta == null) ok = false
+                          else {
+                            var i = 0
+                            while (i < prev.length) {
+                              prev(i) = ((prev(i) + delta(i)) & 0xff).toByte
+                              i += 1
+                            }
+                          }
+                        }
+                      case _ => ok = false
+                    }
+                    if (ok) {
+                      if (f % stride == 0) {
+                        val sums = new Array[Long](3)
+                        var i = 0
+                        while (i < prev.length) {
+                          sums(i % 3) += prev(i) & 0xff
+                          i += 1
+                        }
+                        out += InterFrame(id, f, w, h,
+                          sums.map(_.toDouble / (w.toLong * h)),
+                          sums.sum)
+                      }
+                      off = start + len
+                      f += 1
+                    }
+                  }
+                }
+              }
+              out
+            }
+          }
+        }
+      }
+  }
 }

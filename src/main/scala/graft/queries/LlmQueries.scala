@@ -690,6 +690,32 @@ object LlmQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** New-in-r8 — INTER-frame (delta-coded) video sampling
+    * ([[Multimodal.encodeVideoInter]]/[[Multimodal.sampleFramesInter]]):
+    * the motion-compensated codec family in its essential structure —
+    * GOPs of a real-PNG I-frame + Deflate-compressed mod-256 delta
+    * P-frames — where frame sampling CANNOT skip-decode: the demux
+    * reconstructs state sequentially through each GOP and only the
+    * emit is strided (the concrete reason H.264-class streams resist
+    * cheap sampling, previously a documented out-of-scope note).
+    * Reconstruction is lossless, and the container holds the SAME
+    * closed-form frames as q71's intra stream — so the oracle is
+    * q71's, and matching it proves the I-decode + delta-accumulate
+    * chain is bit-exact. */
+  def q83InterVideo(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val vid = Multimodal.encodeVideoInter(s, ids, "doc_id", gop = 4)
+    Multimodal.sampleFramesInter(s, vid.toDF(), "id", "payload", stride = 2)
+      .toDF()
+      .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
+        col("width"), col("height"), lit(3).as("n_channels"),
+        round(element_at(col("channelMeans"), 1), 6).as("r_mean"),
+        round(element_at(col("channelMeans"), 2), 6).as("g_mean"),
+        round(element_at(col("channelMeans"), 3), 6).as("b_mean"),
+        col("pixelSum").as("pixel_sum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** New-in-r7 — hashed n-gram classifier quality gate
     * ([[TextFunctions.classifierScoreMilli]]): every doc scored by a
     * linear model over hashed word uni+bigrams (the fastText / GPT-3
@@ -948,6 +974,7 @@ object LlmQueries {
     "q80_ivf_layout_ann" -> (q80IvfLayoutAnn _),
     "q81_trained_gate" -> (q81TrainedGate _),
     "q82_ivfpq_layout" -> (q82IvfPqLayout _),
+    "q83_inter_video" -> (q83InterVideo _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),
@@ -1326,6 +1353,25 @@ object LlmQueries {
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q71_video_frames" ->
+      """WITH p AS (SELECT doc_id, 6 + doc_id % 5 AS nf,
+        |    CAST(8 + doc_id % 5 AS INTEGER) AS w,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, unnest(range(nf)) AS fi FROM p),
+        |s AS (SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, w, h,
+        |    (doc_id * 7 + fi * 11) % 256 AS r FROM f WHERE fi % 2 = 0)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, frame_idx,
+        |  w AS width, h AS height, CAST(3 AS INTEGER) AS n_channels,
+        |  round(CAST(r AS DOUBLE), 6) AS r_mean,
+        |  round((w - 1) / 2.0, 6) AS g_mean,
+        |  round((h - 1) / 2.0, 6) AS b_mean,
+        |  CAST(w * h * r + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2) AS BIGINT) AS pixel_sum
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q83 reconstructs the SAME closed-form frames through the
+    // inter-frame (I + delta-P) path, so its expected output is q71's
+    // — matching both proves the two codec paths agree bit-for-bit
+    "q83_inter_video" ->
       """WITH p AS (SELECT doc_id, 6 + doc_id % 5 AS nf,
         |    CAST(8 + doc_id % 5 AS INTEGER) AS w,
         |    CAST(4 + doc_id % 3 AS INTEGER) AS h

@@ -178,4 +178,56 @@ class MultimodalSpec extends SparkTestBase {
       "id", "payload", stride = 1).collect()
     assert(garbage.isEmpty)
   }
+
+  test("inter-frame codec: reconstruction agrees with the intra path; deltas compress; corruption quarantines the remainder") {
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 40L).toDF("doc_id")
+
+    // cross-codec agreement: the delta path's reconstructed stats must
+    // equal decoding the SAME frames from the intra (all-PNG) stream
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getSeq[Double](4).toList, r.getLong(5))
+    val inter = Multimodal.sampleFramesInter(spark,
+        Multimodal.encodeVideoInter(spark, ids, "doc_id", gop = 3).toDF(),
+        "id", "payload", stride = 1)
+      .toDF().select("id", "frameIdx", "width", "height", "channelMeans", "pixelSum")
+      .collect().map(key).toSet
+    val intra = Multimodal.decodeFrames(spark,
+        Multimodal.frameSample(spark,
+          Multimodal.encodeVideo(spark, ids, "doc_id").toDF(),
+          "id", "payload", stride = 1))
+      .toDF().select("id", "frameIdx", "width", "height", "channelMeans", "pixelSum")
+      .collect().map(key).toSet
+    assert(inter == intra && inter.nonEmpty,
+      "inter reconstruction must equal intra decode frame-for-frame")
+
+    // the delta stream earns its complexity: P-frames (deflated
+    // deltas) make the inter container smaller than all-I intra
+    val interSize = Multimodal.encodeVideoInter(spark, ids, "doc_id", gop = 4)
+      .collect().map(_.payload.length.toLong).sum
+    val intraSize = Multimodal.encodeVideo(spark, ids, "doc_id")
+      .collect().map(_.payload.length.toLong).sum
+    assert(interSize < intraSize,
+      s"delta coding must compress: inter $interSize vs intra $intraSize")
+
+    // corruption mid-stream: frames reconstructed BEFORE the bad byte
+    // are kept, everything after quarantines (and a P-frame cannot
+    // decode without its GOP's I-frame — garbage magic yields nothing)
+    val vid = Multimodal.encodeVideoInter(spark, Seq(3L).toDF("doc_id"),
+      "doc_id", gop = 4).collect().head
+    val cut = vid.payload.length / 2
+    val torn = java.util.Arrays.copyOfRange(vid.payload, 0, cut)
+    val before = Multimodal.sampleFramesInter(spark,
+      Seq((3L, torn)).toDF("id", "payload"), "id", "payload", stride = 1)
+      .collect()
+    assert(before.nonEmpty && before.length <
+      Multimodal.sampleFramesInter(spark,
+        Seq((3L, vid.payload)).toDF("id", "payload"), "id", "payload",
+        stride = 1).collect().length)
+    val noMagic = Multimodal.sampleFramesInter(spark,
+      Seq((9L, Array.fill[Byte](64)(7))).toDF("id", "payload"),
+      "id", "payload", stride = 1).collect()
+    assert(noMagic.isEmpty)
+  }
 }

@@ -153,6 +153,27 @@ class PostingsArtifactSpec extends SparkTestBase {
       docs, "doc_id", "text", "source", 0.3, batchId = "day3") == 0L)
   }
 
+  test("artifact pair pipeline plan: no cartesian, no text column, bucket join present") {
+    // q20's golden plan used to pin this shape; now that the query
+    // reads the persisted pair table, the candidate+verify pipeline
+    // executes inside refreshPairs — pin its shape here instead
+    val control = tmp("post-plan-ctl")
+    val artifact = tmp("post-plan-art") + "/shs"
+    PostingsArtifact.refresh(spark, control, artifact, "docs", docs,
+      "doc_id", "text", "source", batchId = "b1")
+    val plan = PostingsArtifact.pairs(spark, artifact, minJaccard = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair expansion must stay bucketed:\n$plan")
+    // candidate-only: the pipeline reads the integer artifact, never
+    // the corpus text (ReadSchema on the artifact columns only)
+    assert(!plan.contains("text#"),
+      s"artifact pipeline must not touch the text column:\n$plan")
+    assert(plan.contains("array_intersect"),
+      s"exact verify must be present:\n$plan")
+  }
+
   test("growth keeps prefix filtering recall-exact (re-ranked dfreq) and sinceId scopes the batch") {
     val control = tmp("post-control3")
     val artifact = tmp("post-artifact3") + "/shs"
