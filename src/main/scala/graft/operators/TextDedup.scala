@@ -147,7 +147,12 @@ object TextDedup {
     * needs every chunk for n_chunks_total). */
   def chunkDedupAgainst(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, prior: DataFrame): DataFrame = {
-    val exploded = chunkExplode(docs, idCol, textCol, chunkTokens)
+    // the chunk frame is referenced twice (survivor groupBy + the
+    // join-back) — materialize it once so tokenization + chunk
+    // assembly don't run per reference ([[blockedJaccardPairs]]'s
+    // shared-base discipline; registered, so Bench/Verify release it)
+    val exploded = CacheRegistry.persist(
+      chunkExplode(docs, idCol, textCol, chunkTokens))
     val firsts = exploded.groupBy("__h")
       .agg(min(struct(col("__id"), col("pos"))).as("__first"))
     val withSeen =

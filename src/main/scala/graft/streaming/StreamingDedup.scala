@@ -228,6 +228,7 @@ object StreamingDedup {
           if (!nonEmptyDir(outDir)) batchD
           else batchD.join(spark.read.parquet(outDir).select(col(idCol)),
             Seq(idCol), "left_anti")
+        try {
         if (!guarded.isEmpty) {
           // prior = the store MINUS rows introduced by docs this batch
           // is (re)processing — restores the pre-crash prior when a
@@ -252,6 +253,12 @@ object StreamingDedup {
         if (!newHashes.isEmpty)
           newHashes.write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(storeDir)
+        } finally {
+          // chunkDedupAgainst registers its chunk frame with the
+          // CacheRegistry; a long-lived stream must drop it per batch
+          // or the registry grows one entry per micro-batch forever
+          graft.operators.CacheRegistry.releaseAll()
+        }
         ()
     }
 
