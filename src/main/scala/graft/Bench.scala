@@ -56,15 +56,18 @@ object Bench {
     probeSec() // JIT/codegen warm
     val probeFirst = probeSec()
 
-    var errors = Map.empty[String, String]
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val sorted = queries.toSeq.sortBy(_._1)
 
-    case class Attempt(results: Seq[(String, Double)], probeFirst: Double,
+    case class Attempt(results: Seq[(String, Double)],
+        errors: Map[String, String], probeFirst: Double,
         probeMid: Double, probeLast: Double) {
       def drift: Double = if (probeFirst > 0) probeLast / probeFirst else 1.0
     }
     def runAttempt(): Attempt = {
+      // per-attempt error map: a transient failure in a discarded
+      // attempt must not count against the reported clean one
+      var errors = Map.empty[String, String]
       val pf = probeSec()
       // a third probe at the loop's midpoint brackets WHERE in the run
       // a contended window began, not just that one occurred
@@ -92,7 +95,7 @@ object Bench {
         }
         name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
       }
-      Attempt(rs, pf, pm, probeSec())
+      Attempt(rs, errors, pf, pm, probeSec())
     }
 
     // Clean-window discipline (VERDICT r7 item 8): a drift far from
@@ -109,12 +112,12 @@ object Bench {
     val best = attempts.minBy(_.drift)
     val qs = best.results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.toSeq.sortBy(_._1)
+    val errJson = best.errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = best.results.collect { case (_, v) if v >= 0 => v }.sum
     val allDrifts = attempts.reverse.map(_.drift).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_err":${errors.size},"probe_first_sec":${best.probeFirst},"probe_mid_sec":${best.probeMid},"probe_last_sec":${best.probeLast},"probe_drift":${best.drift},"attempts":${attempts.length},"attempt_drifts":$allDrifts,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_err":${best.errors.size},"probe_first_sec":${best.probeFirst},"probe_mid_sec":${best.probeMid},"probe_last_sec":${best.probeLast},"probe_drift":${best.drift},"attempts":${attempts.length},"attempt_drifts":$allDrifts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

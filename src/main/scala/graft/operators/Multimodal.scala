@@ -700,7 +700,10 @@ object Multimodal {
                     ((bytes(off + 2) & 0xff) << 16) |
                     ((bytes(off + 3) & 0xff) << 8) | (bytes(off + 4) & 0xff)
                   val start = off + 5
-                  if (len < 0 || start + len > bytes.length) ok = false
+                  // long arithmetic: a hostile 4-byte length near
+                  // Int.MaxValue would overflow `start + len` negative
+                  // and slip past an int bounds check
+                  if (len < 0 || start.toLong + len > bytes.length) ok = false
                   else {
                     val payload = java.util.Arrays.copyOfRange(bytes, start, start + len)
                     tpe match {
