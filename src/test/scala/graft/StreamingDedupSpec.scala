@@ -229,6 +229,49 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("TRAINED-weight gate on a stream: broadcast weight scoring per micro-batch equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ImportanceModel
+    // the production shape: weights are a pretrained artifact (trained
+    // once, batch-side — the q81 discipline); the STREAM scores each
+    // micro-batch through the broadcast weight join inside foreachBatch
+    // (scoring has a per-doc aggregate, so it composes there rather
+    // than as a bare stream expression)
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text", "lang")
+    val weights = ImportanceModel.train(corpus, "text", col("lang") === "en")
+      .persist()
+    weights.count()
+    val docs = corpus.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).take(100)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          ImportanceModel.score(batch.toDF(), "doc_id", "text", weights)
+            .select("doc_id", "score_milli")
+            .collect().foreach(r => out.add((r.getLong(0), r.getLong(1))))
+          ()
+      }.start()
+    try {
+      input.addData(docs.take(50).toSeq: _*)
+      query.processAllAvailable()
+      input.addData(docs.drop(50).toSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = out.toArray(Array.empty[(Long, Long)]).sorted.toSeq
+    val batchSide = ImportanceModel.score(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", weights)
+      .select("doc_id", "score_milli")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batchSide && streamed.nonEmpty,
+      "per-batch trained-weight scoring must equal the batch gate")
+    weights.unpersist()
+  }
+
   test("continuousDedup: duplicate ids WITHIN one micro-batch append once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
