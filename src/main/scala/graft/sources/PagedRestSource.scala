@@ -100,6 +100,12 @@ object PagedRestSource {
       done = page.next.isEmpty
     }
     flush()
+    // an extraction whose every page was empty still lands a readable
+    // (schema'd) zero-row table — "nothing new today" is a legal
+    // result, not a missing artifact (the refreshPairs precedent)
+    if (firstFlush)
+      Seq.empty[(Long, String)].toDF("page_idx", "payload")
+        .write.mode(SaveMode.Overwrite).parquet(landingDir)
     (pageIdx, rows)
   }
 

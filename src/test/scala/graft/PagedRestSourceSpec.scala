@@ -67,6 +67,17 @@ class PagedRestSourceSpec extends SparkTestBase {
     }
   }
 
+  test("all-empty-pages extraction lands a readable zero-row table") {
+    val landing = Files.createTempDirectory("paged-landing4").toString + "/raw"
+    val empty: Option[String] => Page = { cursor =>
+      val p = cursor.map(_.toInt).getOrElse(0)
+      Page(Seq.empty, if (p < 2) Some((p + 1).toString) else None)
+    }
+    val (pages, rows) = PagedRestSource.fetchToLanding(spark, empty, landing)
+    assert(pages == 3L && rows == 0L)
+    assert(PagedRestSource.readLanding(spark, landing).count() == 0L)
+  }
+
   test("re-extraction overwrites the landing zone (per-batch scratch)") {
     val landing = Files.createTempDirectory("paged-landing3").toString + "/raw"
     PagedRestSource.fetchToLanding(spark, pager(), landing)
