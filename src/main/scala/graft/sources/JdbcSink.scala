@@ -90,7 +90,15 @@ object JdbcSink {
     * their non-key columns updated, unmatched rows insert. Creates the
     * target from the staging shape on first load. `failAfterStage`
     * stops between the stage write and the MERGE — the crash window a
-    * retry must absorb. */
+    * retry must absorb.
+    *
+    * The batch must be key-UNIQUE: ANSI MERGE raises when several
+    * source rows match one target row (MSSQL and Derby both), so
+    * dedup the batch first — [[graft.operators.Dedup.keepLast]], the
+    * reference's own per-batch drop_duplicates discipline
+    * (shopee_orders_loader.py:283-340). A duplicate-keyed batch fails
+    * LOUDLY inside the database, never silently picks a winner
+    * (asserted in JdbcSinkSpec). */
   def upsertViaStaging(df: DataFrame, url: String, table: String,
       keys: Seq[String], connProps: Map[String, String] = Map.empty,
       failAfterStage: Boolean = false): Unit = {

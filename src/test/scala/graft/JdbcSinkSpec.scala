@@ -74,6 +74,24 @@ class JdbcSinkSpec extends SparkTestBase {
         (4L, "D", 40.0), (5L, "e", 5.0)))
   }
 
+  test("duplicate-keyed batch fails loudly in the database, never picks a winner silently") {
+    val u = url()
+    JdbcSink.upsertViaStaging(base, u, "TGT", Seq("k"))
+    val before = snapshot(u, "TGT")
+    // two source rows for key 2: ANSI MERGE must raise (the contract:
+    // dedup the batch with Dedup.keepLast first, as the reference does)
+    val dup = Seq((2L, "B1", 20.0), (2L, "B2", 21.0)).toDF("k", "s", "v")
+    intercept[java.sql.SQLException] {
+      JdbcSink.upsertViaStaging(dup, u, "TGT", Seq("k"))
+    }
+    assert(snapshot(u, "TGT") == before, "failed merge must not mutate the target")
+    // the documented remedy makes the same batch loadable
+    JdbcSink.upsertViaStaging(
+      Incremental.upsert(dup.limit(0), dup, Seq("k"), Seq(col("s"))),
+      u, "TGT", Seq("k"))
+    assert(snapshot(u, "TGT").contains((2L, "B2", 21.0)))
+  }
+
   test("composite business key merges on both columns") {
     val u = url()
     val b0 = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k", "s", "v")
