@@ -178,6 +178,65 @@ object TextDedup {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** ANY-ALIGNMENT exact-substring dedup (Lee et al. 2022's actual
+    * semantic, which [[chunkDedup]] deliberately approximates with
+    * fixed boundaries): every `spanTokens`-token SLIDING window
+    * (stride 1) is hashed; a window occurrence that is not the
+    * globally-first occurrence of its hash (min (id, pos)) marks its
+    * token range as duplicated, and each document is rebuilt from the
+    * tokens OUTSIDE the union of its duplicated ranges. Fixed-boundary
+    * chunking misses a repeated passage whenever its alignment shifts
+    * between documents (a banner inserted after k leading tokens lands
+    * in different chunks for different k); sliding windows catch every
+    * alignment, including intra-document self-repetition.
+    *
+    * Scale shape: the window frame is n_tokens rows per doc (stride 1
+    * is the linear cost this operator deliberately pays for exactness
+    * — span-granular recall with no alignment assumption); survivor
+    * selection is the [[chunkDedup]] groupBy-min + join-back (map-side
+    * combinable, AQE-skew-splittable, no hot-window partition);
+    * duplicated positions collapse to ONE doc-sized array row each
+    * (bounded by the doc's own token count — the same bound as the
+    * text column itself), and the rebuild is a row-local HOF filter.
+    * Returns (id, text, n_tokens_kept, n_tokens_total). Like
+    * [[chunkDedup]], run once per corpus snapshot (coverage is defined
+    * against the input's occurrence order). Documents shorter than
+    * `spanTokens` carry no windows and pass through whole. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 50): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val toks = TextFunctions.tokens(col(textCol))
+    val nw = size(toks) - spanTokens + 1
+    // sequence(0, nw-1) would COUNT DOWN for nw <= 0 — guard to empty
+    val winIdx = when(nw > 0, sequence(lit(0), nw - 1))
+      .otherwise(array().cast("array<int>"))
+    val windows = docs
+      .select(col(idCol).as("__id"),
+        posexplode(transform(winIdx,
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(spanTokens))))))
+          .as(Seq("pos", "__h")))
+    val firsts = windows.groupBy("__h")
+      .agg(min(struct(col("__id"), col("pos"))).as("__first"))
+    val dupPos = windows.join(firsts, "__h")
+      .where(struct(col("__id"), col("pos")) =!= col("__first"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("pos"))).as("__dups"))
+    docs
+      .join(dupPos, docs(idCol) === dupPos("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__dups"), array().cast("array<int>")).as("__dups"),
+        toks.as("__toks"))
+      .select(col(idCol),
+        array_join(filter(col("__toks"), (t, i) =>
+          !exists(col("__dups"),
+            p => p <= i && i < p + spanTokens)), " ").as(textCol),
+        size(filter(col("__toks"), (t, i) =>
+          !exists(col("__dups"),
+            p => p <= i && i < p + spanTokens))).cast("long")
+          .as("n_tokens_kept"),
+        size(col("__toks")).cast("long").as("n_tokens_total"))
+  }
+
   /** Prefix-filtered postings: (doc, block, sz, sh), keeping per doc
     * only its |S| − ⌈t·|S|⌉ + 1 rarest shingles under the global
     * (block-local) order (document frequency asc, hash asc).

@@ -946,6 +946,33 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** New-in-r8 — ANY-ALIGNMENT exact-substring dedup
+    * ([[TextDedup.substringDedup]], Lee et al. 2022's actual
+    * semantic): the banner is injected at a VARYING token offset
+    * (doc_id % 4) into every 3rd doc, so its copies land at different
+    * chunk alignments — the case fixed-boundary chunking (q67)
+    * structurally misses. Sliding 10-token windows catch every
+    * alignment: the first-occurrence doc keeps its banner, every other
+    * affected doc is rebuilt without exactly the banner's token range
+    * (windows crossing into surrounding doc text stay unique, so
+    * nothing over-removes). The oracle replays windows as STRINGS
+    * (hashing is only an equality carrier — the shingleHashes64
+    * collision argument), first-occurrence selection, duplicated-range
+    * union, and the per-token coverage rebuild bit-for-bit. */
+  def q84SubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val banner = split(lit(Boilerplate), " ")
+    val k = (col("doc_id") % 4).cast("int")
+    val injected = concat_ws(" ", flatten(array(
+      slice(toks, lit(1), k), banner,
+      slice(toks, k + 1, greatest(size(toks) - k, lit(0))))))
+    val crawl = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 1, injected)
+        .otherwise(col("text")).as("text"))
+    TextDedup.substringDedup(crawl, "doc_id", "text", spanTokens = 10)
+      .orderBy("doc_id")
+  }
+
   /** New-in-r7 — temperature-scaled language-mixture sampling
     * ([[Sampling.temperatureMix]]): the corpus is ~40% English; α = 0.5
     * damps the head so the 200-doc mix draws ~√-proportionally from
@@ -975,6 +1002,7 @@ object LlmQueries {
     "q81_trained_gate" -> (q81TrainedGate _),
     "q82_ivfpq_layout" -> (q82IvfPqLayout _),
     "q83_inter_video" -> (q83InterVideo _),
+    "q84_substring_dedup" -> (q84SubstringDedup _),
     "q66_lsh_artifact" -> (q66LshArtifactPairs _),
     "q64_image_decode" -> (q64ImageDecode _),
     "q62_ivf_knn_join" -> (q62IvfKnnJoin _),
@@ -1320,6 +1348,40 @@ object LlmQueries {
          |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_chunks_kept,
          |  CAST(count(*) AS BIGINT) AS n_chunks_total
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // windows replayed as STRINGS — hashing is only an equality
+    // carrier on the Spark side (the shingleHashes64 collision
+    // argument); rn = 1 ⇔ min (id, pos) first occurrence
+    "q84_substring_dedup" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS w0 FROM documents),
+         |crawl AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 1 THEN array_to_string(
+         |      w0[1:CAST(doc_id % 4 AS INTEGER)]
+         |        || string_split('$Boilerplate', ' ')
+         |        || w0[CAST(doc_id % 4 AS INTEGER) + 1:], ' ')
+         |    ELSE array_to_string(w0, ' ') END AS text
+         |  FROM base),
+         |w AS (SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+         |  FROM crawl),
+         |win AS (SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(w[i:i + 9], ' ') AS win
+         |  FROM w, unnest(generate_series(1, len(w) - 9)) AS t(i)
+         |  WHERE len(w) >= 10),
+         |r AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM win),
+         |dups AS (SELECT doc_id, list(pos ORDER BY pos) AS dups
+         |  FROM r WHERE rn > 1 GROUP BY doc_id),
+         |kept AS (SELECT w.doc_id,
+         |    [w.w[i] FOR i IN generate_series(1, len(w.w))
+         |      IF len([p FOR p IN coalesce(d.dups, []) IF p <= i - 1 AND i - 1 < p + 10]) = 0] AS ks,
+         |    len(w.w) AS total
+         |  FROM w LEFT JOIN dups d ON w.doc_id = d.doc_id)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  coalesce(array_to_string(ks, ' '), '') AS text,
+         |  CAST(len(ks) AS BIGINT) AS n_tokens_kept,
+         |  CAST(total AS BIGINT) AS n_tokens_total
+         |FROM kept ORDER BY doc_id""".stripMargin,
 
     "q68_temp_mix" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),

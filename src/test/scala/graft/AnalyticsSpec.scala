@@ -331,6 +331,42 @@ class AnalyticsSpec extends SparkTestBase {
     assert(keptTotal === 4L)
   }
 
+  test("substringDedup removes the shifted banner chunkDedup structurally misses") {
+    val banner = "b01 b02 b03 b04 b05 b06 b07 b08 b09 b10"
+    // the SAME 10-token banner at alignments 0, 3, 7 — fixed 10-token
+    // chunk boundaries slice it differently in every doc, so chunk
+    // dedup sees three distinct chunk sets and removes NOTHING shared
+    val docs = Seq(
+      (1L, s"$banner a11 a12 a13 a14 a15 a16 a17"),
+      (2L, s"c01 c02 c03 $banner c14 c15 c16 c17"),
+      (3L, s"d01 d02 d03 d04 d05 d06 d07 $banner")
+    ).toDF("doc_id", "text")
+    val chunked = TextDedup.chunkDedup(docs, "doc_id", "text", 10)
+      .agg(sum("n_chunks_kept"), sum("n_chunks_total")).head()
+    assert(chunked.getLong(0) == chunked.getLong(1),
+      "fixed boundaries must miss every shifted copy (nothing removed)")
+    val out = TextDedup.substringDedup(docs, "doc_id", "text", spanTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // first occurrence keeps the banner; shifted copies lose EXACTLY
+    // its 10 tokens — surrounding text intact, any alignment
+    assert(out(1L) === ((s"$banner a11 a12 a13 a14 a15 a16 a17", 17L, 17L)))
+    assert(out(2L) === (("c01 c02 c03 c14 c15 c16 c17", 7L, 17L)))
+    assert(out(3L) === (("d01 d02 d03 d04 d05 d06 d07", 7L, 17L)))
+    // intra-document self-repetition: the second copy inside ONE doc
+    // is covered too (windows spanning both copies are unique, so
+    // exactly the second copy's run goes)
+    val selfRep = Seq((9L, s"$banner x01 $banner")).toDF("doc_id", "text")
+    val sr = TextDedup.substringDedup(selfRep, "doc_id", "text", 10)
+      .head()
+    assert(sr.getString(1) == s"$banner x01" && sr.getLong(2) == 11L)
+    // short docs (< span) carry no windows and pass through whole
+    val short = TextDedup.substringDedup(
+      Seq((5L, "s01 s02 s03")).toDF("doc_id", "text"), "doc_id", "text", 10)
+      .head()
+    assert(short.getString(1) == "s01 s02 s03" && short.getLong(3) == 3L)
+  }
+
   test("temperatureMix: per-stratum targets follow n^alpha, capped, deterministic") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val mixed = Sampling.temperatureMix(docs, "lang", "doc_id",
