@@ -203,18 +203,34 @@ object TextDedup {
     * against the input's occurrence order). Documents shorter than
     * `spanTokens` carry no windows and pass through whole. */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int = 50): DataFrame = {
+      spanTokens: Int = 50): DataFrame =
+    substringDedupImpl(docs, idCol, textCol, spanTokens,
+      native = graft.plans.GraftExtensions.nativeAvailable)
+
+  /** Impl with the window-hash path explicit: native = the codegen'd
+    * one-pass `window_hashes` kernel over token hashes; fallback = a
+    * per-window string build (one allocation + O(span) copying per
+    * window). Hash VALUES differ across paths; the dedup RESULT is
+    * identical (equality classes — the shingleHashes64 argument),
+    * asserted in GraftExtensionsSpec. */
+  private[graft] def substringDedupImpl(docs: DataFrame, idCol: String,
+      textCol: String, spanTokens: Int, native: Boolean): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     val toks = TextFunctions.tokens(col(textCol))
     val nw = size(toks) - spanTokens + 1
     // sequence(0, nw-1) would COUNT DOWN for nw <= 0 — guard to empty
     val winIdx = when(nw > 0, sequence(lit(0), nw - 1))
       .otherwise(array().cast("array<int>"))
+    val winHashes =
+      if (native)
+        call_function("window_hashes",
+          transform(toks, t => xxhash64(t)), lit(spanTokens))
+      else
+        transform(winIdx,
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(spanTokens)))))
     val windows = docs
       .select(col(idCol).as("__id"),
-        posexplode(transform(winIdx,
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(spanTokens))))))
-          .as(Seq("pos", "__h")))
+        posexplode(winHashes).as(Seq("pos", "__h")))
     val firsts = windows.groupBy("__h")
       .agg(min(struct(col("__id"), col("pos"))).as("__first"))
     val dupPos = windows.join(firsts, "__h")

@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (args: Seq[Expression]) => ShingleHashes(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("window_hashes"),
+      new ExpressionInfo(classOf[WindowHashes].getName, "window_hashes"),
+      (args: Seq[Expression]) => WindowHashes(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (args: Seq[Expression]) => PqEncode(args(0), args(1),

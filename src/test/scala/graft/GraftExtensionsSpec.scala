@@ -147,4 +147,27 @@ class GraftExtensionsSpec extends SparkTestBase {
     val n = MinHashLSH.nearDupPairs(docs, "doc_id", "text", 0.5).count()
     assert(n >= 25, s"expected ≥25 near-dup pairs, got $n")
   }
+
+  test("native window_hashes ≡ per-window string fallback: identical substringDedup result") {
+    import org.apache.spark.sql.functions.col
+    // hash VALUES differ across paths (mix kernel vs string xxhash64);
+    // the OPERATOR result — which only consumes equality classes —
+    // must be identical row for row
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    def run(native: Boolean) =
+      graft.operators.TextDedup
+        .substringDedupImpl(docs, "doc_id", "text", 10, native)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val nat = run(native = true)
+    val hof = run(native = false)
+    assert(nat == hof && nat.nonEmpty)
+    // and the empty-for-short-docs contract holds natively: a doc
+    // below the span yields no windows at all
+    val w = spark.sql(
+      "SELECT window_hashes(array(1L, 2L, 3L), 10) AS w").head().getSeq[Long](0)
+    assert(w.isEmpty)
+  }
 }
