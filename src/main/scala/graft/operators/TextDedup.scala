@@ -207,13 +207,21 @@ object TextDedup {
     substringDedupImpl(docs, idCol, textCol, spanTokens,
       native = graft.plans.GraftExtensions.nativeAvailable)
 
-  /** Impl with the window-hash path explicit: native = the codegen'd
-    * one-pass `window_hashes` kernel over token hashes; fallback = a
-    * per-window string build (one allocation + O(span) copying per
-    * window). Hash VALUES differ across paths; the dedup RESULT is
-    * identical (equality classes — the shingleHashes64 argument),
-    * asserted in GraftExtensionsSpec. */
-  private[graft] def substringDedupImpl(docs: DataFrame, idCol: String,
+  /** [[substringDedup]] against a PRIOR window-hash store (column
+    * `window_hash`) — the incremental/streaming form. NOTE: window
+    * hashes are path-dependent (native kernel vs string fallback), so
+    * a persisted store must be written and read under the SAME session
+    * flavor — mixing silently fails to match (unlike the chunk store,
+    * whose hashes are path-independent xxhash64 strings). */
+  def substringDedupAgainst(docs: DataFrame, idCol: String,
+      textCol: String, spanTokens: Int, prior: DataFrame): DataFrame =
+    substringDedupImpl(docs, idCol, textCol, spanTokens,
+      native = graft.plans.GraftExtensions.nativeAvailable, prior = prior)
+
+  /** The positional (id, pos, window-hash) frame [[substringDedup]]
+    * dedups over — shared with the streaming fold's store
+    * contribution. */
+  private[graft] def windowExplode(docs: DataFrame, idCol: String,
       textCol: String, spanTokens: Int, native: Boolean): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     val toks = TextFunctions.tokens(col(textCol))
@@ -228,15 +236,50 @@ object TextDedup {
       else
         transform(winIdx,
           i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(spanTokens)))))
-    val windows = docs
-      .select(col(idCol).as("__id"),
-        posexplode(winHashes).as(Seq("pos", "__h")))
+    docs.select(col(idCol).as("__id"),
+      posexplode(winHashes).as(Seq("pos", "__h")))
+  }
+
+  /** Distinct (window_hash, doc_id) of `docs` — the batch contribution
+    * to a persisted window-hash store (the [[chunkHashes]] twin for
+    * the sliding-window family). */
+  def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 50): DataFrame =
+    windowExplode(docs, idCol, textCol, spanTokens,
+      native = graft.plans.GraftExtensions.nativeAvailable)
+      .groupBy(col("__h").as("window_hash"))
+      .agg(min(col("__id")).as("doc_id"))
+
+  /** Impl with the window-hash path explicit: native = the codegen'd
+    * one-pass `window_hashes` kernel over token hashes; fallback = a
+    * per-window string build (one allocation + O(span) copying per
+    * window). Hash VALUES differ across paths; the dedup RESULT is
+    * identical (equality classes — the shingleHashes64 argument),
+    * asserted in GraftExtensionsSpec. `prior` (column `window_hash`,
+    * optional) marks a window duplicated even when it is the batch's
+    * first occurrence — the incremental form ([[chunkDedupAgainst]]'s
+    * contract applied to sliding windows). */
+  private[graft] def substringDedupImpl(docs: DataFrame, idCol: String,
+      textCol: String, spanTokens: Int, native: Boolean,
+      prior: DataFrame = null): DataFrame = {
+    val windows = windowExplode(docs, idCol, textCol, spanTokens, native)
     val firsts = windows.groupBy("__h")
       .agg(min(struct(col("__id"), col("pos"))).as("__first"))
-    val dupPos = windows.join(firsts, "__h")
-      .where(struct(col("__id"), col("pos")) =!= col("__first"))
+    val withSeen =
+      if (prior == null)
+        windows.join(firsts, "__h").withColumn("__seen", lit(false))
+      else
+        windows.join(firsts, "__h")
+          .join(prior.select(col("window_hash").as("__h")).distinct()
+            .withColumn("__s", lit(true)), Seq("__h"), "left")
+          .withColumn("__seen", coalesce(col("__s"), lit(false)))
+          .drop("__s")
+    val dupPos = withSeen
+      .where(col("__seen") ||
+        struct(col("__id"), col("pos")) =!= col("__first"))
       .groupBy("__id")
       .agg(sort_array(collect_list(col("pos"))).as("__dups"))
+    val toks = TextFunctions.tokens(col(textCol))
     docs
       .join(dupPos, docs(idCol) === dupPos("__id"), "left")
       .select(col(idCol),

@@ -262,5 +262,59 @@ object StreamingDedup {
         ()
     }
 
+  /** CONTINUOUS any-alignment substring dedup — the sliding-window
+    * twin of [[continuousChunkDedup]], same store/output dual-write
+    * discipline (doc-id-guarded output append; hash-guarded,
+    * doc-tagged store append; tears heal on redelivery in both
+    * orders). Equals [[graft.operators.TextDedup.substringDedup]]
+    * over the whole corpus under doc-id-ordered arrival. The
+    * window-hash store is session-flavor-bound (native kernel vs
+    * string fallback — see `substringDedupAgainst`); keep the stream
+    * on one flavor. */
+  def continuousSubstringDedup(docs: org.apache.spark.sql.DataFrame,
+      outDir: String, storeDir: String, idCol: String, textCol: String,
+      spanTokens: Int = 50):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.col
+        import graft.operators.TextDedup
+        def nonEmptyDir(dir: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.exists(p) && fs.listStatus(p).nonEmpty
+        }
+        val batchD = batch.dropDuplicates(Seq(idCol))
+        val guarded =
+          if (!nonEmptyDir(outDir)) batchD
+          else batchD.join(spark.read.parquet(outDir).select(col(idCol)),
+            Seq(idCol), "left_anti")
+        try {
+          if (!guarded.isEmpty) {
+            val prior =
+              if (!nonEmptyDir(storeDir)) null
+              else spark.read.parquet(storeDir)
+                .join(guarded.select(col(idCol).as("doc_id")),
+                  Seq("doc_id"), "left_anti")
+            TextDedup.substringDedupAgainst(guarded, idCol, textCol,
+                spanTokens, prior)
+              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+          }
+          val hashes = TextDedup.windowHashes(batchD, idCol, textCol, spanTokens)
+          val newHashes =
+            if (!nonEmptyDir(storeDir)) hashes
+            else hashes.join(
+              spark.read.parquet(storeDir).select(col("window_hash")),
+              Seq("window_hash"), "left_anti")
+          if (!newHashes.isEmpty)
+            newHashes.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(storeDir)
+        } finally {
+          graft.operators.CacheRegistry.releaseAll()
+        }
+        ()
+    }
+
   val outputMode: OutputMode = OutputMode.Update()
 }

@@ -375,6 +375,62 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(assignment == want, "redelivery must not change the assignment")
   }
 
+  test("continuousSubstringDedup: id-ordered batches equal whole-corpus substringDedup; redelivery is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextDedup
+    def tmp(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val out = tmp("csd-out") + "/docs"
+    val store = tmp("csd-store") + "/hashes"
+
+    // shifted banner across batches: later batches' copies must be
+    // removed against windows the store learned from EARLIER batches
+    val banner = "b01 b02 b03 b04 b05 b06 b07 b08 b09 b10"
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .take(90)
+      .map { case (id, text) =>
+        val toks = text.split(" ")
+        val k = (id % 5).toInt.min(toks.length)
+        if (id % 3 == 1)
+          (id, (toks.take(k) ++ banner.split(" ") ++ toks.drop(k)).mkString(" "))
+        else (id, text)
+      }
+    val Array(b1, b2, b3) = docs.grouped(30).toArray
+
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingDedup.continuousSubstringDedup(
+        input.toDF().toDF("doc_id", "text"), out, store, "doc_id", "text",
+        spanTokens = 10)
+      .option("checkpointLocation", tmp("csd-ckpt"))
+      .start()
+    try {
+      input.addData((b1 ++ b1).toSeq: _*) // intra-batch duplicates
+      query.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      query.processAllAvailable()
+      input.addData((b3 ++ b2.take(10)).toSeq: _*) // partial redelivery
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Long)] =
+      df.collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("text")),
+        r.getLong(r.fieldIndex("n_tokens_kept")),
+        r.getLong(r.fieldIndex("n_tokens_total")))).toSet
+    val want = resultSet(TextDedup.substringDedup(
+      docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", spanTokens = 10))
+    assert(resultSet(spark.read.parquet(out)) == want,
+      "streamed fold must equal the batch operator on id-ordered arrival")
+    // the banner genuinely crossed batches: some doc lost tokens
+    assert(want.exists(r => r._3 < r._4), "planted spans must dedup")
+    assert(spark.read.parquet(store).groupBy("window_hash").count()
+      .where(col("count") > 1).isEmpty, "no duplicate store hashes")
+  }
+
   test("continuousChunkDedup: id-ordered batches equal whole-corpus chunkDedup; redelivery and torn store heal") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
