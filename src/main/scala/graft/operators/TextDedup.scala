@@ -113,19 +113,29 @@ object TextDedup {
       chunkTokens: Int = 10): DataFrame =
     chunkDedupAgainst(docs, idCol, textCol, chunkTokens, prior = null)
 
-  /** The (id, pos, chunk, hash) frame [[chunkDedup]] dedups over —
-    * shared by the batch operator and the streaming fold. */
-  private[graft] def chunkExplode(docs: DataFrame, idCol: String,
-      textCol: String, chunkTokens: Int): DataFrame = {
-    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+  /** The per-doc chunk-string array (row-local; never materialized as
+    * rows) — shared by the hash explode and the rebuild so the two
+    * sides are the same expression bit-for-bit. */
+  private def chunkArray(textCol: String, chunkTokens: Int): org.apache.spark.sql.Column = {
     val toks = TextFunctions.tokens(col(textCol))
     val nChunks = greatest(
       ceil(size(toks).cast("double") / chunkTokens).cast("int"), lit(1))
-    val chunks = transform(sequence(lit(0), nChunks - 1),
+    transform(sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
-    docs
-      .select(col(idCol).as("__id"), posexplode(chunks).as(Seq("pos", "chunk")))
-      .withColumn("__h", xxhash64(col("chunk")))
+  }
+
+  /** The NARROW (id, pos, chunk_hash) frame [[chunkDedup]] dedups over
+    * — chunk strings are built and hashed inside the projection
+    * (xxhash64 over the chunk text, the store contract) and never
+    * leave the row, so no shuffle in the dedup pipeline ever carries
+    * document text. Shared by the batch operator, [[chunkHashes]] and
+    * the streaming fold. */
+  private[graft] def chunkHashExplode(docs: DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    docs.select(col(idCol).as("__id"),
+      posexplode(transform(chunkArray(textCol, chunkTokens), c => xxhash64(c)))
+        .as(Seq("pos", "__h")))
   }
 
   /** Distinct (chunk_hash, doc_id) of `docs` — doc_id the smallest id
@@ -134,7 +144,7 @@ object TextDedup {
     * continuous fold). */
   def chunkHashes(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 10): DataFrame =
-    chunkExplode(docs, idCol, textCol, chunkTokens)
+    chunkHashExplode(docs, idCol, textCol, chunkTokens)
       .groupBy(col("__h").as("chunk_hash"))
       .agg(min(col("__id")).as("doc_id"))
 
@@ -144,38 +154,68 @@ object TextDedup {
     * form (prior = everything earlier batches kept or saw; null =
     * plain whole-corpus dedup). The prior join is a hash-equi left
     * join flagging seen chunks; rows are never dropped (the reassembly
-    * needs every chunk for n_chunks_total). */
+    * needs every chunk for n_chunks_total).
+    *
+    * Plan shape (r9 rework): all dedup logic runs on the NARROW
+    * (id, pos, hash) frame — 20-byte rows, no document text. The
+    * survivor groupBy keeps only DUPLICATED hashes (count > 1), so
+    * the occurrence probe's build side is the boilerplate set, not
+    * every distinct chunk — tiny on real corpora, and AQE converts
+    * the probe to a broadcast join at runtime when it is. Unique
+    * chunks (the overwhelming mass) flow through a single left join
+    * against that small set and are never touched again; documents
+    * are rebuilt ROW-LOCALLY from their drop-position lists (the
+    * [[substringDedup]] rebuild), so the text column crosses at most
+    * the one docs↔dropPos exchange instead of two full-width chunk
+    * shuffles plus a collect_list reassembly. Assumes `idCol` values
+    * are unique (the streaming fold dropDuplicates first).
+    *
+    * The narrow frame is registered with [[CacheRegistry]] (it feeds
+    * both the survivor agg and the probe); library callers on
+    * long-lived sessions should `CacheRegistry.releaseAll()` after
+    * the result is consumed — Bench/Verify and the streaming folds
+    * already do. */
   def chunkDedupAgainst(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, prior: DataFrame): DataFrame = {
-    // the chunk frame is referenced twice (survivor groupBy + the
-    // join-back) — materialize it once so tokenization + chunk
-    // assembly don't run per reference ([[blockedJaccardPairs]]'s
-    // shared-base discipline; registered, so Bench/Verify release it)
-    val exploded = CacheRegistry.persist(
-      chunkExplode(docs, idCol, textCol, chunkTokens))
-    val firsts = exploded.groupBy("__h")
-      .agg(min(struct(col("__id"), col("pos"))).as("__first"))
-    val withSeen =
+    val narrow = CacheRegistry.persist(
+      chunkHashExplode(docs, idCol, textCol, chunkTokens))
+    // only duplicated hashes can drop an occurrence — cnt > 1 shrinks
+    // the probe's build side to the repeated-chunk set
+    val dupFirsts = narrow.groupBy("__h")
+      .agg(min(struct(col("__id"), col("pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .where(col("__cnt") > 1)
+      .select("__h", "__first")
+    val flagged =
       if (prior == null)
-        exploded.join(firsts, "__h").withColumn("__seen", lit(false))
+        narrow.join(dupFirsts, Seq("__h"), "left")
+          .withColumn("__seen", lit(false))
       else
-        exploded.join(firsts, "__h")
+        narrow.join(dupFirsts, Seq("__h"), "left")
           .join(prior.select(col("chunk_hash").as("__h")).distinct()
             .withColumn("__s", lit(true)), Seq("__h"), "left")
           .withColumn("__seen", coalesce(col("__s"), lit(false)))
           .drop("__s")
-    withSeen
-      .withColumn("__keep",
-        struct(col("__id"), col("pos")) === col("__first") && !col("__seen"))
+    // dropped occurrences: later copy of a duplicated hash, or seen in
+    // prior; one compact sorted position list per affected doc
+    val dropPos = flagged
+      .where(col("__seen") ||
+        (col("__first").isNotNull &&
+          struct(col("__id"), col("pos")) =!= col("__first")))
       .groupBy("__id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(
-            when(col("__keep"), struct(col("pos"), col("chunk"))))),
-          s => s.getField("chunk")), " ").as(textCol),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_chunks_kept"),
-        count(lit(1)).as("n_chunks_total"))
-      .withColumnRenamed("__id", idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("__drops"))
+    val chunks = chunkArray(textCol, chunkTokens)
+    docs
+      .join(dropPos, docs(idCol) === dropPos("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__drops"), array().cast("array<int>")).as("__drops"),
+        chunks.as("__chunks"))
+      .select(col(idCol),
+        array_join(filter(col("__chunks"),
+          (c, i) => !array_contains(col("__drops"), i)), " ").as(textCol),
+        (size(col("__chunks")) - size(col("__drops"))).cast("long")
+          .as("n_chunks_kept"),
+        size(col("__chunks")).cast("long").as("n_chunks_total"))
   }
 
   /** ANY-ALIGNMENT exact-substring dedup (Lee et al. 2022's actual
