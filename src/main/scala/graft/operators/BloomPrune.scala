@@ -58,8 +58,11 @@ object BloomPrune {
   def prunedSemiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bloom = keyBloom(small, keys, expectedItems, fpp)
+    // no distinct on the build side: semi joins are duplicate-
+    // insensitive, and a distinct-on-join-keys buys nothing the join's
+    // own hash table doesn't already do — it only adds an aggregate
     big.where(mightContainKeys(bloom, keys.map(big(_))))
-      .join(small.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .join(small.select(keys.map(col): _*), keys, "left_semi")
   }
 
   /** Delete-by-key + insert for deltas too large to broadcast exactly.
@@ -74,7 +77,9 @@ object BloomPrune {
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bloom = keyBloom(delta, keys, expectedItems, fpp)
     val probe = mightContainKeys(bloom, keys.map(base(_)))
-    val deltaKeys = delta.select(keys.map(col): _*).distinct()
+    // anti joins are duplicate-insensitive on the build side — joining
+    // the raw key projection skips a distinct aggregate ([[prunedSemiJoin]])
+    val deltaKeys = delta.select(keys.map(col): _*)
     val kept = base.where(!probe) // definite non-matches: no shuffle
     val maybe = base.where(probe).join(deltaKeys, keys, "left_anti")
     kept.unionByName(maybe)

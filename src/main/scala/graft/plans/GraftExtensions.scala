@@ -62,6 +62,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       (args: Seq[Expression]) => CmsEstimate(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("text_scores"),
+      new ExpressionInfo(classOf[TextScoresExpr].getName, "text_scores"),
+      (args: Seq[Expression]) => TextScoresExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("text_gate"),
+      new ExpressionInfo(classOf[TextGateExpr].getName, "text_gate"),
+      (args: Seq[Expression]) => TextGateExpr(args(0), args(1), args(2))))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))

@@ -555,13 +555,31 @@ object LlmQueries {
       d.where(col("doc_id") % 5 === 0).crossJoin(broadcast(off))
         .select((col("doc_id") + col("off")).as("doc_id"), col("text"),
           col("source")))
-    val scored = crawl
-      .withColumn("lang_pred", TextFunctions.langId(col("text")))
-      .withColumn("quality", round(TextFunctions.qualityScore(col("text")), 6))
-      .withColumn("t2", round(TextFunctions.topNgramFraction(col("text"), 2), 6))
-      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
-    val filtered = scored.where(col("lang_pred") === "en" &&
-      col("quality") >= 0.75 && col("t2") <= 0.2)
+    // native path: one text_scores kernel call per surviving row (the
+    // getFields CSE-share it) and the gate as ONE un-splittable
+    // text_gate predicate — predicate pushdown would otherwise split
+    // the gate into three conjuncts that each re-run the full
+    // interpreted HOF chain per row (TextScoresExpr scaladoc)
+    val native = graft.plans.GraftExtensions.nativeAvailable
+    val scored =
+      if (native)
+        crawl.withColumn("__sc", call_function("text_scores", col("text")))
+          .withColumn("lang_pred", col("__sc.lang_pred"))
+          .withColumn("quality", round(col("__sc.quality"), 6))
+          .withColumn("t2", round(col("__sc.t2"), 6))
+          .withColumn("n_tokens", col("__sc.n_tokens"))
+          .drop("__sc")
+      else
+        crawl
+          .withColumn("lang_pred", TextFunctions.langId(col("text")))
+          .withColumn("quality", round(TextFunctions.qualityScore(col("text")), 6))
+          .withColumn("t2", round(TextFunctions.topNgramFraction(col("text"), 2), 6))
+          .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+    val filtered =
+      if (native)
+        scored.where(call_function("text_gate", col("text"), lit(0.75), lit(0.2)))
+      else scored.where(col("lang_pred") === "en" &&
+        col("quality") >= 0.75 && col("t2") <= 0.2)
     val deduped = Dedup.keepFirst(
       filtered.withColumn("text_hash",
         md5(TextFunctions.normalizeText(col("text")))),

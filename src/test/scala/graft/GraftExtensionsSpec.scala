@@ -170,4 +170,38 @@ class GraftExtensionsSpec extends SparkTestBase {
       "SELECT window_hashes(array(1L, 2L, 3L), 10) AS w").head().getSeq[Long](0)
     assert(w.isEmpty)
   }
+
+  test("native text_scores / text_gate ≡ HOF gate columns, bit-equal incl. edges") {
+    import spark.implicits._
+    // corpus + adversarial edges: empty, whitespace-only (the \t quirk:
+    // Spark trim removes 0x20 only, so tokens("\t") = ["", ""]),
+    // unicode lower/length paths, diacritic lang routes, boilerplate
+    // repetition, single-token, punct-heavy, astral code points
+    val edges = Seq(
+      "", " ", "\t", " \t \n x", "a", "a a a a a a a a a a a",
+      "the of and to in is it that was for", "Xin chào thế giới ạ",
+      "Grüße aus München straße", "!!!??? ###", "mixed CASE Text Here",
+      "word " * 600, ("tok" + ("a b " * 30)) * 2, "ßẞ İstanbul",
+      "emoji 😀 pair 😀!", "a  b   cd\fe\rf").toDF("text")
+    val docs = Tables.load(spark, sf0001, "documents").select(col("text"))
+      .unionByName(edges)
+    val both = docs.select(
+      call_function("text_scores", col("text")).as("n"),
+      graft.functions.TextFunctions.langId(col("text")).as("lang_hof"),
+      round(graft.functions.TextFunctions.qualityScore(col("text")), 6).as("q_hof"),
+      round(graft.functions.TextFunctions.topNgramFraction(col("text"), 2), 6).as("t2_hof"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("nt_hof"),
+      call_function("text_gate", col("text"), lit(0.75), lit(0.2)).as("gate"))
+    val diff = both.where(
+      col("n.lang_pred") =!= col("lang_hof") ||
+      round(col("n.quality"), 6) =!= col("q_hof") ||
+      round(col("n.t2"), 6) =!= col("t2_hof") ||
+      col("n.n_tokens") =!= col("nt_hof") ||
+      col("gate") =!= (col("lang_hof") === "en" &&
+        col("q_hof") >= 0.75 && col("t2_hof") <= 0.2)).count()
+    assert(diff == 0, s"$diff rows diverge between native and HOF gate scores")
+    // sanity: both gate outcomes occur on the corpus
+    val gates = both.select("gate").distinct().count()
+    assert(gates == 2, s"gate is constant ($gates distinct values)")
+  }
 }

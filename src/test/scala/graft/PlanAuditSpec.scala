@@ -123,6 +123,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("LeftAnti"), s"missing anti join:\n$plan")
     assert(plan.contains("bloom_might_contain"),
       s"bloom probe missing from the scan filters:\n$plan")
+    // the delta build side joins RAW (anti joins are duplicate-
+    // insensitive): the only aggregates are the final groupBy's
+    // partial+final pair — a distinct on the build side would add more
+    assert(countOccurrences(plan, "HashAggregate") <= 2,
+      s"unexpected aggregate (distinct on the anti-join build side?):\n$plan")
   }
 
   test("snapshot diff: one shuffle per side into a single sort-merge full outer") {
