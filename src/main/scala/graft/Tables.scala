@@ -36,9 +36,21 @@ object Tables {
     *     ([[graft.operators.Incremental.windowFilter]]).
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+    // NTZ inference has no per-read option (ParquetOptions carries
+    // only rebase/mergeSchema), so scope the session flag to this
+    // read: parquet schema resolution is eager at read time, and
+    // restoring afterwards keeps later NTZ reads typed as the session
+    // had them — flipping the flag for good would silently retype them
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Nanos since epoch for a UTC literal like "2024-03-01 00:00:00". */

@@ -248,15 +248,45 @@ object TextDedup {
       native = graft.plans.GraftExtensions.nativeAvailable)
 
   /** [[substringDedup]] against a PRIOR window-hash store (column
-    * `window_hash`) — the incremental/streaming form. NOTE: window
-    * hashes are path-dependent (native kernel vs string fallback), so
-    * a persisted store must be written and read under the SAME session
-    * flavor — mixing silently fails to match (unlike the chunk store,
-    * whose hashes are path-independent xxhash64 strings). */
+    * `window_hash`) — the incremental/streaming form. Window hashes
+    * are path-dependent (native kernel vs string fallback), so a
+    * persisted store must be written and read under the SAME session
+    * flavor; [[windowHashes]] therefore stamps each store row with a
+    * `hash_flavor` column and this method FAILS FAST when the store's
+    * flavor disagrees with the session's (a store without the column —
+    * written before the marker existed — is accepted as-is, matching
+    * the old behavior). The chunk store needs no marker: its hashes
+    * are path-independent xxhash64 strings. */
   def substringDedupAgainst(docs: DataFrame, idCol: String,
-      textCol: String, spanTokens: Int, prior: DataFrame): DataFrame =
+      textCol: String, spanTokens: Int, prior: DataFrame): DataFrame = {
+    val native = graft.plans.GraftExtensions.nativeAvailable
+    checkWindowHashFlavor(prior, native)
     substringDedupImpl(docs, idCol, textCol, spanTokens,
-      native = graft.plans.GraftExtensions.nativeAvailable, prior = prior)
+      native = native, prior = prior)
+  }
+
+  /** The flavor tag [[windowHashes]] stamps into a persisted store. */
+  private[graft] def windowHashFlavor(native: Boolean): String =
+    if (native) "native" else "string"
+
+  /** Fail fast when a prior window-hash store was written under the
+    * other hash path — mixed flavors would silently match nothing and
+    * keep every duplicate. Bounded driver work: the distinct of a
+    * constant column (≤ 2 values). */
+  private[graft] def checkWindowHashFlavor(prior: DataFrame,
+      native: Boolean): Unit =
+    if (prior != null && prior.columns.contains("hash_flavor")) {
+      val stored = prior.select("hash_flavor").distinct()
+        .collect().map(_.getString(0)).toSet
+      val session = windowHashFlavor(native)
+      if (!stored.subsetOf(Set(session)))
+        throw new IllegalStateException(
+          s"window-hash store flavor mismatch: store written under " +
+            s"[${stored.mkString(", ")}], session computes '$session' " +
+            "hashes — dedup against this store would match nothing. " +
+            "Re-open the session with the matching GraftExtensions " +
+            "registration, or rebuild the store.")
+    }
 
   /** The positional (id, pos, window-hash) frame [[substringDedup]]
     * dedups over — shared with the streaming fold's store
@@ -280,15 +310,20 @@ object TextDedup {
       posexplode(winHashes).as(Seq("pos", "__h")))
   }
 
-  /** Distinct (window_hash, doc_id) of `docs` — the batch contribution
-    * to a persisted window-hash store (the [[chunkHashes]] twin for
-    * the sliding-window family). */
+  /** Distinct (window_hash, doc_id, hash_flavor) of `docs` — the batch
+    * contribution to a persisted window-hash store (the
+    * [[chunkHashes]] twin for the sliding-window family). The constant
+    * `hash_flavor` column records which hash path wrote the store so
+    * [[substringDedupAgainst]] can fail fast instead of silently
+    * matching nothing under the other flavor. */
   def windowHashes(docs: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int = 50): DataFrame =
-    windowExplode(docs, idCol, textCol, spanTokens,
-      native = graft.plans.GraftExtensions.nativeAvailable)
+      spanTokens: Int = 50): DataFrame = {
+    val native = graft.plans.GraftExtensions.nativeAvailable
+    windowExplode(docs, idCol, textCol, spanTokens, native = native)
       .groupBy(col("__h").as("window_hash"))
       .agg(min(col("__id")).as("doc_id"))
+      .withColumn("hash_flavor", lit(windowHashFlavor(native)))
+  }
 
   /** Impl with the window-hash path explicit: native = the codegen'd
     * one-pass `window_hashes` kernel over token hashes; fallback = a

@@ -66,13 +66,50 @@ object JdbcSink {
     } finally st.close()
   }
 
+  /** LOB keys compare through `CAST(... AS VARCHAR(maxLobKeyChars))`
+    * — keys longer than this would error at MERGE time on Derby and
+    * silently TRUNCATE (wrong key matches) on engines whose cast
+    * truncates, so [[checkLobKeyLengths]] rejects them before any
+    * statement runs. */
+  val maxLobKeyChars = 4096
+
+  private def isLob(typeName: String): Boolean = {
+    val t = typeName.toUpperCase
+    t.contains("CLOB") || t.contains("LOB")
+  }
+
   /** Key-comparison operand: Derby (like MSSQL with (N)TEXT) cannot
     * compare LOB types, and Spark's Derby dialect maps StringType to
     * CLOB — string business keys compare through a VARCHAR cast. */
   private def keyOperand(alias: String, col: String, typeName: String): String =
-    if (typeName.toUpperCase.contains("CLOB") || typeName.toUpperCase.contains("LOB"))
-      s"CAST($alias.${quote(col)} AS VARCHAR(4096))"
+    if (isLob(typeName))
+      s"CAST($alias.${quote(col)} AS VARCHAR($maxLobKeyChars))"
     else s"$alias.${quote(col)}"
+
+  /** Fail fast when a staged LOB business key exceeds
+    * [[maxLobKeyChars]]: past the cast bound, Derby errors mid-MERGE
+    * and truncating engines (e.g. MSSQL CONVERT) would MATCH THE WRONG
+    * ROW — a silent-corruption class, so the sink refuses the batch
+    * with an actionable message instead. One aggregate query per LOB
+    * key over the staged batch. */
+  private def checkLobKeyLengths(conn: Connection, stage: String,
+      keyCols: Seq[(String, String)]): Unit =
+    keyCols.filter { case (_, t) => isLob(t) }.foreach { case (k, _) =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT COUNT(*), MAX(LENGTH(${quote(k)})) FROM $stage " +
+            s"WHERE LENGTH(${quote(k)}) > $maxLobKeyChars")
+        rs.next()
+        val n = rs.getLong(1)
+        if (n > 0) throw new IllegalArgumentException(
+          s"key column $k has $n staged value(s) longer than " +
+            s"$maxLobKeyChars chars (max ${rs.getLong(2)}); LOB keys " +
+            s"compare through CAST(.. AS VARCHAR($maxLobKeyChars)) and " +
+            "longer keys can silently match the wrong target row. Use a " +
+            "shorter surrogate key (e.g. a hash) for long business keys.")
+      } finally st.close()
+    }
 
   /** Spark's JDBC writer creates QUOTED (case-preserving) column
     * names, so every generated reference must quote the exact name the
@@ -115,6 +152,7 @@ object JdbcSink {
       }
       val cols = columnsOf(conn, stage)
       val keyCols = resolveKeys(cols, keys)
+      checkLobKeyLengths(conn, stage, keyCols)
       val keyNames = keyCols.map(_._1)
       val nonKeys = cols.map(_._1).filterNot(keyNames.contains)
       val on = keyCols.map { case (k, t) =>
@@ -156,6 +194,7 @@ object JdbcSink {
       }
       val cols = columnsOf(conn, stage)
       val keyCols = resolveKeys(cols, keys)
+      checkLobKeyLengths(conn, stage, keyCols)
       // correlated EXISTS, not a row-value IN — multi-column row
       // constructors in IN are not portable (Derby rejects them; MSSQL
       // too, which is why the reference builds the same EXISTS shape)

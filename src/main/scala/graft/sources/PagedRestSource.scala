@@ -44,10 +44,13 @@ object PagedRestSource {
   /** Walk the cursor chain from `startCursor`, land every page's rows
     * as parquet (page_idx, payload) under `landingDir` (overwritten —
     * per-extraction scratch), flushing every `flushEvery` pages.
-    * Returns (pages fetched, rows landed). `fetch` is retried up to
-    * `maxRetries` times per page on any exception (transient API
-    * failure — the reference's tenacity shape); `maxPages` bounds a
-    * cursor chain that never terminates. */
+    * Returns (pages fetched, rows landed). `fetch` gets up to
+    * `maxRetries` total ATTEMPTS per page (so `maxRetries = 3` means
+    * 2 retries after the first failure) on non-fatal exceptions
+    * (transient API failure — the reference's tenacity shape); fatal
+    * errors (OutOfMemoryError, InterruptedException, …) propagate
+    * immediately. `maxPages` bounds a cursor chain that never
+    * terminates. */
   def fetchToLanding(spark: SparkSession,
       fetch: Option[String] => Page, landingDir: String,
       flushEvery: Int = 100, maxPages: Int = 100000,
@@ -63,7 +66,7 @@ object PagedRestSource {
       while (true) {
         try return fetch(cursor)
         catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             attempt += 1
             if (attempt >= maxRetries)
               throw new ExtractionException(
@@ -108,6 +111,32 @@ object PagedRestSource {
         .write.mode(SaveMode.Overwrite).parquet(landingDir)
     (pageIdx, rows)
   }
+
+  /** [[fetchToLanding]] with the reference's credential lifecycle
+    * (auth.py `ensure_valid_token` before every call): each page fetch
+    * receives a token valid past the provider's refresh margin, and a
+    * fetch that throws [[TokenAuth.AuthException]] (the 401 path —
+    * server-side revocation the clock can't see) INVALIDATES the
+    * cached token before the page's bounded retry re-attempts, so the
+    * retry runs with a freshly refreshed credential instead of
+    * re-sending the rejected one. Refresh failures surface through
+    * the same retry budget as transient fetch failures. */
+  def fetchToLandingAuthed(spark: SparkSession,
+      fetch: (Option[String], TokenAuth.Token) => Page,
+      creds: TokenAuth.CredentialProvider, landingDir: String,
+      flushEvery: Int = 100, maxPages: Int = 100000,
+      maxRetries: Int = 3, startCursor: Option[String] = None): (Long, Long) =
+    fetchToLanding(spark,
+      cursor => {
+        val tok = creds.validToken()
+        try fetch(cursor, tok)
+        catch {
+          case e: TokenAuth.AuthException =>
+            creds.invalidate()
+            throw e
+        }
+      },
+      landingDir, flushEvery, maxPages, maxRetries, startCursor)
 
   /** The landed (page_idx, payload) frame. */
   def readLanding(spark: SparkSession, landingDir: String): DataFrame =

@@ -269,8 +269,9 @@ object StreamingDedup {
     * orders). Equals [[graft.operators.TextDedup.substringDedup]]
     * over the whole corpus under doc-id-ordered arrival. The
     * window-hash store is session-flavor-bound (native kernel vs
-    * string fallback — see `substringDedupAgainst`); keep the stream
-    * on one flavor. */
+    * string fallback); the store carries a `hash_flavor` marker and
+    * every batch FAILS FAST if the session's flavor disagrees with
+    * what the store was written under — see `substringDedupAgainst`. */
   def continuousSubstringDedup(docs: org.apache.spark.sql.DataFrame,
       outDir: String, storeDir: String, idCol: String, textCol: String,
       spanTokens: Int = 50):
@@ -291,6 +292,11 @@ object StreamingDedup {
           else batchD.join(spark.read.parquet(outDir).select(col(idCol)),
             Seq(idCol), "left_anti")
         try {
+          // flavor check runs even when guarded is empty — the
+          // hash-append path below must not mix flavors either
+          if (nonEmptyDir(storeDir))
+            TextDedup.checkWindowHashFlavor(spark.read.parquet(storeDir),
+              graft.plans.GraftExtensions.nativeAvailable)
           if (!guarded.isEmpty) {
             val prior =
               if (!nonEmptyDir(storeDir)) null

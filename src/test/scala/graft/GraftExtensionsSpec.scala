@@ -171,6 +171,30 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(w.isEmpty)
   }
 
+  test("window-hash store flavor marker: stamped on write, mismatched store fails fast") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.TextDedup
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).limit(20)
+    // the store stamps the session's flavor (this suite runs native)
+    val store = TextDedup.windowHashes(docs, "doc_id", "text", 10)
+    assert(store.select("hash_flavor").distinct()
+      .collect().map(_.getString(0)).toSet == Set("native"))
+    // same-flavor prior: accepted (dedupAgainst runs), legacy store
+    // without the column: accepted as-is
+    assert(TextDedup.substringDedupAgainst(docs, "doc_id", "text", 10,
+      store).count() == 20)
+    assert(TextDedup.substringDedupAgainst(docs, "doc_id", "text", 10,
+      store.drop("hash_flavor")).count() == 20)
+    // other-flavor store: silent no-match would keep every duplicate —
+    // must throw instead, naming both flavors
+    val foreign = store.withColumn("hash_flavor", lit("string"))
+    val e = intercept[IllegalStateException] {
+      TextDedup.substringDedupAgainst(docs, "doc_id", "text", 10, foreign)
+    }
+    assert(e.getMessage.contains("string") && e.getMessage.contains("native"))
+  }
+
   test("native text_scores / text_gate ≡ HOF gate columns, bit-equal incl. edges") {
     import spark.implicits._
     // corpus + adversarial edges: empty, whitespace-only (the \t quirk:

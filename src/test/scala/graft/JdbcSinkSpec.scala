@@ -106,4 +106,30 @@ class JdbcSinkSpec extends SparkTestBase {
     assert(snapshot(u, "TGT") ==
       Set((1L, "x", 100.0), (1L, "y", 20.0), (2L, "x", 3.0)))
   }
+
+  test("LOB business key over the VARCHAR cast bound is refused before any statement runs") {
+    val u = url()
+    JdbcSink.upsertViaStaging(base, u, "TGT", Seq("k", "s"))
+    // Spark maps StringType to Derby CLOB, so `s` as a key compares
+    // through CAST(.. AS VARCHAR(4096)); a longer key would error
+    // mid-MERGE on Derby and MATCH THE WRONG ROW on engines whose cast
+    // truncates — the sink must refuse the batch with the bound named
+    val longKey = "x" * (JdbcSink.maxLobKeyChars + 1)
+    val bad = Seq((9L, longKey, 9.0)).toDF("k", "s", "v")
+    val before = snapshot(u, "TGT")
+    val e1 = intercept[IllegalArgumentException] {
+      JdbcSink.upsertViaStaging(bad, u, "TGT", Seq("k", "s"))
+    }
+    assert(e1.getMessage.contains(JdbcSink.maxLobKeyChars.toString))
+    val e2 = intercept[IllegalArgumentException] {
+      JdbcSink.deleteInsertViaStaging(bad, u, "TGT", Seq("k", "s"))
+    }
+    assert(e2.getMessage.contains("surrogate"))
+    assert(snapshot(u, "TGT") == before, "refused batch leaves the target untouched")
+    // keys AT the bound still merge (the cast is lossless there)
+    val atBound = "y" * JdbcSink.maxLobKeyChars
+    JdbcSink.upsertViaStaging(Seq((9L, atBound, 9.0)).toDF("k", "s", "v"),
+      u, "TGT", Seq("k", "s"))
+    assert(snapshot(u, "TGT") == before + ((9L, atBound, 9.0)))
+  }
 }
