@@ -52,29 +52,84 @@ object BloomPrune {
       call_function("bloom_might_contain", lit(bloomBytes), xxhash64(keys: _*))
     else lit(true)
 
-  /** Semi join with the big side bloom-pruned before the shuffle: only
-    * rows that MIGHT match ship; the join drops the false positives.
-    * Exact — equals `big.join(small, keys, "left_semi")`. */
+  /** Conservative wire-size estimate of a `nKeys`-column key set with
+    * `expectedItems` rows — the adaptivity input for
+    * [[prunedDeleteInsert]]/[[prunedSemiJoin]]. */
+  private def keyBytesEstimate(expectedItems: Long, nKeys: Int): Long =
+    expectedItems * (16L * nKeys + 8L)
+
+  /** True when a key set of `expectedItems` rows fits the session's
+    * broadcast threshold — then the EXACT key relation broadcasts and
+    * a bloom (a lossy compression of that same relation) buys
+    * nothing. */
+  private def broadcastable(df: DataFrame, expectedItems: Long,
+      nKeys: Int): Boolean = {
+    val thresh = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    thresh > 0 && keyBytesEstimate(expectedItems, nKeys) <= thresh
+  }
+
+  /** Semi join with the big side bloom-pruned before the shuffle.
+    * Exact — equals `big.join(small, keys, "left_semi")`. ADAPTIVE on
+    * `expectedItems`: a key set inside the broadcast threshold joins
+    * as a plain broadcast semi join (the exact hash relation ships, so
+    * a bloom — a lossy sketch of that same relation — is pure
+    * overhead); past the threshold the bloom probe cuts the big side
+    * to |small| + fpp·|big| rows BEFORE its shuffle. */
   def prunedSemiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bloom = keyBloom(small, keys, expectedItems, fpp)
     // no distinct on the build side: semi joins are duplicate-
     // insensitive, and a distinct-on-join-keys buys nothing the join's
     // own hash table doesn't already do — it only adds an aggregate
-    big.where(mightContainKeys(bloom, keys.map(big(_))))
-      .join(small.select(keys.map(col): _*), keys, "left_semi")
+    val smallKeys = small.select(keys.map(col): _*)
+    if (broadcastable(big, expectedItems, keys.length))
+      big.join(broadcast(smallKeys), keys, "left_semi")
+    else {
+      val bloom = keyBloom(small, keys, expectedItems, fpp)
+      big.where(mightContainKeys(bloom, keys.map(big(_))))
+        .join(smallKeys, keys, "left_semi")
+    }
   }
 
-  /** Delete-by-key + insert for deltas too large to broadcast exactly.
-    * Bloom-negative base rows are PROVEN keyless in the delta and
-    * bypass the anti-join shuffle entirely; only maybe-matching rows
-    * (|delta| + fpp·|base|) shuffle against the delta keys. The two
-    * complementary base branches are disjoint filters of one scan —
-    * at scale, re-reading a columnar scan twice is far cheaper than
-    * shuffling the whole base once. Exact — equals
-    * [[Incremental.deleteInsert]] (asserted in BloomPruneSpec). */
+  /** Delete-by-key + insert, adaptive on the delta key-set size.
+    * Exact — equals [[Incremental.deleteInsert]] (asserted in
+    * BloomPruneSpec on both paths).
+    *
+    *   - Key set inside the broadcast threshold: ONE scan of base
+    *     through a broadcast anti join — no bloom is built at all,
+    *     because the exact key relation broadcasts and a bloom is a
+    *     lossy sketch of that same relation (the daily-delta regime;
+    *     at sf0.1 AQE reaches the same join choice, this just also
+    *     skips the bloom-build job and the second base scan).
+    *   - Past the threshold (the 10⁸-key backfill regime):
+    *     [[splitDeleteInsert]] — the bloom proves most base rows
+    *     keyless so only |delta| + fpp·|base| rows shuffle.
+    *
+    * A single-scan SPLIT variant was measured and rejected (r9):
+    * branching after a `repartition(keys)` does not reuse the
+    * exchange, because Catalyst pushes each branch's probe filter
+    * through the repartition into its own scan — the "shared" plan
+    * comes out as two scans PLUS two full-width exchanges. Forcing
+    * reuse needs a cache/checkpoint barrier, which is exactly the
+    * full-base materialization this operator exists to avoid. */
   def prunedDeleteInsert(base: DataFrame, delta: DataFrame, keys: Seq[String],
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    if (broadcastable(base, expectedItems, keys.length)) {
+      val deltaKeys = delta.select(keys.map(col): _*)
+      base.join(broadcast(deltaKeys), keys, "left_anti")
+        .unionByName(delta.select(base.columns.map(col).toSeq: _*))
+    } else splitDeleteInsert(base, delta, keys, expectedItems, fpp)
+
+  /** The bloom-split path: bloom-negative base rows are PROVEN keyless
+    * in the delta and bypass the anti-join shuffle entirely; only
+    * maybe-matching rows (|delta| + fpp·|base| of them) shuffle
+    * against the delta keys. The two complementary base branches are
+    * disjoint filters of one columnar scan — at scale, re-reading a
+    * pruned scan twice is far cheaper than shuffling the whole base
+    * once (see [[prunedDeleteInsert]] for the measured rejection of
+    * the shared-exchange alternative). */
+  private[graft] def splitDeleteInsert(base: DataFrame, delta: DataFrame,
+      keys: Seq[String], expectedItems: Long, fpp: Double): DataFrame = {
     val bloom = keyBloom(delta, keys, expectedItems, fpp)
     val probe = mightContainKeys(bloom, keys.map(base(_)))
     // anti joins are duplicate-insensitive on the build side — joining

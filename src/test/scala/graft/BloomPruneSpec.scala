@@ -38,13 +38,28 @@ class BloomPruneSpec extends SparkTestBase {
       s"bloom passed $passing of $n rows for $trueMatches true matches")
   }
 
-  test("prunedDeleteInsert equals the broadcast deleteInsert exactly") {
+  test("prunedDeleteInsert equals the broadcast deleteInsert exactly (both regimes)") {
     val plain = Incremental.deleteInsert(customer, delta, Seq("c_custkey"))
       .orderBy("c_custkey").collect().toSeq
-    val pruned = BloomPrune
+    // broadcast regime (small expectedItems → exact anti join)
+    val viaBroadcast = BloomPrune
       .prunedDeleteInsert(customer, delta, Seq("c_custkey"), 1000L, 0.01)
       .orderBy("c_custkey").collect().toSeq
-    assert(pruned === plain)
+    assert(viaBroadcast === plain)
+    // split regime, reached both directly and through the adaptive
+    // entry with an expectedItems estimate past the threshold
+    val viaSplit = BloomPrune
+      .splitDeleteInsert(customer, delta, Seq("c_custkey"), 1000L, 0.01)
+      .orderBy("c_custkey").collect().toSeq
+    assert(viaSplit === plain)
+    // 10⁶ expected keys × 24 B/key estimate ≈ 24 MB > the 10 MB
+    // broadcast threshold → the adaptive entry must route to the
+    // split (the bloom itself is still only ~1.2 MB)
+    val viaAdaptiveSplit = BloomPrune
+      .prunedDeleteInsert(customer, delta, Seq("c_custkey"),
+        expectedItems = 1000000L, fpp = 0.01)
+      .orderBy("c_custkey").collect().toSeq
+    assert(viaAdaptiveSplit === plain)
   }
 
   test("prunedSemiJoin equals the plain left_semi join exactly") {

@@ -112,21 +112,46 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
-  test("bloom delete-insert: one broadcast anti join; kept branch is join-free") {
+  test("bloom delete-insert (adaptive broadcast regime): ONE base scan, no bloom, broadcast anti join") {
     import graft.queries.EcommerceQueries
     val plan = executed(EcommerceQueries.q45BloomDeleteInsert(spark, sf0001))
-    // the ONLY join is the anti join of the maybe-branch against the
-    // broadcast delta keys — the kept branch and the delta branch union
-    // in without joining, so the base never shuffles for the delete
+    // q45's delta key set fits the broadcast threshold, so the
+    // adaptive operator must take the exact-broadcast path: base scans
+    // ONCE into a broadcast anti join and no bloom is built at all (a
+    // bloom is a lossy sketch of the relation that just broadcast)
     assert(countOccurrences(plan, "Join") ===
       countOccurrences(plan, "BroadcastHashJoin"), s"non-broadcast join:\n$plan")
     assert(plan.contains("LeftAnti"), s"missing anti join:\n$plan")
+    assert(!plan.contains("bloom_might_contain"),
+      s"broadcast regime must not pay the bloom:\n$plan")
+    // lineitem appears as: base scan + delta-keys scan + delta union
+    // scan — a second base scan (the split shape) would make it 4
+    assert(countOccurrences(plan, "FileScan parquet") === 3,
+      s"expected exactly 3 lineitem scans (base once):\n$plan")
+    assert(countOccurrences(plan, "HashAggregate") <= 2,
+      s"unexpected aggregate (distinct on the anti-join build side?):\n$plan")
+  }
+
+  test("bloom delete-insert (split regime): bloom-probed scans, kept branch join-free") {
+    import graft.operators.BloomPrune
+    import org.apache.spark.sql.functions.{col, lit}
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val delta = li.where(col("l_orderkey") % 13 === 0)
+      .withColumn("l_quantity", lit(0.0))
+    val plan = executed(BloomPrune.splitDeleteInsert(li, delta,
+      Seq("l_orderkey", "l_linenumber"), 100000L, 0.01))
+    // the ONLY join is the anti join of the maybe-branch against the
+    // delta keys — the kept branch and the delta branch union in
+    // without joining, so bloom-negative base rows never shuffle
+    assert(plan.contains("LeftAnti"), s"missing anti join:\n$plan")
     assert(plan.contains("bloom_might_contain"),
       s"bloom probe missing from the scan filters:\n$plan")
+    assert(countOccurrences(plan, "LeftAnti") === 1 &&
+      countOccurrences(plan, "CartesianProduct") === 0, plan)
     // the delta build side joins RAW (anti joins are duplicate-
-    // insensitive): the only aggregates are the final groupBy's
-    // partial+final pair — a distinct on the build side would add more
-    assert(countOccurrences(plan, "HashAggregate") <= 2,
+    // insensitive): no aggregate anywhere in the delete-insert itself
+    assert(countOccurrences(plan, "HashAggregate") === 0,
       s"unexpected aggregate (distinct on the anti-join build side?):\n$plan")
   }
 
