@@ -28,6 +28,91 @@ import graft.sources.ParquetSink
   */
 object EtlControl {
 
+  /** Acquire attempt on a source whose lease is live. The caller
+    * skips the run (the Airflow behavior when max_active_runs=1
+    * queues/skips the second schedule), it does NOT wait. */
+  final class LeaseHeldException(msg: String) extends RuntimeException(msg)
+
+  /** A held run lease; [[release]] in a finally. */
+  final case class RunLease private[EtlControl] (
+      spark: SparkSession, controlDir: String, sourceId: String,
+      holderId: String) {
+    private[EtlControl] def path =
+      new org.apache.hadoop.fs.Path(controlDir, s"_lease_$sourceId")
+    def release(): Unit = {
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(path, false)
+      ()
+    }
+  }
+
+  /** MAX-ACTIVE-RUNS=1 for one source: the reference serializes runs
+    * (`max_active_runs=1`, incremental_refresh_bridge_dag.py:50) so a
+    * slow cycle is never interleaved with the next schedule's — two
+    * concurrent cycles on one target could interleave their staged
+    * swaps (both read target, both publish; last write silently wins
+    * with the other's rows lost). The lease is a create-if-absent
+    * marker file in the control dir: atomic on HDFS-like stores
+    * (`create(overwrite=false)` is an atomic namespace op there; on a
+    * local FS the window is a same-machine TOCTOU microsecond, closed
+    * for in-JVM callers by the monitor below). A holder that CRASHES
+    * leaves the file behind — that is what `ttlMs` is for: an acquire
+    * finding a lease older than the ttl (by the injectable clock,
+    * falling back to file modification time when the content is torn)
+    * takes it over. Size ttl ≫ the longest cycle, the standard
+    * stale-lock tradeoff. Throws [[LeaseHeldException]] when live. */
+  def acquireRunLease(spark: SparkSession, controlDir: String,
+      sourceId: String, holderId: String, ttlMs: Long,
+      nowMs: () => Long = () => System.currentTimeMillis()): RunLease =
+    leaseMonitor.synchronized {
+      val lease = RunLease(spark, controlDir, sourceId, holderId)
+      val p = lease.path
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(p.getParent)
+      if (fs.exists(p)) {
+        val acquiredAt = try {
+          val in = fs.open(p)
+          try {
+            val props = new java.util.Properties(); props.load(in)
+            props.getProperty("acquired_at_ms").toLong
+          } finally in.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            fs.getFileStatus(p).getModificationTime
+        }
+        if (nowMs() - acquiredAt <= ttlMs)
+          throw new LeaseHeldException(
+            s"run lease for $sourceId is held (age ${nowMs() - acquiredAt} ms" +
+              s" <= ttl $ttlMs ms) — another cycle is active; skipping")
+        fs.delete(p, false) // stale: crashed holder, take over
+      }
+      val out = fs.create(p, false) // atomic create-if-absent on HDFS
+      try {
+        val props = new java.util.Properties()
+        props.setProperty("holder_id", holderId)
+        props.setProperty("acquired_at_ms", nowMs().toString)
+        props.store(out, "graft run lease")
+      } finally out.close()
+      lease
+    }
+
+  /** The object-wide monitor closing the local-FS TOCTOU for
+    * same-JVM concurrent acquirers (cross-process atomicity comes
+    * from the store's create-if-absent). */
+  private val leaseMonitor = new Object
+
+  /** Run `body` under the source's run lease: acquire → body →
+    * release (also on body failure — a FAILED run must free the slot,
+    * like Airflow's; only a crash leaves the lease for ttl takeover).
+    * Wrap whole cycles: `withRunLease(...) { runIncrementalCycle(...) }`. */
+  def withRunLease[A](spark: SparkSession, controlDir: String,
+      sourceId: String, holderId: String, ttlMs: Long,
+      nowMs: () => Long = () => System.currentTimeMillis())(body: => A): A = {
+    val lease = acquireRunLease(spark, controlDir, sourceId, holderId,
+      ttlMs, nowMs)
+    try body finally lease.release()
+  }
+
   /** Last committed watermark (epoch micros) for `sourceId`, or
     * `defaultUs` if the control table has no SUCCESS rows for it. */
   /** A control/target dir counts as present only when it has content —
@@ -36,7 +121,14 @@ object EtlControl {
   private[operators] def nonEmptyDir(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    // hidden (_/.-prefixed) entries — the run-lease marker, _SUCCESS,
+    // checksums — don't make a dir readable: Spark's file index skips
+    // them too, so counting them would send a lease-only control dir
+    // into parquet schema inference
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   def lastWatermarkMicros(spark: SparkSession, controlDir: String,
@@ -61,6 +153,39 @@ object EtlControl {
       .coalesce(1)
       .write.mode(SaveMode.Append).parquet(controlDir)
   }
+
+  /** Append one task-failure record — the reference's etl_logging
+    * surface (src/utils/etl_logging.py logs per-task failures into
+    * the control schema's own table). A SEPARATE append-only log, not
+    * extra columns on the commit log: the commit log's schema stays
+    * stable, and failures never enter the watermark/row-bounds reads
+    * (which filter on SUCCESS) by construction. Row: (source_id,
+    * batch_id, stage, error_class, error_message, failed_at). */
+  def logTaskFailure(spark: SparkSession, failureDir: String,
+      sourceId: String, batchId: String, stage: String,
+      error: Throwable): Unit = {
+    import spark.implicits._
+    Seq((sourceId, batchId, stage, error.getClass.getName,
+        String.valueOf(error.getMessage).take(4096)))
+      .toDF("source_id", "batch_id", "stage", "error_class", "error_message")
+      .withColumn("failed_at", current_timestamp())
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(failureDir)
+  }
+
+  /** Run one cycle stage as a LOGGED task: a failure appends its
+    * record to `failureDir` (stage + error class — the alertable
+    * pattern [[expectedRowBounds]]-style monitors need) and rethrows;
+    * the watermark cannot advance because the commit row was never
+    * written. Compose with [[withRunLease]]:
+    * `withRunLease(...) { loggedRun(...) { runIncrementalCycle(...) } }`. */
+  def loggedRun[A](spark: SparkSession, failureDir: String,
+      sourceId: String, batchId: String, stage: String)(body: => A): A =
+    try body catch {
+      case scala.util.control.NonFatal(e) =>
+        logTaskFailure(spark, failureDir, sourceId, batchId, stage, e)
+        throw e
+    }
 
   /** Row-count bounds for the next batch derived from the control
     * log's history (the "row-count delta vs prior batch" gate the

@@ -140,15 +140,27 @@ object EcommerceQueries {
     val c = broadcast(t(s, dir, "customer"))
     val n = broadcast(t(s, dir, "nation"))
     val r = broadcast(t(s, dir, "region"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // pre-aggregate the fact BEFORE the fact⋈fact join (r9): revenue
+    // partial-sums map-side onto (orderkey, flag), so the join and
+    // everything after it see ~one row per order-flag instead of one
+    // per lineitem — and the distinct-count collapses to a plain
+    // count, deleting the Expand/double-shuffle plan the mixed
+    // sum+count_distinct otherwise costs. At 100 TB this is the
+    // difference between shuffling the lineitem fact once NARROW
+    // (3 columns, combined) and shuffling it wide into the join.
+    val liAgg = li.groupBy(col("l_orderkey"), col("l_returnflag"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+    liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("l_returnflag"))
       .agg(
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("double").as("revenue"),
-        count_distinct(col("o_orderkey")).as("n_orders"))
+        sum(col("rev")).cast("double").as("revenue"),
+        // (orderkey, flag) is liAgg's grain: per (region, flag) group
+        // each distinct order contributes exactly one row
+        count(lit(1)).as("n_orders"))
       .orderBy("r_name", "l_returnflag")
   }
 

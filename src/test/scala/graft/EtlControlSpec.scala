@@ -165,6 +165,122 @@ class EtlControlSpec extends SparkTestBase {
     assert(log.where(col("batch_id") === "b3").count() == 0)
   }
 
+  test("run lease: max_active_runs=1 — a live cycle blocks the next schedule; failure frees; stale takeover") {
+    val dir = Files.createTempDirectory("etl-lease").toString
+    val control = s"$dir/control"
+    val target = s"$dir/target"
+    val t0 = 1704067200000000L
+
+    // schedule A starts its cycle and is SLOW; schedule B fires while
+    // A is mid-cycle — B must be refused without touching control or
+    // target, exactly one commit lands for the window
+    val aInCycle = new java.util.concurrent.CountDownLatch(1)
+    val letAFinish = new java.util.concurrent.CountDownLatch(1)
+    val aDone = new java.util.concurrent.FutureTask[Long](() =>
+      EtlControl.withRunLease(spark, control, "events", "sched-A",
+          ttlMs = 600000L) {
+        aInCycle.countDown()
+        letAFinish.await()
+        EtlControl.runIncrementalCycle(spark, control, "events",
+          feed("2024-01-10"), "ts", Seq("event_id"), target, t0, "runA")._2
+      })
+    new Thread(aDone).start()
+    aInCycle.await()
+    intercept[EtlControl.LeaseHeldException] {
+      EtlControl.withRunLease(spark, control, "events", "sched-B",
+          ttlMs = 600000L) {
+        fail("B must never enter the cycle while A holds the lease")
+      }
+    }
+    letAFinish.countDown()
+    assert(aDone.get() > 0)
+    assert(spark.read.parquet(control)
+      .where(col("status") === "SUCCESS").count() == 1,
+      "exactly one commit for the contended window")
+    assert(spark.read.parquet(target).count() == feed("2024-01-10").count())
+    // ...and a DIFFERENT source is never blocked by events' lease
+    EtlControl.withRunLease(spark, control, "orders", "sched-B",
+      ttlMs = 600000L) { () }
+
+    // after A released, the next schedule proceeds normally
+    EtlControl.withRunLease(spark, control, "events", "sched-B",
+        ttlMs = 600000L) {
+      EtlControl.runIncrementalCycle(spark, control, "events",
+        feed("2024-01-20"), "ts", Seq("event_id"), target, t0, "runB")
+    }
+    assert(spark.read.parquet(target).count() == feed("2024-01-20").count())
+
+    // a FAILED cycle releases the slot (only a crash holds it)
+    intercept[RuntimeException] {
+      EtlControl.withRunLease(spark, control, "events", "sched-C",
+        ttlMs = 600000L) { throw new RuntimeException("cycle blew up") }
+    }
+    EtlControl.withRunLease(spark, control, "events", "sched-C",
+      ttlMs = 600000L) { () }
+
+    // CRASHED holder: lease file left behind (no release); a new
+    // schedule inside the ttl is refused, past the ttl takes over
+    EtlControl.acquireRunLease(spark, control, "events", "crashed",
+      ttlMs = 5000L, nowMs = () => 1000L) // never released
+    intercept[EtlControl.LeaseHeldException] {
+      EtlControl.acquireRunLease(spark, control, "events", "next",
+        ttlMs = 5000L, nowMs = () => 5500L) // age 4500 <= ttl
+    }
+    val takeover = EtlControl.acquireRunLease(spark, control, "events",
+      "next", ttlMs = 5000L, nowMs = () => 6001L) // age 5001 > ttl
+    takeover.release()
+
+    // the lease marker never corrupts the control log read path
+    assert(EtlControl.lastWatermarkMicros(spark, control, "events", t0) > t0)
+  }
+
+  test("failed cycle leaves a FAILURE record with stage + error class and no watermark advance") {
+    val dir = Files.createTempDirectory("etl-faillog").toString
+    val control = s"$dir/control"
+    val failures = s"$dir/failures"
+    val target = s"$dir/target"
+    val t0 = 1704067200000000L
+
+    EtlControl.loggedRun(spark, failures, "events", "b1", "load") {
+      EtlControl.runIncrementalCycle(spark, control, "events",
+        feed("2024-01-10"), "ts", Seq("event_id"), target, t0, "b1")
+    }
+    val wm1 = EtlControl.lastWatermarkMicros(spark, control, "events", t0)
+
+    // the load stage of batch b2 blows up mid-cycle
+    val boom = intercept[IllegalStateException] {
+      EtlControl.loggedRun(spark, failures, "events", "b2", "load") {
+        EtlControl.runIncrementalCycle(spark, control, "events",
+          feed("2024-01-20"), "ts", Seq("event_id"), target, t0, "b2",
+          failBeforeCommit = true)
+        throw new IllegalStateException("executor lost during merge")
+      }
+    }
+    assert(boom.getMessage.contains("executor lost"))
+
+    // exactly one failure record, carrying stage + error class
+    val f = spark.read.parquet(failures).collect()
+    assert(f.length == 1)
+    val r = f.head
+    assert(r.getAs[String]("source_id") == "events" &&
+      r.getAs[String]("batch_id") == "b2" &&
+      r.getAs[String]("stage") == "load" &&
+      r.getAs[String]("error_class") == "java.lang.IllegalStateException" &&
+      r.getAs[String]("error_message").contains("executor lost"))
+    // the commit log never saw b2: watermark stays at b1's
+    assert(EtlControl.lastWatermarkMicros(spark, control, "events", t0) == wm1)
+    assert(spark.read.parquet(control)
+      .where(col("batch_id") === "b2").count() == 0)
+
+    // a successful run writes nothing to the failure log
+    EtlControl.loggedRun(spark, failures, "events", "b2r", "load") {
+      EtlControl.runIncrementalCycle(spark, control, "events",
+        feed("2024-01-20"), "ts", Seq("event_id"), target, t0, "b2r")
+    }
+    assert(spark.read.parquet(failures).count() == 1)
+    assert(EtlControl.lastWatermarkMicros(spark, control, "events", t0) > wm1)
+  }
+
   test("snapshot cycle: idle runs never touch the target; churn is the audit record") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-snapcycle").toFile.getAbsolutePath
