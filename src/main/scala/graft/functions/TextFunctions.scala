@@ -154,7 +154,14 @@ object TextFunctions {
     * The token array is bound once as a lambda value (the
     * [[topNgramFraction]] interpreted-eval discipline) — it is
     * referenced three times (unigrams + both bigram slices). */
-  def classifierScoreMilli(c: Column, buckets: Int = 65536): Column = {
+  def classifierScoreMilli(c: Column, buckets: Int = 65536): Column =
+    if (graft.plans.GraftExtensions.nativeAvailable)
+      call_function("classifier_milli", c, lit(buckets))
+    else classifierScoreMilliHof(c, buckets)
+
+  /** Portable Column form (also the native kernel's equivalence oracle
+    * in GraftExtensionsSpec). */
+  def classifierScoreMilliHof(c: Column, buckets: Int = 65536): Column = {
     val scored = transform(array(tokens(c)), ts => {
       val n1 = greatest(size(ts) - 1, lit(0))
       val bigrams = zip_with(slice(ts, lit(1), n1), slice(ts, lit(2), n1),
@@ -171,7 +178,14 @@ object TextFunctions {
     * mod 1e9+7 (modulo applied per step — keeps every intermediate in
     * 35 bits so the same fold works in engines that trap on int64
     * overflow). Fold order = left-to-right, seed = first token hash. */
-  def fingerprint(c: Column): Column = {
+  def fingerprint(c: Column): Column =
+    if (graft.plans.GraftExtensions.nativeAvailable)
+      call_function("fingerprint_md5", c)
+    else fingerprintHof(c)
+
+  /** Portable Column form (also the native kernel's equivalence oracle
+    * in GraftExtensionsSpec). */
+  def fingerprintHof(c: Column): Column = {
     val hs = transform(tokens(c), tokenHashMd5 _)
     aggregate(
       slice(hs, lit(2), greatest(size(hs) - 1, lit(0))),

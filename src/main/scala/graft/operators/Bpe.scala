@@ -160,6 +160,16 @@ object Bpe {
     * 50k-merge production vocab (which would compile the merge table
     * into a broadcast map + one mapPartitions, the codec shape). */
   def subwordCount(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame =
+    if (graft.plans.GraftExtensions.nativeAvailable)
+      docs.withColumn("n_subwords",
+        call_function("subword_count", col(textCol),
+          lit(merges.map(_.left).toArray),
+          lit(merges.map(_.right).toArray)))
+    else subwordCountHof(docs, textCol, merges)
+
+  /** Portable Column form (also the native kernel's equivalence oracle
+    * in GraftExtensionsSpec). */
+  def subwordCountHof(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame =
     docs.withColumn("n_subwords",
       aggregate(
         filter(TextFunctions.tokens(col(textCol)), w => length(w) > 0),

@@ -30,7 +30,14 @@ object ImportanceModel {
   /** Hashed uni+bigram bucket ids of a text column — the same feature
     * space as [[TextFunctions.classifierScoreMilli]] (md5-portable).
     * Token array bound once per the interpreted-eval discipline. */
-  def gramBuckets(c: Column, buckets: Int = 65536): Column = {
+  def gramBuckets(c: Column, buckets: Int = 65536): Column =
+    if (graft.plans.GraftExtensions.nativeAvailable)
+      call_function("gram_buckets", c, lit(buckets))
+    else gramBucketsHof(c, buckets)
+
+  /** Portable Column form (also the native kernel's equivalence
+    * oracle in GraftExtensionsSpec). */
+  def gramBucketsHof(c: Column, buckets: Int = 65536): Column = {
     val out = transform(array(TextFunctions.tokens(c)), ts => {
       val n1 = greatest(size(ts) - 1, lit(0))
       val bigrams = zip_with(slice(ts, lit(1), n1), slice(ts, lit(2), n1),
@@ -55,10 +62,32 @@ object ImportanceModel {
         (expr("(ct + 1) * 1000 div (ct + cr + 2)") - 500).as("w_milli"))
 
   /** Score every doc under a trained weight table: Σ w(bucket) over
-    * the doc's grams, unseen buckets scoring 0. `weights` broadcasts
-    * (bounded by `buckets`); the gram fan-out never shuffles — only
-    * the per-doc partial sums do. */
+    * the doc's grams, unseen buckets scoring 0.
+    *
+    * Native path (r9): the weight table densifies into a
+    * bucket-indexed long array (≤ `buckets` · 8 B — 512 KB at the
+    * default 2¹⁶, bounded metadata like the IVF centroids) and
+    * scoring becomes ONE `classifier_weighted` kernel call per row —
+    * map-only, zero shuffle, no gram explode at all. Fallback (and
+    * the shape to keep for bucket counts too big to inline, say
+    * ≥ 2²⁴): explode grams, BROADCAST-join the weights, one
+    * map-side-combined sum per doc — the corpus never joins itself. */
   def score(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int = 65536): DataFrame =
+    if (graft.plans.GraftExtensions.nativeAvailable) {
+      val dense = new Array[Long](buckets)
+      weights.select("bucket", "w_milli").collect()
+        .foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+      // coalesce for null-text parity with the join form (whose
+      // explode drops the row and the outer coalesce lands 0)
+      docs.withColumn("score_milli",
+        coalesce(call_function("classifier_weighted", col(textCol),
+          lit(dense)), lit(0L)))
+    } else scoreViaJoin(docs, idCol, textCol, weights, buckets)
+
+  /** The broadcast-join scoring form (also the native kernel's
+    * equivalence oracle in GraftExtensionsSpec). */
+  def scoreViaJoin(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, buckets: Int = 65536): DataFrame = {
     val scores = docs
       .select(col(idCol).as("__id"),

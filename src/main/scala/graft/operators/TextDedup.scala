@@ -133,9 +133,15 @@ object TextDedup {
   private[graft] def chunkHashExplode(docs: DataFrame, idCol: String,
       textCol: String, chunkTokens: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    // native chunk_hashes returns BIT-IDENTICAL xxhash64 values to the
+    // Column form (the store contract is path-independent), it just
+    // skips the interpreted chunk-string transform chain
+    val hashes =
+      if (graft.plans.GraftExtensions.nativeAvailable)
+        call_function("chunk_hashes", col(textCol), lit(chunkTokens))
+      else transform(chunkArray(textCol, chunkTokens), c => xxhash64(c))
     docs.select(col(idCol).as("__id"),
-      posexplode(transform(chunkArray(textCol, chunkTokens), c => xxhash64(c)))
-        .as(Seq("pos", "__h")))
+      posexplode(hashes).as(Seq("pos", "__h")))
   }
 
   /** Distinct (chunk_hash, doc_id) of `docs` — doc_id the smallest id
@@ -170,15 +176,22 @@ object TextDedup {
     * shuffles plus a collect_list reassembly. Assumes `idCol` values
     * are unique (the streaming fold dropDuplicates first).
     *
-    * The narrow frame is registered with [[CacheRegistry]] (it feeds
-    * both the survivor agg and the probe); library callers on
-    * long-lived sessions should `CacheRegistry.releaseAll()` after
-    * the result is consumed — Bench/Verify and the streaming folds
-    * already do. */
+    * The narrow frame is NOT cached (r9): both consumers re-run the
+    * hash explode, one codegen'd pass over the scan — measured
+    * cheaper than materializing the per-chunk frame into the cache,
+    * and it leaves no release obligation on library callers. */
   def chunkDedupAgainst(docs: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, prior: DataFrame): DataFrame = {
-    val narrow = CacheRegistry.persist(
-      chunkHashExplode(docs, idCol, textCol, chunkTokens))
+      chunkTokens: Int, prior: DataFrame): DataFrame =
+    chunkDedupImpl(docs, idCol, textCol, chunkTokens, prior,
+      native = graft.plans.GraftExtensions.nativeAvailable)
+
+  /** Impl with the rebuild path explicit (native `drop_token_spans`
+    * kernel vs the HOF chunk filter) — result-identical, asserted in
+    * GraftExtensionsSpec. */
+  private[graft] def chunkDedupImpl(docs: DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int, prior: DataFrame,
+      native: Boolean): DataFrame = {
+    def narrow = chunkHashExplode(docs, idCol, textCol, chunkTokens)
     // only duplicated hashes can drop an occurrence — cnt > 1 shrinks
     // the probe's build side to the repeated-chunk set
     val dupFirsts = narrow.groupBy("__h")
@@ -204,18 +217,37 @@ object TextDedup {
           struct(col("__id"), col("pos")) =!= col("__first")))
       .groupBy("__id")
       .agg(sort_array(collect_list(col("pos"))).as("__drops"))
-    val chunks = chunkArray(textCol, chunkTokens)
-    docs
+    val joined = docs
       .join(dropPos, docs(idCol) === dropPos("__id"), "left")
       .select(col(idCol),
         coalesce(col("__drops"), array().cast("array<int>")).as("__drops"),
-        chunks.as("__chunks"))
-      .select(col(idCol),
-        array_join(filter(col("__chunks"),
-          (c, i) => !array_contains(col("__drops"), i)), " ").as(textCol),
-        (size(col("__chunks")) - size(col("__drops"))).cast("long")
-          .as("n_chunks_kept"),
-        size(col("__chunks")).cast("long").as("n_chunks_total"))
+        col(textCol).as("__text"))
+    if (native)
+      // a dropped chunk i is exactly the token range
+      // [i·chunkTokens, i·chunkTokens + chunkTokens), so the rebuild
+      // is the drop_token_spans kernel — one coverage pass, no chunk
+      // strings materialized at all (string-identical to the HOF form:
+      // chunks are contiguous tokens and both paths re-join with " ")
+      joined
+        .withColumn("__rb", call_function("drop_token_spans", col("__text"),
+          transform(col("__drops"), p => p * chunkTokens), lit(chunkTokens)))
+        .select(col(idCol),
+          col("__rb.text").as(textCol),
+          (ceil(col("__rb.n_total").cast("double") / chunkTokens).cast("long")
+            - size(col("__drops")).cast("long")).as("n_chunks_kept"),
+          ceil(col("__rb.n_total").cast("double") / chunkTokens).cast("long")
+            .as("n_chunks_total"))
+    else {
+      val chunks = chunkArray("__text", chunkTokens)
+      joined
+        .select(col(idCol), col("__drops"), chunks.as("__chunks"))
+        .select(col(idCol),
+          array_join(filter(col("__chunks"),
+            (c, i) => !array_contains(col("__drops"), i)), " ").as(textCol),
+          (size(col("__chunks")) - size(col("__drops"))).cast("long")
+            .as("n_chunks_kept"),
+          size(col("__chunks")).cast("long").as("n_chunks_total"))
+    }
   }
 
   /** ANY-ALIGNMENT exact-substring dedup (Lee et al. 2022's actual
@@ -337,38 +369,68 @@ object TextDedup {
   private[graft] def substringDedupImpl(docs: DataFrame, idCol: String,
       textCol: String, spanTokens: Int, native: Boolean,
       prior: DataFrame = null): DataFrame = {
-    val windows = windowExplode(docs, idCol, textCol, spanTokens, native)
-    val firsts = windows.groupBy("__h")
-      .agg(min(struct(col("__id"), col("pos"))).as("__first"))
-    val withSeen =
+    // the window frame is NOT cached: its two consumers re-run the
+    // explode, which is one codegen'd kernel pass over the scan —
+    // measured cheaper than writing the n_tokens-per-doc narrow frame
+    // into the cache (0.26 s recompute vs ~0.4 s persist at sf0.1,
+    // and at 100 TB the cache write is a full extra materialization)
+    def windows = windowExplode(docs, idCol, textCol, spanTokens, native)
+    // only DUPLICATED hashes can mark a range (cnt > 1), so the probe's
+    // build side is the repeated-window set — tiny on real corpora, and
+    // AQE broadcasts the join at runtime when it is (the r9 chunkDedup
+    // rework applied to sliding windows; unique windows, the
+    // overwhelming mass, flow through one left join untouched)
+    val dupFirsts = windows.groupBy("__h")
+      .agg(min(struct(col("__id"), col("pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .where(col("__cnt") > 1)
+      .select("__h", "__first")
+    val flagged =
       if (prior == null)
-        windows.join(firsts, "__h").withColumn("__seen", lit(false))
+        windows.join(dupFirsts, Seq("__h"), "left")
+          .withColumn("__seen", lit(false))
       else
-        windows.join(firsts, "__h")
+        windows.join(dupFirsts, Seq("__h"), "left")
           .join(prior.select(col("window_hash").as("__h")).distinct()
             .withColumn("__s", lit(true)), Seq("__h"), "left")
           .withColumn("__seen", coalesce(col("__s"), lit(false)))
           .drop("__s")
-    val dupPos = withSeen
+    val dupPos = flagged
       .where(col("__seen") ||
-        struct(col("__id"), col("pos")) =!= col("__first"))
+        (col("__first").isNotNull &&
+          struct(col("__id"), col("pos")) =!= col("__first")))
       .groupBy("__id")
       .agg(sort_array(collect_list(col("pos"))).as("__dups"))
-    val toks = TextFunctions.tokens(col(textCol))
-    docs
+    val joined = docs
       .join(dupPos, docs(idCol) === dupPos("__id"), "left")
       .select(col(idCol),
         coalesce(col("__dups"), array().cast("array<int>")).as("__dups"),
-        toks.as("__toks"))
-      .select(col(idCol),
-        array_join(filter(col("__toks"), (t, i) =>
-          !exists(col("__dups"),
-            p => p <= i && i < p + spanTokens)), " ").as(textCol),
-        size(filter(col("__toks"), (t, i) =>
-          !exists(col("__dups"),
-            p => p <= i && i < p + spanTokens))).cast("long")
-          .as("n_tokens_kept"),
-        size(col("__toks")).cast("long").as("n_tokens_total"))
+        col(textCol).as("__text"))
+    if (native)
+      // one coverage pass over the token array (the HOF form pays
+      // O(tokens × ranges) exists() scans TWICE — once for the text,
+      // once for the count)
+      joined
+        .withColumn("__rb", call_function("drop_token_spans",
+          col("__text"), col("__dups"), lit(spanTokens)))
+        .select(col(idCol),
+          col("__rb.text").as(textCol),
+          col("__rb.n_kept").as("n_tokens_kept"),
+          col("__rb.n_total").as("n_tokens_total"))
+    else {
+      val toks = TextFunctions.tokens(col("__text"))
+      joined
+        .select(col(idCol), col("__dups"), toks.as("__toks"))
+        .select(col(idCol),
+          array_join(filter(col("__toks"), (t, i) =>
+            !exists(col("__dups"),
+              p => p <= i && i < p + spanTokens)), " ").as(textCol),
+          size(filter(col("__toks"), (t, i) =>
+            !exists(col("__dups"),
+              p => p <= i && i < p + spanTokens))).cast("long")
+            .as("n_tokens_kept"),
+          size(col("__toks")).cast("long").as("n_tokens_total"))
+    }
   }
 
   /** Prefix-filtered postings: (doc, block, sz, sh), keeping per doc

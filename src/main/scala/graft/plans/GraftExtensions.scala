@@ -66,6 +66,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextScoresExpr].getName, "text_scores"),
       (args: Seq[Expression]) => TextScoresExpr(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("text_full_stats"),
+      new ExpressionInfo(classOf[TextFullStatsExpr].getName, "text_full_stats"),
+      (args: Seq[Expression]) => TextFullStatsExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("text_rep_scores"),
+      new ExpressionInfo(classOf[TextRepScoresExpr].getName, "text_rep_scores"),
+      (args: Seq[Expression]) => TextRepScoresExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fingerprint_md5"),
+      new ExpressionInfo(classOf[FingerprintMd5Expr].getName, "fingerprint_md5"),
+      (args: Seq[Expression]) => FingerprintMd5Expr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("classifier_milli"),
+      new ExpressionInfo(classOf[ClassifierMilliExpr].getName, "classifier_milli"),
+      (args: Seq[Expression]) => ClassifierMilliExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("chunk_hashes"),
+      new ExpressionInfo(classOf[ChunkHashesExpr].getName, "chunk_hashes"),
+      (args: Seq[Expression]) => ChunkHashesExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("gram_buckets"),
+      new ExpressionInfo(classOf[GramBucketsExpr].getName, "gram_buckets"),
+      (args: Seq[Expression]) => GramBucketsExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("classifier_weighted"),
+      new ExpressionInfo(classOf[ClassifierWeightedExpr].getName, "classifier_weighted"),
+      (args: Seq[Expression]) => ClassifierWeightedExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("subword_count"),
+      new ExpressionInfo(classOf[SubwordCountExpr].getName, "subword_count"),
+      (args: Seq[Expression]) => SubwordCountExpr(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("drop_token_spans"),
+      new ExpressionInfo(classOf[DropTokenSpansExpr].getName, "drop_token_spans"),
+      (args: Seq[Expression]) => DropTokenSpansExpr(args(0), args(1), args(2))))
+    ext.injectFunction((
       FunctionIdentifier("text_gate"),
       new ExpressionInfo(classOf[TextGateExpr].getName, "text_gate"),
       (args: Seq[Expression]) => TextGateExpr(args(0), args(1), args(2))))

@@ -1,0 +1,435 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass native kernels for the per-row text operators whose HOF
+  * forms evaluate interpreted (the [[TextScores]] motivation): the
+  * Gopher repetition signals, the md5-token rolling fingerprint, the
+  * hashed-gram classifier score, and the dedup-rebuild span filter.
+  * Every kernel is VALUE-IDENTICAL to its Column-expression fallback —
+  * asserted row-for-row (incl. edge cases) in GraftExtensionsSpec; the
+  * HOF forms remain the vanilla-session path.
+  *
+  * Why these exist (r9): the bench's count() → noop-sink fix exposed
+  * that the output columns of q59/q24/q72 and the q67/q84 rebuilds had
+  * never been timed — Catalyst pruned them under count(1). Honestly
+  * materialized, the HOF forms cost 0.4–4 ms/row interpreted; the
+  * kernels are single-pass loops over the token array.
+  */
+object TextKernels {
+
+  /** (dup_frac, top2, top3) — [[graft.functions.TextFunctions
+    * .dupTokenFraction]] and `topNgramFraction(_, 2 | 3)` in one
+    * tokenize + one counting pass. Gram counting is by exact STRING
+    * (HashMap), matching the HOF's distinct-gram equality semantics
+    * with no hash-collision caveat. */
+  def repScores(text: UTF8String): InternalRow = {
+    val (toks, trimmedEmpty) = TextScores.tokenize(text)
+    if (trimmedEmpty)
+      return new GenericInternalRow(Array[Any](0.0, 0.0, 0.0))
+    val n = toks.length
+    val distinct = new java.util.HashSet[String]()
+    // top-n gram fraction, n = 2 and 3: gram i = tokens [i, i+n) with
+    // slice truncation at the array end; gramCount = max(n_tok−n,0)+1
+    val g2 = new java.util.HashMap[String, Integer]()
+    val g3 = new java.util.HashMap[String, Integer]()
+    val c2 = math.max(n - 2, 0) + 1
+    val c3 = math.max(n - 3, 0) + 1
+    var max2 = 0
+    var max3 = 0
+    var i = 0
+    while (i < n) {
+      distinct.add(toks(i))
+      if (i < c2) {
+        val g = if (i + 1 < n) toks(i) + " " + toks(i + 1) else toks(i)
+        val c = g2.merge(g, 1, (a, b) => a + b)
+        if (c > max2) max2 = c
+      }
+      if (i < c3) {
+        val g =
+          if (i + 2 < n) toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+          else if (i + 1 < n) toks(i) + " " + toks(i + 1)
+          else toks(i)
+        val c = g3.merge(g, 1, (a, b) => a + b)
+        if (c > max3) max3 = c
+      }
+      i += 1
+    }
+    val dup = 1.0 - distinct.size.toDouble / math.max(n, 1).toDouble
+    new GenericInternalRow(Array[Any](dup,
+      max2.toDouble / math.max(c2, 1).toDouble,
+      max3.toDouble / math.max(c3, 1).toDouble))
+  }
+
+  val RepSchema: StructType = StructType(Seq(
+    StructField("dup_frac", DoubleType, nullable = false),
+    StructField("top2", DoubleType, nullable = false),
+    StructField("top3", DoubleType, nullable = false)))
+
+  /** conv(substring(md5(token),1,8),16,10) — the first four MD5 bytes
+    * of the token's UTF-8 form as an unsigned 32-bit value, without
+    * the hex-string round-trip. */
+  private def md5Head(md: java.security.MessageDigest, t: String): Long = {
+    md.reset()
+    val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** [[graft.functions.TextFunctions.fingerprint]]: left fold
+    * acc → (acc·31 + h) mod 1e9+7, seeded with the first token's
+    * hash. */
+  def fingerprintMd5(text: UTF8String): Long = {
+    val (toks, _) = TextScores.tokenize(text)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = md5Head(md, toks(0))
+    var i = 1
+    while (i < toks.length) {
+      acc = (acc * 31L + md5Head(md, toks(i))) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  /** [[graft.functions.TextFunctions.classifierScoreMilli]]: Σ over
+    * word uni+bigrams of w(md5-bucket), w(b) = (b·2654435761 mod 2³¹)
+    * mod 2001 − 1000. All operands non-negative, so Java % equals the
+    * Column form's %. */
+  def classifierMilli(text: UTF8String, buckets: Int): Long = {
+    val (toks, _) = TextScores.tokenize(text)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = buckets.toLong
+    var acc = 0L
+    var i = 0
+    val n = toks.length
+    while (i < n) {
+      val bkt = md5Head(md, toks(i)) % b
+      acc += bkt * 2654435761L % 2147483648L % 2001L - 1000L
+      if (i + 1 < n) {
+        val bkt2 = md5Head(md, toks(i) + "_" + toks(i + 1)) % b
+        acc += bkt2 * 2654435761L % 2147483648L % 2001L - 1000L
+      }
+      i += 1
+    }
+    acc
+  }
+
+  /** The q67/q84 REBUILD: tokens outside every [start, start+span)
+    * range re-joined with single spaces → (text, n_tokens_kept,
+    * n_tokens_total). One coverage pass instead of the HOF's
+    * O(tokens × ranges) exists() scan — twice (the HOF form computes
+    * the filtered array once for the text and once for the count). */
+  def dropTokenSpans(text: UTF8String, starts: ArrayData, span: Int): InternalRow = {
+    val (toks, _) = TextScores.tokenize(text)
+    val n = toks.length
+    val covered = new Array[Boolean](n)
+    var si = 0
+    val ns = starts.numElements()
+    while (si < ns) {
+      var p = starts.getInt(si)
+      val end = math.min(math.addExact(p, span), n)
+      if (p < 0) p = 0
+      while (p < end) { covered(p) = true; p += 1 }
+      si += 1
+    }
+    val sb = new java.lang.StringBuilder()
+    var kept = 0
+    var i = 0
+    while (i < n) {
+      if (!covered(i)) {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks(i))
+        kept += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(sb.toString), kept.toLong, n.toLong))
+  }
+
+  val DropSchema: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("n_total", LongType, nullable = false)))
+
+  /** [[graft.operators.TextDedup.chunkHashes]]'s per-chunk values:
+    * xxhash64 (seed 42 — Spark's own `xxhash64`) of each
+    * `chunkTokens`-token chunk STRING, so the kernel's values are
+    * BIT-IDENTICAL to the Column form and chunk-hash stores stay
+    * path-independent (unlike the flavor-bound window_hashes mix).
+    * One tokenize + one builder pass per chunk instead of the
+    * interpreted transform/concat_ws/slice chain. */
+  def chunkHashes(text: UTF8String, chunkTokens: Int): ArrayData = {
+    val (toks, _) = TextScores.tokenize(text)
+    val n = toks.length
+    val nChunks = math.max((n + chunkTokens - 1) / chunkTokens, 1)
+    val out = new Array[Long](nChunks)
+    val sb = new java.lang.StringBuilder()
+    var c = 0
+    while (c < nChunks) {
+      sb.setLength(0)
+      var i = c * chunkTokens
+      val end = math.min(i + chunkTokens, n)
+      var first = true
+      while (i < end) {
+        // element flag, NOT sb.length — concat_ws separates empty
+        // tokens too ([""] ++ [""] joins to " ")
+        if (!first) sb.append(' ')
+        first = false
+        sb.append(toks(i))
+        i += 1
+      }
+      out(c) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(UTF8String.fromString(sb.toString),
+          org.apache.spark.sql.types.StringType, 42L)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[graft.operators.ImportanceModel.gramBuckets]]: md5 bucket ids
+    * of the word uni+bigrams, unigrams first then bigrams (the HOF
+    * concat order). Feeds the training explode without the
+    * interpreted per-gram md5-hex-conv chain. */
+  def gramBuckets(text: UTF8String, buckets: Int): ArrayData = {
+    val (toks, _) = TextScores.tokenize(text)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = buckets.toLong
+    val n = toks.length
+    val out = new Array[Long](n + math.max(n - 1, 0))
+    var i = 0
+    while (i < n) {
+      out(i) = md5Head(md, toks(i)) % b
+      if (i + 1 < n) out(n + i) = md5Head(md, toks(i) + "_" + toks(i + 1)) % b
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[graft.operators.ImportanceModel.score]] as a map-only pass:
+    * Σ over word uni+bigrams of weightsByBucket(md5-bucket(gram)) —
+    * the trained-weight sibling of [[classifierMilli]]. The bucket
+    * count is the array length; unseen buckets carry 0. */
+  def classifierWeighted(text: UTF8String, weights: ArrayData): Long = {
+    val (toks, _) = TextScores.tokenize(text)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = weights.numElements().toLong
+    var acc = 0L
+    var i = 0
+    val n = toks.length
+    while (i < n) {
+      acc += weights.getLong((md5Head(md, toks(i)) % b).toInt)
+      if (i + 1 < n)
+        acc += weights.getLong((md5Head(md, toks(i) + "_" + toks(i + 1)) % b).toInt)
+      i += 1
+    }
+    acc
+  }
+
+  /** [[graft.operators.Bpe.subwordCount]]: Σ over non-empty tokens of
+    * the symbol count after applying the merge table in rank order —
+    * char symbols (code-point granular, regex zero-width matches never
+    * split a surrogate pair, matching Spark's split-by-"" semantics)
+    * with `</w>` on the word-final symbol, each merge applied
+    * leftmost-first non-overlapping (the applyMerge fold). The HOF
+    * form nests one interpreted fold per merge per word; this is
+    * |merges| array passes in Java. */
+  def subwordCount(text: UTF8String, lefts: ArrayData, rights: ArrayData): Long = {
+    val (toks, _) = TextScores.tokenize(text)
+    val nm = lefts.numElements()
+    val ls = new Array[String](nm)
+    val rs = new Array[String](nm)
+    var m = 0
+    while (m < nm) {
+      ls(m) = lefts.getUTF8String(m).toString
+      rs(m) = rights.getUTF8String(m).toString
+      m += 1
+    }
+    var total = 0L
+    var ti = 0
+    while (ti < toks.length) {
+      val w = toks(ti)
+      if (w.nonEmpty) {
+        // char symbols by code point, "</w>" appended to the last
+        var syms = new java.util.ArrayList[String](w.length + 1)
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          val n = Character.charCount(cp)
+          syms.add(w.substring(i, i + n))
+          i += n
+        }
+        syms.set(syms.size - 1, syms.get(syms.size - 1) + "</w>")
+        m = 0
+        while (m < nm) {
+          val a = ls(m)
+          val b = rs(m)
+          val ab = a + b
+          val out = new java.util.ArrayList[String](syms.size)
+          var j = 0
+          while (j < syms.size) {
+            val s = syms.get(j)
+            if (!out.isEmpty && out.get(out.size - 1) == a && s == b)
+              out.set(out.size - 1, ab)
+            else out.add(s)
+            j += 1
+          }
+          syms = out
+          m += 1
+        }
+        total += syms.size
+      }
+      ti += 1
+    }
+    total
+  }
+}
+
+/** `text_rep_scores(text)` → struct<dup_frac, top2, top3>. */
+case class TextRepScoresExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextKernels.RepSchema
+  override def prettyName: String = "text_rep_scores"
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.repScores(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.repScores($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `fingerprint_md5(text)` → bigint. */
+case class FingerprintMd5Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint_md5"
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.fingerprintMd5(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.fingerprintMd5($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `classifier_milli(text, buckets)` → bigint. */
+case class ClassifierMilliExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "classifier_milli"
+
+  override def nullSafeEval(text: Any, buckets: Any): Any =
+    TextKernels.classifierMilli(text.asInstanceOf[UTF8String],
+      buckets.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, b) =>
+      s"${ev.value} = graft.plans.TextKernels.classifierMilli($c, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** `chunk_hashes(text, chunk_tokens)` → array<bigint>. */
+case class ChunkHashesExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "chunk_hashes"
+
+  override def nullSafeEval(text: Any, chunkTokens: Any): Any =
+    TextKernels.chunkHashes(text.asInstanceOf[UTF8String],
+      chunkTokens.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, ct) =>
+      s"${ev.value} = graft.plans.TextKernels.chunkHashes($c, $ct);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** `gram_buckets(text, buckets)` → array<bigint>. */
+case class GramBucketsExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_buckets"
+
+  override def nullSafeEval(text: Any, buckets: Any): Any =
+    TextKernels.gramBuckets(text.asInstanceOf[UTF8String],
+      buckets.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, b) =>
+      s"${ev.value} = graft.plans.TextKernels.gramBuckets($c, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** `classifier_weighted(text, weights_by_bucket)` → bigint. */
+case class ClassifierWeightedExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "classifier_weighted"
+
+  override def nullSafeEval(text: Any, weights: Any): Any =
+    TextKernels.classifierWeighted(text.asInstanceOf[UTF8String],
+      weights.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, w) =>
+      s"${ev.value} = graft.plans.TextKernels.classifierWeighted($c, $w);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** `subword_count(text, merge_lefts, merge_rights)` → bigint. */
+case class SubwordCountExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "subword_count"
+
+  override def nullSafeEval(text: Any, lefts: Any, rights: Any): Any =
+    TextKernels.subwordCount(text.asInstanceOf[UTF8String],
+      lefts.asInstanceOf[ArrayData], rights.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l, r) =>
+      s"${ev.value} = graft.plans.TextKernels.subwordCount($c, $l, $r);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `drop_token_spans(text, starts, span)` →
+  * struct<text, n_kept, n_total>. */
+case class DropTokenSpansExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = TextKernels.DropSchema
+  override def prettyName: String = "drop_token_spans"
+
+  override def nullSafeEval(text: Any, starts: Any, span: Any): Any =
+    TextKernels.dropTokenSpans(text.asInstanceOf[UTF8String],
+      starts.asInstanceOf[ArrayData], span.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, s, w) =>
+      s"${ev.value} = graft.plans.TextKernels.dropTokenSpans($c, $s, $w);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

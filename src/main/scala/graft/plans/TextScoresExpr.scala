@@ -48,7 +48,7 @@ object TextScores {
 
   /** lower(trim(text)) with `\s+` collapsed to single spaces — the
     * [[graft.functions.TextFunctions.normalizeText]] string. */
-  private def normalize(trimmedLower: String): String = {
+  private[plans] def normalize(trimmedLower: String): String = {
     val n = trimmedLower.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0
@@ -64,15 +64,25 @@ object TextScores {
 
   /** Java `split(" ", -1)` semantics: leading/trailing empties kept,
     * empty input yields a single empty token. */
-  private def splitSpace(s: String): Array[String] =
+  private[plans] def splitSpace(s: String): Array[String] =
     if (s.isEmpty) Array("") else s.split(" ", -1)
+
+  /** The [[graft.functions.TextFunctions.tokens]] array of `text`,
+    * with the trimmed-empty flag the HOF edge cases key off. */
+  private[plans] def tokenize(text: UTF8String): (Array[String], Boolean) = {
+    val trimmed = text.trim()
+    (splitSpace(normalize(trimmed.toLowerCase.toString)),
+      trimmed.numBytes() == 0)
+  }
 
   /** Spark `round(d, 6)` (RoundBase HALF_UP over BigDecimal.valueOf). */
   def round6(d: Double): Double =
     java.math.BigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
-  /** (lang_pred, quality[unrounded], t2[unrounded], n_tokens). */
-  def computeRaw(text: UTF8String): (String, Double, Double, Int) = {
+  /** (lang_pred, quality[unrounded], t2[unrounded], n_tokens,
+    * punct_ratio, stop_ratio) — the last two feed `text_full_stats`
+    * (they are computed on the way to quality/lang anyway). */
+  def computeRaw(text: UTF8String): (String, Double, Double, Int, Double, Double) = {
     val orig = text.toString
     val trimmed = text.trim()
     val trimmedEmpty = trimmed.numBytes() == 0
@@ -139,19 +149,28 @@ object TextScores {
       if (trimmedEmpty) 0.0
       else maxGram.toDouble / math.max(gramCount, 1).toDouble
 
-    (lang, quality, t2, nTokens)
+    (lang, quality, t2, nTokens, punctRatio, langRatio)
   }
 
   def compute(text: UTF8String): InternalRow = {
-    val (lang, quality, t2, nTokens) = computeRaw(text)
+    val (lang, quality, t2, nTokens, _, _) = computeRaw(text)
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(lang), quality, t2, nTokens.toLong))
+  }
+
+  /** The full q23 stat row: (n_tokens, punct_ratio, stop_ratio,
+    * lang_pred, quality) — same pass, wider output. */
+  def computeFull(text: UTF8String): InternalRow = {
+    val (lang, quality, _, nTokens, punctRatio, stopRatio) = computeRaw(text)
+    new GenericInternalRow(Array[Any](
+      nTokens.toLong, punctRatio, stopRatio,
+      UTF8String.fromString(lang), quality))
   }
 
   /** The q61 gate in one call: en + round6(quality) ≥ minQ +
     * round6(t2) ≤ maxT2 — identical to filtering the rounded columns. */
   def gate(text: UTF8String, minQuality: Double, maxT2: Double): Boolean = {
-    val (lang, quality, t2, _) = computeRaw(text)
+    val (lang, quality, t2, _, _, _) = computeRaw(text)
     lang == "en" && round6(quality) >= minQuality && round6(t2) <= maxT2
   }
 
@@ -160,6 +179,13 @@ object TextScores {
     StructField("quality", DoubleType, nullable = false),
     StructField("t2", DoubleType, nullable = false),
     StructField("n_tokens", LongType, nullable = false)))
+
+  val FullSchema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("stop_ratio", DoubleType, nullable = false),
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
 }
 
 /** `text_scores(text)` → struct<lang_pred, quality, t2, n_tokens>. */
@@ -173,6 +199,26 @@ case class TextScoresExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.TextScores.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `text_full_stats(text)` → struct<n_tokens, punct_ratio,
+  * stop_ratio, lang_pred, quality> — the q23 stat row in ONE pass
+  * (the HOF columns each re-normalize and re-tokenize the text;
+  * punct/stop ratios fall out of the [[TextScores.computeRaw]] loop
+  * that quality and lang-ID already pay for). */
+case class TextFullStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextScores.FullSchema
+  override def prettyName: String = "text_full_stats"
+
+  override def nullSafeEval(text: Any): Any =
+    TextScores.computeFull(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextScores.computeFull($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -263,16 +263,32 @@ object LlmQueries {
 
   /** §2 #20 — per-doc text analysis: token counts, punctuation and
     * stopword density, language heuristic, quality score. */
-  def q23TextStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
-        TextFunctions.bpeishTokenCount(col("text")).as("est_bpe_tokens"),
-        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
-        TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
-        TextFunctions.langId(col("text")).as("lang_pred"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
-      .orderBy("doc_id")
+  def q23TextStats(s: SparkSession, dir: String): DataFrame = {
+    // native: one text_full_stats pass — the HOF columns each
+    // re-normalize and re-tokenize; est_bpe stays a regexp_count
+    // (pattern scan, already codegen'd)
+    val base =
+      if (graft.plans.GraftExtensions.nativeAvailable)
+        t(s, dir, "documents")
+          .withColumn("__st", call_function("text_full_stats", col("text")))
+          .select(col("doc_id"),
+            col("__st.n_tokens").as("n_tokens"),
+            TextFunctions.bpeishTokenCount(col("text")).as("est_bpe_tokens"),
+            col("__st.punct_ratio").as("punct_ratio"),
+            col("__st.stop_ratio").as("stop_ratio"),
+            col("__st.lang_pred").as("lang_pred"),
+            col("__st.quality").as("quality"))
+      else
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+          TextFunctions.bpeishTokenCount(col("text")).as("est_bpe_tokens"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+          TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+    base.orderBy("doc_id")
+  }
 
   /** §2 #20 — rolling-hash document fingerprint (md5-token polynomial
     * fold mod 1e9+7 — engine-portable). */
@@ -506,15 +522,29 @@ object LlmQueries {
     * row-local Column HOFs (no hashing — both engines compute on the
     * literal n-gram strings), thresholds applied to the rounded values
     * on both sides. */
-  def q59Repetition(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-        col("doc_id"),
-        round(TextFunctions.dupTokenFraction(col("text")), 6).as("dup_token_frac"),
-        round(TextFunctions.topNgramFraction(col("text"), 2), 6).as("top2_frac"),
-        round(TextFunctions.topNgramFraction(col("text"), 3), 6).as("top3_frac"))
+  def q59Repetition(s: SparkSession, dir: String): DataFrame = {
+    // native: ONE text_rep_scores pass (tokenize once, count grams by
+    // exact string) — the HOF forms are interpreted and the top-n-gram
+    // count is O(distinct·grams) string comparisons per row
+    val scored =
+      if (graft.plans.GraftExtensions.nativeAvailable)
+        t(s, dir, "documents")
+          .withColumn("__r", call_function("text_rep_scores", col("text")))
+          .select(col("doc_id"),
+            round(col("__r.dup_frac"), 6).as("dup_token_frac"),
+            round(col("__r.top2"), 6).as("top2_frac"),
+            round(col("__r.top3"), 6).as("top3_frac"))
+      else
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          round(TextFunctions.dupTokenFraction(col("text")), 6).as("dup_token_frac"),
+          round(TextFunctions.topNgramFraction(col("text"), 2), 6).as("top2_frac"),
+          round(TextFunctions.topNgramFraction(col("text"), 3), 6).as("top3_frac"))
+    scored
       .withColumn("is_repetitive",
         col("dup_token_frac") > 0.4 || col("top2_frac") > 0.2)
       .orderBy("doc_id")
+  }
 
   /** New-in-r6 — PII scrub before release: deterministic synthetic
     * contact lines injected per doc, then the email→IPv4 redaction

@@ -254,9 +254,9 @@ object StreamingDedup {
           newHashes.write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(storeDir)
         } finally {
-          // chunkDedupAgainst registers its chunk frame with the
-          // CacheRegistry; a long-lived stream must drop it per batch
-          // or the registry grows one entry per micro-batch forever
+          // defensive: release anything an operator registered this
+          // batch (the chunk path no longer caches, but a long-lived
+          // stream must never accumulate registry entries)
           graft.operators.CacheRegistry.releaseAll()
         }
         ()

@@ -228,4 +228,138 @@ class GraftExtensionsSpec extends SparkTestBase {
     val gates = both.select("gate").distinct().count()
     assert(gates == 2, s"gate is constant ($gates distinct values)")
   }
+
+  /** Corpus + the text_scores edge battery — shared by the r9 kernel
+    * equivalence tests. */
+  private def kernelDocs = {
+    import spark.implicits._
+    val edges = Seq(
+      "", " ", "\t", " \t \n x", "a", "a a a a a a a a a a a",
+      "the of and to in is it that was for", "Xin chào thế giới ạ",
+      "Grüße aus München straße", "!!!??? ###", "mixed CASE Text Here",
+      "word " * 600, ("tok" + ("a b " * 30)) * 2, "ßẞ İstanbul",
+      "emoji 😀 pair 😀!", "a  b   cd\fe\rf").toDF("text")
+    Tables.load(spark, sf0001, "documents").select(col("text"))
+      .unionByName(edges)
+  }
+
+  test("native text_rep_scores ≡ HOF repetition columns, bit-equal incl. edges") {
+    import graft.functions.TextFunctions
+    val diff = kernelDocs.select(
+        call_function("text_rep_scores", col("text")).as("n"),
+        round(TextFunctions.dupTokenFraction(col("text")), 6).as("dup_hof"),
+        round(TextFunctions.topNgramFraction(col("text"), 2), 6).as("t2_hof"),
+        round(TextFunctions.topNgramFraction(col("text"), 3), 6).as("t3_hof"))
+      .where(round(col("n.dup_frac"), 6) =!= col("dup_hof") ||
+        round(col("n.top2"), 6) =!= col("t2_hof") ||
+        round(col("n.top3"), 6) =!= col("t3_hof")).count()
+    assert(diff == 0, s"$diff rows diverge between native and HOF repetition scores")
+  }
+
+  test("native text_full_stats ≡ HOF stat columns, bit-equal incl. edges") {
+    import graft.functions.TextFunctions
+    val diff = kernelDocs.select(
+        call_function("text_full_stats", col("text")).as("n"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("nt_hof"),
+        TextFunctions.punctRatio(col("text")).as("punct_hof"),
+        TextFunctions.stopwordRatio(col("text")).as("stop_hof"),
+        TextFunctions.langId(col("text")).as("lang_hof"),
+        TextFunctions.qualityScore(col("text")).as("q_hof"))
+      .where(col("n.n_tokens") =!= col("nt_hof") ||
+        col("n.punct_ratio") =!= col("punct_hof") ||
+        col("n.stop_ratio") =!= col("stop_hof") ||
+        col("n.lang_pred") =!= col("lang_hof") ||
+        col("n.quality") =!= col("q_hof")).count()
+    assert(diff == 0, s"$diff rows diverge between native and HOF full stats")
+  }
+
+  test("native fingerprint_md5 / classifier_milli ≡ portable Column folds") {
+    import graft.functions.TextFunctions
+    val diff = kernelDocs.select(
+        call_function("fingerprint_md5", col("text")).as("fp_n"),
+        TextFunctions.fingerprintHof(col("text")).as("fp_hof"),
+        call_function("classifier_milli", col("text"), lit(65536)).as("cl_n"),
+        TextFunctions.classifierScoreMilliHof(col("text")).as("cl_hof"))
+      .where(col("fp_n") =!= col("fp_hof") ||
+        col("cl_n") =!= col("cl_hof")).count()
+    assert(diff == 0, s"$diff rows diverge on fingerprint/classifier kernels")
+  }
+
+  test("native subword_count ≡ nested-fold HOF form, bit-equal incl. edges") {
+    import graft.operators.Bpe
+    val merges = Seq(
+      Bpe.Merge(0, "e", "</w>", "e</w>", 0L),
+      Bpe.Merge(1, "t", "h", "th", 0L),
+      Bpe.Merge(2, "th", "e</w>", "the</w>", 0L),
+      Bpe.Merge(3, "a", "a", "aa", 0L), // the overlap-chain edge
+      Bpe.Merge(4, "i", "n", "in", 0L))
+    val docs = kernelDocs
+    val nat = Bpe.subwordCount(docs, "text", merges)
+      .select("n_subwords").collect().map(_.getLong(0)).toSeq
+    val hof = Bpe.subwordCountHof(docs, "text", merges)
+      .select("n_subwords").collect().map(_.getLong(0)).toSeq
+    assert(nat == hof && nat.exists(_ > 0))
+  }
+
+  test("native chunk_hashes ≡ xxhash64 of chunk strings, BIT-identical incl. edges") {
+    import graft.operators.TextDedup
+    // unlike the flavor-bound window mix, chunk-hash VALUES must be
+    // path-independent (persisted stores written under either path
+    // must interoperate) — assert the hashes themselves, per element
+    val toksC = graft.functions.TextFunctions.tokens(col("text"))
+    val nChunks = greatest(ceil(size(toksC).cast("double") / 10).cast("int"), lit(1))
+    val hofHashes = transform(
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toksC, i * 10 + 1, lit(10)))),
+      c => xxhash64(c))
+    val diff = kernelDocs.select(
+        call_function("chunk_hashes", col("text"), lit(10)).as("n"),
+        hofHashes.as("h"))
+      .where(col("n") =!= col("h")).count()
+    assert(diff == 0, s"$diff rows diverge on chunk hash values")
+  }
+
+  test("native gram_buckets ≡ HOF gram buckets, element-for-element incl. edges") {
+    import graft.operators.ImportanceModel
+    val diff = kernelDocs.select(
+        call_function("gram_buckets", col("text"), lit(65536)).as("n"),
+        ImportanceModel.gramBucketsHof(col("text")).as("h"))
+      .where(col("n") =!= col("h")).count()
+    assert(diff == 0, s"$diff rows diverge on gram buckets")
+  }
+
+  test("native classifier_weighted ≡ broadcast-join scoring, bit-equal") {
+    import graft.operators.ImportanceModel
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val weights = ImportanceModel.train(docs, "text",
+      isTarget = col("doc_id") % 2 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("score_milli"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nat = rows(ImportanceModel.score(docs, "doc_id", "text", weights))
+    val hof = rows(ImportanceModel.scoreViaJoin(docs, "doc_id", "text", weights))
+    assert(nat == hof && nat.exists(_._2 != 0L))
+  }
+
+  test("native drop_token_spans rebuild ≡ HOF rebuild: identical chunkDedup result") {
+    import graft.operators.TextDedup
+    // the q67 corpus shape: shared boilerplate prefix on every 4th doc
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("shared banner tokens one two three four five six seven "),
+            col("text"))).otherwise(col("text")).as("text"))
+      .limit(300)
+    def run(native: Boolean) =
+      TextDedup.chunkDedupImpl(docs, "doc_id", "text", 10, prior = null,
+          native = native)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val nat = run(native = true)
+    val hof = run(native = false)
+    assert(nat == hof && nat.nonEmpty)
+    assert(nat.exists(r => r._3 < r._4), "planted boilerplate must dedup")
+  }
 }
