@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ClassifierMilliExpr].getName, "classifier_milli"),
       (args: Seq[Expression]) => ClassifierMilliExpr(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("pii_scan"),
+      new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),
+      (args: Seq[Expression]) => PiiScanExpr(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("chunk_hashes"),
       new ExpressionInfo(classOf[ChunkHashesExpr].getName, "chunk_hashes"),
       (args: Seq[Expression]) => ChunkHashesExpr(args(0), args(1))))

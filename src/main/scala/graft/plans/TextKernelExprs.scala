@@ -158,6 +158,52 @@ object TextKernels {
     StructField("n_kept", LongType, nullable = false),
     StructField("n_total", LongType, nullable = false)))
 
+  private val EmailPattern =
+    java.util.regex.Pattern.compile(graft.functions.TextFunctions.EmailRe)
+  private val Ipv4Pattern =
+    java.util.regex.Pattern.compile(graft.functions.TextFunctions.Ipv4Re)
+
+  /** The q60 PII pass fused: (n_emails, n_ips, md5 of the
+    * email→IPv4-redacted text). SAME java.util.regex engine and
+    * patterns as the Column chain — the fusion only removes repeated
+    * passes (the Column form runs regexp_count twice + regexp_replace
+    * twice over fresh string conversions): emails count+replace in
+    * one matcher walk, IPs count on the ORIGINAL text (the chain
+    * counts pre-redaction) and replace on the email-redacted text. */
+  def piiScan(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val sb = new java.lang.StringBuilder()
+    val em = EmailPattern.matcher(s)
+    var nEmails = 0L
+    while (em.find()) { nEmails += 1; em.appendReplacement(sb, "<EMAIL>") }
+    em.appendTail(sb)
+    val afterEmail = sb.toString
+    val ipCount = Ipv4Pattern.matcher(s)
+    var nIps = 0L
+    while (ipCount.find()) nIps += 1
+    val sb2 = new java.lang.StringBuilder()
+    val ip = Ipv4Pattern.matcher(afterEmail)
+    while (ip.find()) ip.appendReplacement(sb2, "<IP>")
+    ip.appendTail(sb2)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(
+      sb2.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < dig.length) {
+      hex.append(Character.forDigit((dig(i) >> 4) & 0xf, 16))
+      hex.append(Character.forDigit(dig(i) & 0xf, 16))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nEmails, nIps,
+      UTF8String.fromString(hex.toString)))
+  }
+
+  val PiiSchema: StructType = StructType(Seq(
+    StructField("n_emails", LongType, nullable = false),
+    StructField("n_ips", LongType, nullable = false),
+    StructField("redacted_md5", StringType, nullable = false)))
+
   /** [[graft.operators.TextDedup.chunkHashes]]'s per-chunk values:
     * xxhash64 (seed 42 — Spark's own `xxhash64`) of each
     * `chunkTokens`-token chunk STRING, so the kernel's values are
@@ -339,6 +385,22 @@ case class ClassifierMilliExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** `pii_scan(text)` → struct<n_emails, n_ips, redacted_md5>. */
+case class PiiScanExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextKernels.PiiSchema
+  override def prettyName: String = "pii_scan"
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.piiScan(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.piiScan($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `chunk_hashes(text, chunk_tokens)` → array<bigint>. */

@@ -556,7 +556,19 @@ object LlmQueries {
       concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
         lit("@mail.example.com from host 10.0."),
         (col("doc_id") % 200).cast("string"), lit(".25")))
-    withPii.select(
+    // native: the counts, the two-stage redaction and the md5 fuse
+    // into one pii_scan call — same java.util.regex engine, the
+    // fusion only deletes the repeated passes (the Column chain runs
+    // four regex walks plus md5 over fresh conversions)
+    if (graft.plans.GraftExtensions.nativeAvailable)
+      withPii
+        .withColumn("__p", call_function("pii_scan", col("text2")))
+        .select(col("doc_id"),
+          col("__p.n_emails").as("n_emails"),
+          col("__p.n_ips").as("n_ips"),
+          col("__p.redacted_md5").as("redacted_md5"))
+        .orderBy("doc_id")
+    else withPii.select(
         col("doc_id"),
         regexp_count(col("text2"), lit(TextFunctions.EmailRe))
           .cast("long").as("n_emails"),

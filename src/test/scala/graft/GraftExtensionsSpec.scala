@@ -301,6 +301,30 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(nat == hof && nat.exists(_ > 0))
   }
 
+  test("native pii_scan ≡ regexp_count/redact/md5 Column chain, bit-equal incl. edges") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val piiEdges = Seq(
+      "plain text no pii", "a@b.co", "x@y.zz 1.2.3.4", "1.2.3.4.5 deep",
+      "999.999.999.999", "v1.2.3.4-suffix", "a.b@c-d.e.fg tail",
+      "two a@b.cc b@c.dd mails 10.0.0.1 and 10.0.0.2",
+      "email-in-ip 1.2.3.4a@b.cc", "trailing dot a@b.cc.", "",
+      "unicode ü@example.de 😀 7.7.7.7").toDF("text")
+    val docs = Tables.load(spark, sf0001, "documents").select(col("text"))
+      .unionByName(piiEdges)
+    val diff = docs.select(
+        call_function("pii_scan", col("text")).as("n"),
+        regexp_count(col("text"), lit(TextFunctions.EmailRe))
+          .cast("long").as("ne_hof"),
+        regexp_count(col("text"), lit(TextFunctions.Ipv4Re))
+          .cast("long").as("ni_hof"),
+        md5(TextFunctions.redactPii(col("text"))).as("md5_hof"))
+      .where(col("n.n_emails") =!= col("ne_hof") ||
+        col("n.n_ips") =!= col("ni_hof") ||
+        col("n.redacted_md5") =!= col("md5_hof")).count()
+    assert(diff == 0, s"$diff rows diverge between pii_scan and the Column chain")
+  }
+
   test("native chunk_hashes ≡ xxhash64 of chunk strings, BIT-identical incl. edges") {
     import graft.operators.TextDedup
     // unlike the flavor-bound window mix, chunk-hash VALUES must be
