@@ -263,6 +263,54 @@ class PropertySpec extends SparkTestBase {
       s"body corruption must keep intact leading frames: $gotC vs $full")
   }
 
+  /** Random "texts" stressing the tokenizer edges the kernels share:
+    * multi-whitespace runs, mixed case, unicode, punct, repetition. */
+  private val textGen: Gen[String] = Gen.listOfN(60, Gen.frequency(
+    6 -> Gen.oneOf("the", "cat", "sat", "aa", "a", "Straße", "émü",
+      "x1.2", "!?", "😀", "word"),
+    2 -> Gen.oneOf(" ", "  ", "\t", "\n"),
+    1 -> Gen.alphaNumStr.map(_.take(6)))).map(_.mkString(" "))
+
+  test("r9 kernels ≡ Column forms on random unicode text (drop spans, subwords, rep scores)") {
+    import graft.functions.TextFunctions
+    import graft.operators.{Bpe, TextDedup}
+    val texts = samples(Gen.listOfN(25, textGen), 4).flatten
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // chunk dedup: native rebuild vs HOF rebuild, row-for-row
+    def chunkRun(native: Boolean) =
+      TextDedup.chunkDedupImpl(docs, "doc_id", "text", 3, prior = null,
+          native = native)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(chunkRun(true) == chunkRun(false))
+    // substring dedup likewise (small span → dense overlapping ranges)
+    def subRun(native: Boolean) =
+      TextDedup.substringDedupImpl(docs, "doc_id", "text", 4, native)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(subRun(true) == subRun(false))
+    // subword count under a merge table with chaining + marker merges
+    val merges = Seq(Bpe.Merge(0, "a", "a", "aa", 0), Bpe.Merge(1, "t", "h", "th", 0),
+      Bpe.Merge(2, "e", "</w>", "e</w>", 0), Bpe.Merge(3, "th", "e</w>", "the</w>", 0))
+    val nat = Bpe.subwordCount(docs, "text", merges)
+      .select("doc_id", "n_subwords").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hof = Bpe.subwordCountHof(docs, "text", merges)
+      .select("doc_id", "n_subwords").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nat == hof)
+    // repetition scores
+    val diff = docs.select(
+        call_function("text_rep_scores", col("text")).as("n"),
+        TextFunctions.dupTokenFraction(col("text")).as("d"),
+        TextFunctions.topNgramFraction(col("text"), 2).as("t2"),
+        TextFunctions.topNgramFraction(col("text"), 3).as("t3"))
+      .where(col("n.dup_frac") =!= col("d") || col("n.top2") =!= col("t2") ||
+        col("n.top3") =!= col("t3")).count()
+    assert(diff == 0)
+  }
+
   test("deleteInsert preserves non-delta rows exactly") {
     samples(rowsGen.flatMap(a => rowsGen.map(b => (a, b))), 6).foreach { case (baseRows, deltaRows) =>
       val base = baseRows.toDF("k", "seq", "v")
