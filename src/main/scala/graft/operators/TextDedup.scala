@@ -47,8 +47,12 @@ object TextDedup {
     * modulo ~2⁻⁶⁴ collisions). */
   def shingleHashes64(textCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
     if (graft.plans.GraftExtensions.nativeAvailable)
+      // token_hashes produces BIT-IDENTICAL xxhash64 values to the
+      // transform(tokens, xxhash64) HOF (which evaluates interpreted,
+      // one projection dispatch per token) — downstream shingle/band
+      // values and persisted artifacts are unchanged
       call_function("shingle_hashes",
-        transform(TextFunctions.tokens(textCol), t => xxhash64(t)), lit(n))
+        call_function("token_hashes", textCol), lit(n))
     else
       transform(shingles(textCol, n), s => xxhash64(s))
 
@@ -334,7 +338,7 @@ object TextDedup {
     val winHashes =
       if (native)
         call_function("window_hashes",
-          transform(toks, t => xxhash64(t)), lit(spanTokens))
+          call_function("token_hashes", col(textCol)), lit(spanTokens))
       else
         transform(winIdx,
           i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(spanTokens)))))

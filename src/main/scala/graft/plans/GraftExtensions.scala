@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ClassifierMilliExpr].getName, "classifier_milli"),
       (args: Seq[Expression]) => ClassifierMilliExpr(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("token_hashes"),
+      new ExpressionInfo(classOf[TokenHashesExpr].getName, "token_hashes"),
+      (args: Seq[Expression]) => TokenHashesExpr(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("pii_scan"),
       new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),
       (args: Seq[Expression]) => PiiScanExpr(args.head)))

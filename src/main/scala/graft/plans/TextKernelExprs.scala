@@ -239,6 +239,25 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** xxhash64 (seed 42 — Spark's `xxhash64`) of every token,
+    * BIT-IDENTICAL to `transform(tokens(text), xxhash64)` — the HOF
+    * form evaluates interpreted (one projection dispatch per token);
+    * this is one tokenize + one hash loop. Feeds shingle_hashes /
+    * window_hashes / minhash_sig without changing any downstream hash
+    * value, so persisted signature/band artifacts interoperate. */
+  def tokenHashes(text: UTF8String): ArrayData = {
+    val (toks, _) = TextScores.tokenize(text)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(UTF8String.fromString(toks(i)),
+          org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[graft.operators.ImportanceModel.gramBuckets]]: md5 bucket ids
     * of the word uni+bigrams, unigrams first then bigrams (the HOF
     * concat order). Feeds the training explode without the
@@ -398,6 +417,22 @@ case class PiiScanExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.TextKernels.piiScan($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `token_hashes(text)` → array<bigint>. */
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.tokenHashes(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.tokenHashes($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -325,6 +325,17 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(diff == 0, s"$diff rows diverge between pii_scan and the Column chain")
   }
 
+  test("native token_hashes ≡ transform(tokens, xxhash64), BIT-identical incl. edges") {
+    // values must be bit-equal: shingle/window/minhash artifacts
+    // persisted under either path have to interoperate
+    val diff = kernelDocs.select(
+        call_function("token_hashes", col("text")).as("n"),
+        transform(graft.functions.TextFunctions.tokens(col("text")),
+          t => xxhash64(t)).as("h"))
+      .where(col("n") =!= col("h")).count()
+    assert(diff == 0, s"$diff rows diverge on token hash values")
+  }
+
   test("native chunk_hashes ≡ xxhash64 of chunk strings, BIT-identical incl. edges") {
     import graft.operators.TextDedup
     // unlike the flavor-bound window mix, chunk-hash VALUES must be
