@@ -61,8 +61,15 @@ object MinHashLSH {
     * fine — minhash consumers only need set semantics + a fixed choice
     * per session). */
   def shingleHashes(textCol: Column, n: Int = 3): Column =
-    transform(TextDedup.shingleHashes64(textCol, n),
-      h => pmod(h, lit(Prime)))
+    if (graft.plans.GraftExtensions.nativeAvailable)
+      // array_pmod is value-identical to the transform; being native
+      // it keeps the whole shingle→signature projection codegen'd
+      // (any HOF in the chain would force it interpreted end-to-end)
+      call_function("array_pmod",
+        TextDedup.shingleHashes64(textCol, n), lit(Prime))
+    else
+      transform(TextDedup.shingleHashes64(textCol, n),
+        h => pmod(h, lit(Prime)))
 
   /** Engine-portable shingle hashes: md5 of the n-gram STRING (first 8
     * hex chars) mod P — DuckDB computes the identical value, enabling

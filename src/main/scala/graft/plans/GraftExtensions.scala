@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ClassifierMilliExpr].getName, "classifier_milli"),
       (args: Seq[Expression]) => ClassifierMilliExpr(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("array_pmod"),
+      new ExpressionInfo(classOf[ArrayPmodExpr].getName, "array_pmod"),
+      (args: Seq[Expression]) => ArrayPmodExpr(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("token_hashes"),
       new ExpressionInfo(classOf[TokenHashesExpr].getName, "token_hashes"),
       (args: Seq[Expression]) => TokenHashesExpr(args.head)))

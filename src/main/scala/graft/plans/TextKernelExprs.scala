@@ -239,6 +239,22 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Element-wise pmod of a long array — value-identical to
+    * `transform(arr, h => pmod(h, m))`, whose HOF presence forces the
+    * surrounding projection interpreted (the token_hashes motivation
+    * applied to the minhash shingle chain). */
+  def arrayPmod(arr: ArrayData, m: Long): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getLong(i) % m
+      out(i) = if (r < 0) r + m else r
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** xxhash64 (seed 42 — Spark's `xxhash64`) of every token,
     * BIT-IDENTICAL to `transform(tokens(text), xxhash64)` — the HOF
     * form evaluates interpreted (one projection dispatch per token);
@@ -420,6 +436,23 @@ case class PiiScanExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `array_pmod(arr, m)` → array<bigint>. */
+case class ArrayPmodExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "array_pmod"
+
+  override def nullSafeEval(arr: Any, m: Any): Any =
+    TextKernels.arrayPmod(arr.asInstanceOf[ArrayData], m.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, m) =>
+      s"${ev.value} = graft.plans.TextKernels.arrayPmod($a, $m);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 /** `token_hashes(text)` → array<bigint>. */

@@ -325,6 +325,17 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(diff == 0, s"$diff rows diverge between pii_scan and the Column chain")
   }
 
+  test("native array_pmod ≡ transform(arr, pmod), BIT-identical incl. negatives") {
+    import spark.implicits._
+    val arrs = Seq(Seq(-5L, 0L, 5L, Long.MinValue + 1, Long.MaxValue, -2305843009213693951L),
+      Seq.empty[Long]).toDF("a")
+    val diff = arrs.select(
+        call_function("array_pmod", col("a"), lit(2305843009213693951L)).as("n"),
+        transform(col("a"), h => pmod(h, lit(2305843009213693951L))).as("h"))
+      .where(col("n") =!= col("h")).count()
+    assert(diff == 0)
+  }
+
   test("native token_hashes ≡ transform(tokens, xxhash64), BIT-identical incl. edges") {
     // values must be bit-equal: shingle/window/minhash artifacts
     // persisted under either path have to interoperate
