@@ -158,36 +158,189 @@ object TextKernels {
     StructField("n_kept", LongType, nullable = false),
     StructField("n_total", LongType, nullable = false)))
 
-  private val EmailPattern =
-    java.util.regex.Pattern.compile(graft.functions.TextFunctions.EmailRe)
-  private val Ipv4Pattern =
-    java.util.regex.Pattern.compile(graft.functions.TextFunctions.Ipv4Re)
+  // ---- q60 regex-free PII scanners --------------------------------------
+  // EmailRe = [A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}
+  // Ipv4Re  = \b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b
+  // Both grammars are tiny ASCII-only regular languages, so matching runs
+  // directly over the UTF-8 bytes: every byte of a multi-byte code point
+  // is >= 0x80 and falls outside every character class, which preserves
+  // java.util.regex leftmost-greedy semantics byte-for-byte. The one
+  // construct that IS Unicode-sensitive in java.util.regex — \b, whose
+  // Bound node tests `ch == '_' || Character.isLetterOrDigit(ch)` rather
+  // than ASCII \w — is reproduced by decoding only the single code point
+  // adjacent to a candidate match. Bit-equality with the Column chain
+  // (regexp_count/regexp_replace on the same patterns) is asserted in
+  // GraftExtensionsSpec incl. unicode edges.
 
-  /** The q60 PII pass fused: (n_emails, n_ips, md5 of the
-    * email→IPv4-redacted text). SAME java.util.regex engine and
-    * patterns as the Column chain — the fusion only removes repeated
-    * passes (the Column form runs regexp_count twice + regexp_replace
-    * twice over fresh string conversions): emails count+replace in
-    * one matcher walk, IPs count on the ORIGINAL text (the chain
-    * counts pre-redaction) and replace on the email-redacted text. */
+  private val EmailTag = "<EMAIL>".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private val IpTag = "<IP>".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  @inline private def isAlphaB(c: Int): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  @inline private def isDigitB(c: Int): Boolean = c >= '0' && c <= '9'
+  @inline private def isLocalB(c: Int): Boolean =
+    isAlphaB(c) || isDigitB(c) || c == '.' || c == '_' || c == '%' ||
+      c == '+' || c == '-'
+  @inline private def isDomainB(c: Int): Boolean =
+    isAlphaB(c) || isDigitB(c) || c == '.' || c == '-'
+
+  /** java.util.regex \b word test for the code point whose UTF-8
+    * encoding STARTS at byte `i` (limit `n` exclusive). Invalid
+    * sequences decode to nothing → non-word, matching the U+FFFD the
+    * String path would see. */
+  private def isWordForward(b: Array[Byte], n: Int, i: Int): Boolean = {
+    val b0 = b(i) & 0xff
+    if (b0 < 0x80) return b0 == '_' || isAlphaB(b0) || isDigitB(b0)
+    var cp = 0
+    var len = 0
+    if (b0 >= 0xf0) { cp = b0 & 0x07; len = 4 }
+    else if (b0 >= 0xe0) { cp = b0 & 0x0f; len = 3 }
+    else if (b0 >= 0xc0) { cp = b0 & 0x1f; len = 2 }
+    else return false // bare continuation byte
+    var k = 1
+    while (k < len) {
+      if (i + k >= n || (b(i + k) & 0xc0) != 0x80) return false
+      cp = (cp << 6) | (b(i + k) & 0x3f)
+      k += 1
+    }
+    Character.isLetterOrDigit(cp)
+  }
+
+  /** Same \b word test for the code point whose encoding ENDS at byte
+    * `i` (inclusive). */
+  private def isWordBackward(b: Array[Byte], i: Int): Boolean = {
+    if ((b(i) & 0xff) < 0x80)
+      return { val c = b(i) & 0xff; c == '_' || isAlphaB(c) || isDigitB(c) }
+    var s = i
+    while (s > 0 && (b(s) & 0xc0) == 0x80) s -= 1
+    isWordForward(b, i + 1, s)
+  }
+
+  /** One leftmost-greedy EmailRe walk: counts matches and (when `out`
+    * is non-null) writes the `<EMAIL>`-redacted bytes. Local part is a
+    * maximal `[A-Za-z0-9._%+-]` run (the class excludes '@', so greedy
+    * backtracking never shortens it and any start inside a failing run
+    * also fails); the domain's `\.[A-Za-z]{2,}` backtrack is the
+    * largest x with `b(x)=='.'` and two alphas following — x > e-3 can
+    * never match because alpha ⊂ domain-class keeps alpha runs inside
+    * the domain run. */
+  private def emailPass(b: Array[Byte],
+      out: java.io.ByteArrayOutputStream): Long = {
+    val n = b.length
+    var count = 0L
+    var copied = 0
+    var i = 0
+    while (i < n) {
+      if (!isLocalB(b(i) & 0xff)) i += 1
+      else {
+        var t = i + 1
+        while (t < n && isLocalB(b(t) & 0xff)) t += 1
+        if (t < n && b(t) == '@') {
+          var e = t + 1
+          while (e < n && isDomainB(b(e) & 0xff)) e += 1
+          var matchEnd = -1
+          var x = e - 3
+          while (x >= t + 2 && matchEnd < 0) {
+            if (b(x) == '.' && isAlphaB(b(x + 1) & 0xff) &&
+                isAlphaB(b(x + 2) & 0xff)) {
+              var q = x + 3
+              while (q < e && isAlphaB(b(q) & 0xff)) q += 1
+              matchEnd = q
+            } else x -= 1
+          }
+          if (matchEnd >= 0) {
+            count += 1
+            if (out != null) {
+              out.write(b, copied, i - copied)
+              out.write(EmailTag, 0, EmailTag.length)
+              copied = matchEnd
+            }
+            i = matchEnd
+          } else i = t + 1
+        } else i = t + 1
+      }
+    }
+    if (out != null) out.write(b, copied, n - copied)
+    count
+  }
+
+  /** One Ipv4Re match attempt at `start` (a digit already known to sit
+    * on a \b). Returns the exclusive end or -1. Each `\d{1,3}` must
+    * consume its whole digit run (1–3 digits — giving digits back puts
+    * a digit where `\.`/`\b` needs a non-word byte, so all java
+    * backtracks fail identically). */
+  private def ipv4Match(b: Array[Byte], n: Int, start: Int): Int = {
+    var p = start
+    var oct = 0
+    while (oct < 4) {
+      val runStart = p
+      while (p < n && isDigitB(b(p) & 0xff)) p += 1
+      val r = p - runStart
+      if (r < 1 || r > 3) return -1
+      if (oct < 3) {
+        if (p >= n || b(p) != '.') return -1
+        p += 1
+      } else if (p < n && isWordForward(b, n, p)) return -1
+      oct += 1
+    }
+    p
+  }
+
+  /** One Ipv4Re walk: counts matches and (when `out` is non-null)
+    * writes the `<IP>`-redacted bytes. */
+  private def ipv4Pass(b: Array[Byte],
+      out: java.io.ByteArrayOutputStream): Long = {
+    val n = b.length
+    var count = 0L
+    var copied = 0
+    var i = 0
+    while (i < n) {
+      if (!isDigitB(b(i) & 0xff)) i += 1
+      else if (i > 0 && isWordBackward(b, i - 1)) {
+        // no \b anywhere inside this digit run — skip it whole
+        i += 1
+        while (i < n && isDigitB(b(i) & 0xff)) i += 1
+      } else {
+        val end = ipv4Match(b, n, i)
+        if (end > 0) {
+          count += 1
+          if (out != null) {
+            out.write(b, copied, i - copied)
+            out.write(IpTag, 0, IpTag.length)
+            copied = end
+          }
+          i = end
+        } else i += 1
+      }
+    }
+    if (out != null) out.write(b, copied, n - copied)
+    count
+  }
+
+  private val Md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** The q60 PII pass fused AND regex-free: (n_emails, n_ips, md5 of
+    * the email→IPv4-redacted text). Same observable semantics as the
+    * Column chain (emails count+replace on the original, IPs counted
+    * on the ORIGINAL text, IP replace on the email-redacted text), but
+    * via the byte scanners above — no regex engine, no UTF-16 decode,
+    * MD5 over the redacted UTF-8 bytes directly. */
   def piiScan(text: UTF8String): InternalRow = {
-    val s = text.toString
-    val sb = new java.lang.StringBuilder()
-    val em = EmailPattern.matcher(s)
-    var nEmails = 0L
-    while (em.find()) { nEmails += 1; em.appendReplacement(sb, "<EMAIL>") }
-    em.appendTail(sb)
-    val afterEmail = sb.toString
-    val ipCount = Ipv4Pattern.matcher(s)
-    var nIps = 0L
-    while (ipCount.find()) nIps += 1
-    val sb2 = new java.lang.StringBuilder()
-    val ip = Ipv4Pattern.matcher(afterEmail)
-    while (ip.find()) ip.appendReplacement(sb2, "<IP>")
-    ip.appendTail(sb2)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(
-      sb2.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bytes = text.getBytes
+    val out1 = new java.io.ByteArrayOutputStream(bytes.length + 8)
+    val nEmails = emailPass(bytes, out1)
+    val nIps = ipv4Pass(bytes, null)
+    val afterEmail = if (nEmails == 0) bytes else out1.toByteArray
+    val out2 = new java.io.ByteArrayOutputStream(afterEmail.length + 8)
+    val nIpsRedacted = ipv4Pass(afterEmail, out2)
+    val redacted = if (nIpsRedacted == 0) afterEmail else out2.toByteArray
+    val md = Md5Local.get()
+    md.reset()
+    val dig = md.digest(redacted)
     val hex = new java.lang.StringBuilder(32)
     var i = 0
     while (i < dig.length) {

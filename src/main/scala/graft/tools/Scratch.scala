@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc measurement scratchpad (not part of the library surface).
+  * Compares a query against its job-floor twin: same scan + sort +
+  * noop sink, minus the operator under test. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    val floor = () => noop(
+      graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n"))
+        .orderBy("doc_id"))
+    val q60 = () => noop(graft.queries.LlmQueries.q60PiiRedact(spark, dir))
+    val q60b = () => noop {
+      val withPii = graft.Tables.load(spark, dir, "documents")
+        .withColumn("text2",
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com from host 10.0."),
+            (col("doc_id") % 200).cast("string"), lit(".25")))
+        .select(col("doc_id"), col("text2"))
+        .orderBy("doc_id")
+      withPii
+        .withColumn("__p", call_function("pii_scan", col("text2")))
+        .select(col("doc_id"),
+          col("__p.n_emails").as("n_emails"),
+          col("__p.n_ips").as("n_ips"),
+          col("__p.redacted_md5").as("redacted_md5"))
+    }
+    var bestF = Double.MaxValue
+    var bestQ = Double.MaxValue
+    var bestB = Double.MaxValue
+    for (_ <- 1 to 8) {
+      bestF = math.min(bestF, time(floor()))
+      bestQ = math.min(bestQ, time(q60()))
+      bestB = math.min(bestB, time(q60b()))
+    }
+    println(f"RESULT floor=$bestF%.3f q60=$bestQ%.3f q60b=$bestB%.3f")
+    spark.stop()
+  }
+}

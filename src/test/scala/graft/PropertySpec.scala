@@ -311,6 +311,42 @@ class PropertySpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("regex-free pii_scan ≡ java.util.regex reference on adversarial strings") {
+    import graft.functions.TextFunctions
+    val emailP = java.util.regex.Pattern.compile(TextFunctions.EmailRe)
+    val ipP = java.util.regex.Pattern.compile(TextFunctions.Ipv4Re)
+    def refPii(s: String): (Long, Long, String) = {
+      val sb = new java.lang.StringBuffer
+      val em = emailP.matcher(s); var ne = 0L
+      while (em.find()) { ne += 1; em.appendReplacement(sb, "<EMAIL>") }
+      em.appendTail(sb)
+      var ni = 0L
+      val ic = ipP.matcher(s); while (ic.find()) ni += 1
+      val sb2 = new java.lang.StringBuffer
+      val ip = ipP.matcher(sb.toString)
+      while (ip.find()) ip.appendReplacement(sb2, "<IP>")
+      ip.appendTail(sb2)
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(sb2.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (ne, ni, dig.map(b => f"$b%02x").mkString)
+    }
+    // Fragments biased toward every branch of the two grammars: octet
+    // runs of length 1–4, word/non-word \b neighbors incl. unicode
+    // letters and digits, '@'/dot clusters, TLD-length edges.
+    val frags = Seq("1", "22", "333", "4444", ".", "..", "@", "a", "Bc",
+      "_", "%", "+", "-", " ", "ü", "٣", "例", "😀", "­", "1.2.3.4",
+      "999.999.999.999", "a@b.cc", "x@y.z", ".co", "co.", "@x.", "e-f",
+      "10.0", "0..0", "@1.2.3.4", "a1", "1a")
+    val strGen = Gen.choose(0, 14).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(frags)).map(_.mkString))
+    samples(strGen, 4000).foreach { s =>
+      val row = graft.plans.TextKernels.piiScan(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val got = (row.getLong(0), row.getLong(1), row.getUTF8String(2).toString)
+      assert(got == refPii(s), s"diverges on <$s>")
+    }
+  }
+
   test("deleteInsert preserves non-delta rows exactly") {
     samples(rowsGen.flatMap(a => rowsGen.map(b => (a, b))), 6).foreach { case (baseRows, deltaRows) =>
       val base = baseRows.toDF("k", "seq", "v")
