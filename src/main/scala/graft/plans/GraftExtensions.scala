@@ -94,6 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),
       (args: Seq[Expression]) => PiiScanExpr(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("json_long"),
+      new ExpressionInfo(classOf[JsonLongExpr].getName, "json_long"),
+      (args: Seq[Expression]) => JsonLongExpr(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("chunk_hashes"),
       new ExpressionInfo(classOf[ChunkHashesExpr].getName, "chunk_hashes"),
       (args: Seq[Expression]) => ChunkHashesExpr(args(0), args(1))))

@@ -323,6 +323,135 @@ object TextKernels {
         java.security.MessageDigest.getInstance("MD5")
     }
 
+  // ---- q03 fast-path JSON long-field extraction --------------------------
+  // `json_long(doc, field)` ≡ `from_json(doc, struct<field:bigint>).field`.
+  // The fast path scans the UTF-8 bytes of a FLAT object whose values are
+  // canonical integers, escape-free strings, or true/false/null; ANY
+  // deviation (nesting, escapes, floats, >18-digit ints, control bytes,
+  // trailing content, type-mismatched target…) bails to a cached
+  // JsonToStructs — Spark's own from_json — so semantics are exactly
+  // from_json BY CONSTRUCTION, not by re-implementation. On clean rows
+  // the fast path replaces a per-row Jackson parser instantiation with a
+  // single branchy byte walk.
+
+  private final class JsonSlow(field: String) {
+    private val expr = org.apache.spark.sql.catalyst.expressions.JsonToStructs(
+      StructType(Seq(StructField(field, LongType))), Map.empty[String, String],
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, StringType, nullable = true),
+      Some("UTC"))
+    private val row = new GenericInternalRow(1)
+    def eval(text: UTF8String): java.lang.Long = {
+      row.update(0, text)
+      expr.eval(row) match {
+        case null => null
+        case r: InternalRow => if (r.isNullAt(0)) null
+          else java.lang.Long.valueOf(r.getLong(0))
+      }
+    }
+  }
+
+  private val JsonSlowLocal =
+    new ThreadLocal[java.util.HashMap[String, JsonSlow]] {
+      override def initialValue(): java.util.HashMap[String, JsonSlow] =
+        new java.util.HashMap[String, JsonSlow]
+    }
+
+  private def jsonLongSlow(text: UTF8String, field: UTF8String): java.lang.Long = {
+    val key = field.toString
+    val cache = JsonSlowLocal.get()
+    var slow = cache.get(key)
+    if (slow == null) { slow = new JsonSlow(key); cache.put(key, slow) }
+    slow.eval(text)
+  }
+
+  @inline private def isJsonWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  def jsonLong(text: UTF8String, field: UTF8String): java.lang.Long = {
+    val b = text.getBytes
+    val n = b.length
+    val f = field.getBytes
+    var result: java.lang.Long = null
+    var i = 0
+    while (i < n && isJsonWs(b(i) & 0xff)) i += 1
+    if (i >= n || b(i) != '{') return jsonLongSlow(text, field)
+    i += 1
+    while (i < n && isJsonWs(b(i) & 0xff)) i += 1
+    if (i < n && b(i) == '}') {
+      i += 1
+      while (i < n && isJsonWs(b(i) & 0xff)) i += 1
+      return if (i == n) null else jsonLongSlow(text, field)
+    }
+    while (true) {
+      // "key"
+      if (i >= n || b(i) != '"') return jsonLongSlow(text, field)
+      val ks = i + 1
+      var j = ks
+      while (j < n && b(j) != '"' && b(j) != '\\' && (b(j) & 0xff) >= 0x20) j += 1
+      if (j >= n || b(j) != '"') return jsonLongSlow(text, field)
+      var isTarget = (j - ks) == f.length
+      if (isTarget) {
+        var k = 0
+        while (isTarget && k < f.length) { isTarget = b(ks + k) == f(k); k += 1 }
+      }
+      i = j + 1
+      while (i < n && isJsonWs(b(i) & 0xff)) i += 1
+      if (i >= n || b(i) != ':') return jsonLongSlow(text, field)
+      i += 1
+      while (i < n && isJsonWs(b(i) & 0xff)) i += 1
+      if (i >= n) return jsonLongSlow(text, field)
+      // value
+      val c = b(i) & 0xff
+      if (c == '-' || (c >= '0' && c <= '9')) {
+        var p = i
+        val neg = c == '-'
+        if (neg) p += 1
+        val ds = p
+        var v = 0L
+        while (p < n && (b(p) & 0xff) >= '0' && (b(p) & 0xff) <= '9') {
+          if (p - ds >= 18) return jsonLongSlow(text, field)
+          v = v * 10 + (b(p) - '0')
+          p += 1
+        }
+        if (p == ds) return jsonLongSlow(text, field) // "-" with no digits
+        if (b(ds) == '0' && p - ds > 1) return jsonLongSlow(text, field)
+        if (p < n && (b(p) == '.' || b(p) == 'e' || b(p) == 'E'))
+          return jsonLongSlow(text, field)
+        if (isTarget) result = java.lang.Long.valueOf(if (neg) -v else v)
+        i = p
+      } else if (c == '"') {
+        if (isTarget) return jsonLongSlow(text, field) // target type mismatch
+        var j2 = i + 1
+        while (j2 < n && b(j2) != '"' && b(j2) != '\\' && (b(j2) & 0xff) >= 0x20) j2 += 1
+        if (j2 >= n || b(j2) != '"') return jsonLongSlow(text, field)
+        i = j2 + 1
+      } else if (n - i >= 4 && b(i) == 'n' && b(i + 1) == 'u' && b(i + 2) == 'l' &&
+          b(i + 3) == 'l') {
+        if (isTarget) result = null
+        i += 4
+      } else if (n - i >= 4 && b(i) == 't' && b(i + 1) == 'r' && b(i + 2) == 'u' &&
+          b(i + 3) == 'e') {
+        if (isTarget) return jsonLongSlow(text, field)
+        i += 4
+      } else if (n - i >= 5 && b(i) == 'f' && b(i + 1) == 'a' && b(i + 2) == 'l' &&
+          b(i + 3) == 's' && b(i + 4) == 'e') {
+        if (isTarget) return jsonLongSlow(text, field)
+        i += 5
+      } else return jsonLongSlow(text, field) // nesting or malformed
+      while (i < n && isJsonWs(b(i) & 0xff)) i += 1
+      if (i < n && b(i) == ',') {
+        i += 1
+        while (i < n && isJsonWs(b(i) & 0xff)) i += 1
+      } else if (i < n && b(i) == '}') {
+        i += 1
+        while (i < n && isJsonWs(b(i) & 0xff)) i += 1
+        return if (i == n) result else jsonLongSlow(text, field)
+      } else return jsonLongSlow(text, field)
+    }
+    null // unreachable
+  }
+
   /** The q60 PII pass fused AND regex-free: (n_emails, n_ips, md5 of
     * the email→IPv4-redacted text). Same observable semantics as the
     * Column chain (emails count+replace on the original, IPs counted
@@ -589,6 +718,33 @@ case class PiiScanExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `json_long(doc, field)` → bigint, ≡ `from_json(doc,
+  * struct<field:bigint>).field` (fast flat-object byte scan, exact
+  * from_json fallback — see [[TextKernels.jsonLong]]). */
+case class JsonLongExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_long"
+
+  override def nullSafeEval(doc: Any, field: Any): Any = {
+    val r = TextKernels.jsonLong(doc.asInstanceOf[UTF8String],
+      field.asInstanceOf[UTF8String])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, f) => {
+      val r = ctx.freshName("jsonLong")
+      s"""java.lang.Long $r = graft.plans.TextKernels.jsonLong($d, $f);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 /** `array_pmod(arr, m)` → array<bigint>. */

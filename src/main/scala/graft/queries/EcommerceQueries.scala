@@ -38,12 +38,26 @@ object EcommerceQueries {
     * (shopee_orders_transformer.py:145-365). Explicit schema; no
     * inference scan. */
   def q03NormalizeProps(s: SparkSession, dir: String): DataFrame = {
-    val ev = Normalize.parseJson(t(s, dir, "events"), "props",
-      StructType(Seq(StructField("k", LongType))))
-    ev.select(col("event_id"), col("event_type"),
-        col("parsed.k").as("prop_k"))
-      .where(col("prop_k").isNotNull)
-      .orderBy("event_id")
+    // native: json_long's flat-object byte scan replaces the per-row
+    // Jackson parse (exact from_json fallback inside the kernel for any
+    // non-clean row). The predicate duplicating the expression into the
+    // Filter is then harmless — the r9 profile showed the Jackson parse
+    // itself (run 2× per surviving row + again in the range-sort
+    // sampling pass) was the 10.6× gap, not the plan shape.
+    if (graft.plans.GraftExtensions.nativeAvailable)
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          call_function("json_long", col("props"), lit("k")).as("prop_k"))
+        .where(col("prop_k").isNotNull)
+        .orderBy("event_id")
+    else {
+      val ev = Normalize.parseJson(t(s, dir, "events"), "props",
+        StructType(Seq(StructField("k", LongType))))
+      ev.select(col("event_id"), col("event_type"),
+          col("parsed.k").as("prop_k"))
+        .where(col("prop_k").isNotNull)
+        .orderBy("event_id")
+    }
   }
 
   /** §2 #4 — array explode → child rows

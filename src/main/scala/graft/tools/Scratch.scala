@@ -41,15 +41,38 @@ object Scratch {
           col("__p.n_ips").as("n_ips"),
           col("__p.redacted_md5").as("redacted_md5"))
     }
-    var bestF = Double.MaxValue
-    var bestQ = Double.MaxValue
-    var bestB = Double.MaxValue
-    for (_ <- 1 to 8) {
-      bestF = math.min(bestF, time(floor()))
-      bestQ = math.min(bestQ, time(q60()))
-      bestB = math.min(bestB, time(q60b()))
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val q03 = () => noop(graft.queries.EcommerceQueries.q03NormalizeProps(spark, dir))
+    val q03gen = () => noop {
+      graft.Tables.loadEvents(spark, dir)
+        .select(col("event_id"), col("event_type"),
+          explode(array(from_json(col("props"),
+            StructType(Seq(StructField("k", LongType)))))).as("parsed"))
+        .select(col("event_id"), col("event_type"),
+          col("parsed.k").as("prop_k"))
+        .where(col("prop_k").isNotNull)
+        .orderBy("event_id")
     }
-    println(f"RESULT floor=$bestF%.3f q60=$bestQ%.3f q60b=$bestB%.3f")
+    val q03sorted = () => noop {
+      graft.Tables.loadEvents(spark, dir)
+        .select(col("event_id"), col("event_type"), col("props"))
+        .orderBy("event_id")
+        .select(col("event_id"), col("event_type"),
+          explode(array(from_json(col("props"),
+            StructType(Seq(StructField("k", LongType)))))).as("parsed"))
+        .select(col("event_id"), col("event_type"),
+          col("parsed.k").as("prop_k"))
+        .where(col("prop_k").isNotNull)
+    }
+    var bestQ = Double.MaxValue
+    var bestG = Double.MaxValue
+    var bestS = Double.MaxValue
+    for (_ <- 1 to 8) {
+      bestQ = math.min(bestQ, time(q03()))
+      bestG = math.min(bestG, time(q03gen()))
+      bestS = math.min(bestS, time(q03sorted()))
+    }
+    println(f"RESULT q03=$bestQ%.3f q03gen=$bestG%.3f q03sorted=$bestS%.3f")
     spark.stop()
   }
 }

@@ -325,6 +325,30 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(diff == 0, s"$diff rows diverge between pii_scan and the Column chain")
   }
 
+  test("native json_long ≡ from_json(..).field on clean, dirty and malformed docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val docs = Seq(
+      """{"k": 76}""", """{"k":-3}""", """{"k": 0}""", """{}""", """ { } """,
+      """{"k": null}""", """{"j": 5}""", """{"k": 9223372036854775807}""",
+      """{"k": 99999999999999999999999}""", """{"k": 1e3}""", """{"k": 7.5}""",
+      """{"k": "76"}""", """{"k": true}""", """{"k": false}""",
+      """{"k": 01}""", """{"k": -}""", """{"k": [1,2]}""", """{"k": {"x":1}}""",
+      """{"j": {"k": 5}}""", """{"j": [9], "k": 4}""", """{"k":1,"k":2}""",
+      """{"j": "a\"b", "k": 3}""", """{"k": 5, "j": "tail"}""",
+      """{"k": 5} x""", """{"k": 5},""", """[1,2]""", """5""", """null""",
+      """not json at all""", """{"k" 5}""", """{"k": }""", """{"k": 5""",
+      """{"ü": 1, "k": 2}""", "{\"k\":\t5\n}", """{"j": "line
+break", "k": 6}""", "").toDF("doc")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val diff = docs.select(
+        call_function("json_long", col("doc"), lit("k")).as("n"),
+        from_json(col("doc"), schema).getField("k").as("h"))
+      .where(col("n") =!= col("h") ||
+        (col("n").isNull =!= col("h").isNull)).count()
+    assert(diff == 0, s"$diff rows diverge between json_long and from_json")
+  }
+
   test("native array_pmod ≡ transform(arr, pmod), BIT-identical incl. negatives") {
     import spark.implicits._
     val arrs = Seq(Seq(-5L, 0L, 5L, Long.MinValue + 1, Long.MaxValue, -2305843009213693951L),

@@ -347,6 +347,34 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("json_long ≡ from_json reference on random JSON-ish fragment strings") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, JsonToStructs}
+    import org.apache.spark.sql.catalyst.{InternalRow => CIRow}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val ref = JsonToStructs(StructType(Seq(StructField("k", LongType))),
+      Map.empty[String, String], BoundReference(0, StringType, true), Some("UTC"))
+    def refEval(s: String): Option[Long] = {
+      ref.eval(CIRow(UTF8String.fromString(s))) match {
+        case null => None
+        case r: org.apache.spark.sql.catalyst.InternalRow =>
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    }
+    val frags = Seq("{", "}", "\"k\"", "\"j\"", ":", ",", " ", "\t", "1",
+      "42", "007", "-", "null", "true", "false", "[", "]", "\"x\"",
+      "\"a\\\"b\"", "9223372036854775807", "12345678901234567890", "1e3",
+      "7.5", "\"ü\"", "{\"k\":3}", "{\"j\":1,\"k\":2}", "\n")
+    val strGen = Gen.choose(0, 9).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(frags)).map(_.mkString))
+    samples(strGen, 4000).foreach { s =>
+      val got = Option(
+        graft.plans.TextKernels.jsonLong(UTF8String.fromString(s),
+          UTF8String.fromString("k"))).map(_.longValue())
+      assert(got == refEval(s), s"diverges on <$s>")
+    }
+  }
+
   test("deleteInsert preserves non-delta rows exactly") {
     samples(rowsGen.flatMap(a => rowsGen.map(b => (a, b))), 6).foreach { case (baseRows, deltaRows) =>
       val base = baseRows.toDF("k", "seq", "v")
