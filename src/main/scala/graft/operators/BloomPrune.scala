@@ -62,12 +62,12 @@ object BloomPrune {
     * broadcast threshold — then the EXACT key relation broadcasts and
     * a bloom (a lossy compression of that same relation) buys
     * nothing. */
-  private def broadcastable(df: DataFrame, expectedItems: Long,
-      nKeys: Int): Boolean = {
+  private def broadcastable(expectedItems: Long, nKeys: Int): Boolean = {
     val thresh = org.apache.spark.sql.internal.SQLConf.get
       .autoBroadcastJoinThreshold
     thresh > 0 && keyBytesEstimate(expectedItems, nKeys) <= thresh
   }
+
 
   /** Semi join with the big side bloom-pruned before the shuffle.
     * Exact — equals `big.join(small, keys, "left_semi")`. ADAPTIVE on
@@ -82,7 +82,7 @@ object BloomPrune {
     // insensitive, and a distinct-on-join-keys buys nothing the join's
     // own hash table doesn't already do — it only adds an aggregate
     val smallKeys = small.select(keys.map(col): _*)
-    if (broadcastable(big, expectedItems, keys.length))
+    if (broadcastable(expectedItems, keys.length))
       big.join(broadcast(smallKeys), keys, "left_semi")
     else {
       val bloom = keyBloom(small, keys, expectedItems, fpp)
@@ -93,7 +93,7 @@ object BloomPrune {
 
   /** Delete-by-key + insert, adaptive on the delta key-set size.
     * Exact — equals [[Incremental.deleteInsert]] (asserted in
-    * BloomPruneSpec on both paths).
+    * BloomPruneSpec on both regimes).
     *
     *   - Key set inside the broadcast threshold: ONE scan of base
     *     through a broadcast anti join — no bloom is built at all,
@@ -105,16 +105,25 @@ object BloomPrune {
     *     [[splitDeleteInsert]] — the bloom proves most base rows
     *     keyless so only |delta| + fpp·|base| rows shuffle.
     *
-    * A single-scan SPLIT variant was measured and rejected (r9):
-    * branching after a `repartition(keys)` does not reuse the
-    * exchange, because Catalyst pushes each branch's probe filter
-    * through the repartition into its own scan — the "shared" plan
-    * comes out as two scans PLUS two full-width exchanges. Forcing
-    * reuse needs a cache/checkpoint barrier, which is exactly the
-    * full-base materialization this operator exists to avoid. */
+    * Two single-delta-scan variants were measured and REJECTED:
+    *   - (r9) branching after a `repartition(keys)` does not reuse the
+    *     exchange — Catalyst pushes each branch's probe filter through
+    *     the repartition into its own scan, so the "shared" plan comes
+    *     out as two scans PLUS two full-width exchanges. Forcing reuse
+    *     needs a cache/checkpoint barrier, which is exactly the
+    *     full-base materialization this operator exists to avoid.
+    *   - (r10) eagerly collecting the full delta rows into a local
+    *     relation feeding BOTH the anti-join build side and the insert
+    *     union (one delta scan instead of two). Measured at sf0.1 on
+    *     q45's shape: 1.18 s → 1.62 s, with `limit`-guarded and plain
+    *     `collect` alike — the driver round-trip (Row conversion,
+    *     re-broadcast, LocalTableScan-fed union) costs more than the
+    *     second parallel columnar delta scan it saves, and at larger
+    *     scale the delta scan shrinks relative to the base while the
+    *     driver serialization does not. The second delta read stays. */
   def prunedDeleteInsert(base: DataFrame, delta: DataFrame, keys: Seq[String],
       expectedItems: Long, fpp: Double = 0.01): DataFrame =
-    if (broadcastable(base, expectedItems, keys.length)) {
+    if (broadcastable(expectedItems, keys.length)) {
       val deltaKeys = delta.select(keys.map(col): _*)
       base.join(broadcast(deltaKeys), keys, "left_anti")
         .unionByName(delta.select(base.columns.map(col).toSeq: _*))

@@ -64,15 +64,41 @@ object Scratch {
           col("parsed.k").as("prop_k"))
         .where(col("prop_k").isNotNull)
     }
-    var bestQ = Double.MaxValue
-    var bestG = Double.MaxValue
-    var bestS = Double.MaxValue
-    for (_ <- 1 to 8) {
-      bestQ = math.min(bestQ, time(q03()))
-      bestG = math.min(bestG, time(q03gen()))
-      bestS = math.min(bestS, time(q03sorted()))
+    def q45shape(mk: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Unit = noop {
+      val li = graft.Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val delta = li.where(col("l_orderkey") % 13 === 0)
+        .withColumn("l_quantity", lit(0.0))
+      mk(li, delta)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+        .orderBy("l_orderkey")
     }
-    println(f"RESULT q03=$bestQ%.3f q03gen=$bestG%.3f q03sorted=$bestS%.3f")
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val r9shape = () => q45shape { (li, delta) =>
+      val deltaKeys = delta.select(keys.map(col): _*)
+      li.join(broadcast(deltaKeys), keys, "left_anti")
+        .unionByName(delta.select(li.columns.map(col).toSeq: _*))
+    }
+    val tier1limit = () => q45shape { (li, delta) =>
+      graft.operators.BloomPrune.prunedDeleteInsert(li, delta, keys, 100000L, 0.01)
+    }
+    val tier1collect = () => q45shape { (li, delta) =>
+      val proj = delta.select(li.columns.map(col).toSeq: _*)
+      val rows = proj.collect()
+      val localDelta = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), proj.schema)
+      li.join(broadcast(localDelta.select(keys.map(col): _*)), keys, "left_anti")
+        .unionByName(localDelta)
+    }
+    var b0 = Double.MaxValue; var b1 = Double.MaxValue; var b2 = Double.MaxValue
+    for (_ <- 1 to 8) {
+      b0 = math.min(b0, time(r9shape()))
+      b1 = math.min(b1, time(tier1limit()))
+      b2 = math.min(b2, time(tier1collect()))
+    }
+    println(f"RESULT r9=$b0%.3f tier1limit=$b1%.3f tier1collect=$b2%.3f")
     spark.stop()
   }
 }
