@@ -73,9 +73,16 @@ object Skew {
       explode(when(col(key).isin(hot: _*),
         array((0 until factor).map(lit): _*)).otherwise(array(lit(0)))))
 
+  /** ADAPTIVE: an empty hot list (the [[hotKeys]] pre-pass found no
+    * key above the share threshold) degrades to the plain join — no
+    * salt column, no replication explode, no widened (key, salt)
+    * exchange. The same discipline as BloomPrune's broadcast tier: pay
+    * the mitigation only in the regime that needs it. Both paths are
+    * result-identical (SkewAndSinkSpec asserts each against the plain
+    * join). */
   def partialSaltedJoin(skewed: DataFrame, small: DataFrame, key: String,
       factor: Int, saltSource: Seq[String], hot: Seq[Any]): DataFrame = {
-    require(hot.nonEmpty, "no hot keys — use a plain join")
+    if (hot.isEmpty) return skewed.join(small, Seq(key))
     val salted = skewed.withColumn("__salt",
       when(col(key).isin(hot: _*), salt(factor, saltSource.map(col): _*))
         .otherwise(lit(0)))

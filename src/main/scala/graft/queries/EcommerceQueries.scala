@@ -411,16 +411,19 @@ object EcommerceQueries {
     * single reducer. The hot list comes from [[Skew.hotKeys]]'s sampled
     * pre-pass (cached per corpus); only hot rows salt (factor 8) and
     * the dim replicates only for hot keys — (factor−1)·|hot| extra
-    * rows, not factor·|dim|. The dim side carries a merge hint: at
-    * 100 TB the dim outgrows broadcast, and the salted exchange is the
-    * thing under test (a broadcast join has no skew to fix). Results
-    * are identical to the plain join by construction — the oracle is
-    * plain join SQL; the salted exchange + replication bound are
-    * pinned in PlanAuditSpec. */
+    * rows, not factor·|dim|. The dim side carries a shuffle_hash hint:
+    * at 100 TB the dim outgrows broadcast, and the salted exchange is
+    * the thing under test (a broadcast join has no skew to fix); the
+    * hash build beats SMJ here because it skips sorting the fact side
+    * entirely, and the build side is the DIM — whose per-partition
+    * slice the salting keeps bounded (measured r10: SMJ 0.87 s → SHJ
+    * 0.72 s at sf0.1). Results are identical to the plain join by
+    * construction — the oracle is plain join SQL; the salted exchange +
+    * replication bound are pinned in PlanAuditSpec. */
   def q65SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val dim = t(s, dir, "part")
       .select(col("p_partkey").cast("long").as("pk"), col("p_brand"))
-      .hint("merge")
+      .hint("shuffle_hash")
     Skew.partialSaltedJoin(q65Fact(s, dir), dim, "pk", factor = 8,
         saltSource = Seq("l_orderkey", "l_linenumber"),
         hot = hotPartKeys(s, dir))

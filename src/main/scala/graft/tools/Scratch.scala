@@ -92,13 +92,28 @@ object Scratch {
       li.join(broadcast(localDelta.select(keys.map(col): _*)), keys, "left_anti")
         .unionByName(localDelta)
     }
-    var b0 = Double.MaxValue; var b1 = Double.MaxValue; var b2 = Double.MaxValue
-    for (_ <- 1 to 8) {
-      b0 = math.min(b0, time(r9shape()))
-      b1 = math.min(b1, time(tier1limit()))
-      b2 = math.min(b2, time(tier1collect()))
+    def q65variant(hint: String): Unit = noop {
+      val fact = graft.Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .withColumn("pk",
+          when(col("l_orderkey") % 3 === 0, lit(1L))
+            .otherwise(col("l_partkey").cast("long")))
+      val dim = graft.Tables.load(spark, dir, "part")
+        .select(col("p_partkey").cast("long").as("pk"), col("p_brand"))
+        .hint(hint)
+      graft.operators.Skew.partialSaltedJoin(fact, dim, "pk", factor = 8,
+          saltSource = Seq("l_orderkey", "l_linenumber"), hot = Seq(1L))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+        .orderBy("p_brand")
     }
-    println(f"RESULT r9=$b0%.3f tier1limit=$b1%.3f tier1collect=$b2%.3f")
+    var b0 = Double.MaxValue; var b1 = Double.MaxValue
+    for (_ <- 1 to 8) {
+      b0 = math.min(b0, time(q65variant("merge")))
+      b1 = math.min(b1, time(q65variant("shuffle_hash")))
+    }
+    println(f"RESULT merge=$b0%.3f shuffle_hash=$b1%.3f")
     spark.stop()
   }
 }

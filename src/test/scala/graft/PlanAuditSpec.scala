@@ -16,9 +16,10 @@ class PlanAuditSpec extends SparkTestBase {
   test("salted join (q65): exchange partitions on (pk, __salt); dim replicates only for hot keys") {
     val df = EcommerceQueries.q65SaltedJoin(spark, sf0001)
     val plan = executed(df)
-    // the join must be shuffled (merge hint honored — a broadcast join
-    // would have no exchange to salt) and keyed on the SALTED key pair
-    assert(plan.contains("SortMergeJoin"), s"expected salted SMJ:\n$plan")
+    // the join must be shuffled (hint honored — a broadcast join would
+    // have no exchange to salt) and keyed on the SALTED key pair; the
+    // hash build (dim side, salt-bounded) skips sorting the fact
+    assert(plan.contains("ShuffledHashJoin"), s"expected salted SHJ:\n$plan")
     assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
     val saltedExchanges = "Exchange hashpartitioning\\(pk#\\d+L?, __salt".r
       .findAllIn(plan).size

@@ -52,6 +52,14 @@ class SkewAndSinkSpec extends SparkTestBase {
       explode(when(col("k").isin(hot: _*),
         array((0 until 8).map(lit): _*)).otherwise(array(lit(0)))))
     assert(rep.count() === small.count() + 7)
+    // adaptive bypass: an empty hot list degrades to the PLAIN join —
+    // same results, and no salt machinery in the plan at all
+    val bypass = Skew.partialSaltedJoin(skewed, small, "k",
+      factor = 8, saltSource = Seq("id"), hot = Seq.empty)
+    assert(bypass.count() === plain.count())
+    val bypassPlan = bypass.queryExecution.executedPlan.toString
+    assert(!bypassPlan.contains("__salt"),
+      s"empty hot list must not salt:\n$bypassPlan")
   }
 
   test("date-partitioned layout prunes partitions for window filters") {
