@@ -39,11 +39,19 @@ object ScaleBench {
     "q18_minhash_pairs", "q20_ngram_jaccard", "q54_dup_clusters",
     "q61_corpus_pipeline", "q67_chunk_dedup", "q84_substring_dedup")
 
+  /** r10: the e-commerce join family, over amplified
+    * lineitem/orders/events (the r9 verdict's ask — the docs sweep said
+    * nothing about the join-shaped plans). */
+  val joinHeavy: Seq[String] = Seq(
+    "q10_star_join", "q44_scd2_history", "q45_bloom_delete_insert",
+    "q48_point_in_time", "q53_range_join", "q65_salted_join")
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = args.lift(1).getOrElse("1,10,30")
       .split(",").map(_.trim.toInt).toSeq
     val work = args.lift(2).getOrElse("/tmp/graft_scale")
+    val family = args.lift(3).getOrElse("docs") // docs | joins | all
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
@@ -57,7 +65,12 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val queries = SparkEntry.queries.filter(q => heavy.contains(q._1))
+    val picked = family match {
+      case "joins" => joinHeavy
+      case "all" => heavy ++ joinHeavy
+      case _ => heavy
+    }
+    val queries = SparkEntry.queries.filter(q => picked.contains(q._1))
 
     def probeSec(): Double = {
       val t0 = System.nanoTime()
@@ -74,7 +87,7 @@ object ScaleBench {
     probeSec()
 
     val factorJson = factors.map { f =>
-      val (dir, buildSec) = prepare(spark, base, f, work)
+      val (dir, buildSec) = prepare(spark, base, f, work, family != "docs")
       val pf = probeSec()
       val rows = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // first run pays per-dir artifact builds (stop lists, the
@@ -110,40 +123,101 @@ object ScaleBench {
     spark.stop()
   }
 
-  /** Materialize the factor-f corpus dir (idempotent): amplified
-    * documents + symlinks to every other base table. Returns
-    * (dir, buildSeconds — 0.0 when reused). */
+  /** 10^(decimal length of the table's max value in `keyCol`) — the
+    * per-copy offset that keeps amplified key ranges disjoint. */
+  private def stride(df: DataFrame, keyCol: String): Long =
+    math.pow(10,
+      df.agg(max(col(keyCol))).head().getLong(0).toString.length).toLong
+
+  /** Materialize the factor-f corpus dir (idempotent per table):
+    * amplified documents (+ lineitem/orders/events when `withJoins`) +
+    * symlinks to every other base table. Returns (dir, buildSeconds —
+    * 0.0 when fully reused).
+    *
+    * Join-table amplification contract (copy k of factor F):
+    *   - lineitem/orders: `*_orderkey += k · 10^len(max)` — disjoint
+    *     order ranges per copy, fact⋈fact joins stay 1:1 per copy; dim
+    *     keys (custkey, partkey, suppkey) are NOT amplified, so each
+    *     dim row gains F× fact mass — exactly how a growing fact over a
+    *     stable dim behaves (and the q65 hot key stays hot, F× bigger).
+    *   - events: `user_id`/`event_id` += k·stride AND `ts` += k·span —
+    *     fresh user population over a fresh month per copy, modeling a
+    *     longer retention window. The time shift keeps q53's
+    *     interval-join pair mass linear in F (same-time replication
+    *     would square it: every copy's points fall in every copy's
+    *     incident windows). */
   private def prepare(spark: SparkSession, base: String, f: Int,
-      work: String): (String, Double) = {
+      work: String, withJoins: Boolean): (String, Double) = {
     require(f >= 1, s"factor must be >= 1, got $f")
     if (f == 1) return (base, 0.0)
     val dir = s"$work/x$f"
-    val docs = new java.io.File(s"$dir/documents.parquet")
-    if (docs.exists) return (dir, 0.0)
-    val t0 = System.nanoTime()
     new java.io.File(dir).mkdirs()
-    val d = spark.read.parquet(s"$base/documents.parquet")
-    val stride = math.pow(10,
-      d.agg(max(col("doc_id"))).head().getLong(0).toString.length).toLong
+    val t0 = System.nanoTime()
+    var built = false
     val copies = broadcast(spark.range(f).select(col("id").as("__k")))
-    d.crossJoin(copies)
-      .select(
-        (col("doc_id") + col("__k") * stride).as("doc_id"),
-        when(col("__k") === 0, col("text")).otherwise(concat_ws(" ",
-          transform(split(col("text"), " "),
-            t => concat(t, lit("▲"), col("__k"))))).as("text"),
-        col("lang"), col("source"),
-        length(col("text")).cast("long").as("n_chars"))
-      .repartition(math.min(f * 4, 32))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // the other tables are the base's own files
+
+    def need(table: String): Boolean = {
+      val p = java.nio.file.Paths.get(dir, s"$table.parquet")
+      // a symlink is the base's un-amplified file — replace it
+      if (java.nio.file.Files.isSymbolicLink(p)) java.nio.file.Files.delete(p)
+      !java.nio.file.Files.exists(p)
+    }
+    def write(table: String, df: DataFrame): Unit = {
+      df.repartition(math.min(f * 4, 32))
+        .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+      built = true
+    }
+
+    if (need("documents")) {
+      val d = spark.read.parquet(s"$base/documents.parquet")
+      val s = stride(d, "doc_id")
+      write("documents", d.crossJoin(copies)
+        .select(
+          (col("doc_id") + col("__k") * s).as("doc_id"),
+          when(col("__k") === 0, col("text")).otherwise(concat_ws(" ",
+            transform(split(col("text"), " "),
+              t => concat(t, lit("▲"), col("__k"))))).as("text"),
+          col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars")))
+    }
+    if (withJoins) {
+      val oStride = stride(spark.read.parquet(s"$base/orders.parquet"), "o_orderkey")
+      if (need("lineitem")) {
+        val li = spark.read.parquet(s"$base/lineitem.parquet")
+        write("lineitem", li.crossJoin(copies)
+          .withColumn("l_orderkey", col("l_orderkey") + col("__k") * oStride)
+          .drop("__k").select(li.columns.map(col).toSeq: _*))
+      }
+      if (need("orders")) {
+        val o = spark.read.parquet(s"$base/orders.parquet")
+        write("orders", o.crossJoin(copies)
+          .withColumn("o_orderkey", col("o_orderkey") + col("__k") * oStride)
+          .drop("__k").select(o.columns.map(col).toSeq: _*))
+      }
+      if (need("events")) {
+        // loadEvents' session-tz read (the NTZ gotcha) + drop the
+        // derived ts_ns — the written file carries the physical ts only
+        val e = Tables.loadEvents(spark, base).drop("ts_ns")
+        val eStride = stride(e, "event_id")
+        val uStride = stride(e, "user_id")
+        val spanUs = e.agg((unix_micros(max(col("ts"))) -
+          unix_micros(min(col("ts"))) + 86400000000L).as("s")).head().getLong(0)
+        write("events", e.crossJoin(copies)
+          .withColumn("event_id", col("event_id") + col("__k") * eStride)
+          .withColumn("user_id", col("user_id") + col("__k") * uStride)
+          .withColumn("ts",
+            timestamp_micros(unix_micros(col("ts")) + col("__k") * spanUs))
+          .drop("__k").select(e.columns.map(col).toSeq: _*))
+      }
+    }
+    // the remaining tables are the base's own files
     val baseDir = new java.io.File(base)
     baseDir.listFiles.filter(_.getName.endsWith(".parquet"))
-      .filterNot(_.getName == "documents.parquet").foreach { src =>
+      .foreach { src =>
         val link = java.nio.file.Paths.get(dir, src.getName)
         if (!java.nio.file.Files.exists(link))
           java.nio.file.Files.createSymbolicLink(link, src.toPath)
       }
-    (dir, (System.nanoTime() - t0) / 1e9)
+    (dir, if (built) (System.nanoTime() - t0) / 1e9 else 0.0)
   }
 }

@@ -187,6 +187,98 @@ object EtlControl {
         throw e
     }
 
+  /** Append one run-duration record — the reference's
+    * production.py:80 `max_execution_time` surface. A SEPARATE
+    * append-only log (the [[logTaskFailure]] discipline), so the
+    * commit log's schema stays stable for pre-existing stores. Row:
+    * (source_id, batch_id, duration_sec, status, completed_at). */
+  def logRunDuration(spark: SparkSession, durationDir: String,
+      sourceId: String, batchId: String, durationSec: Double,
+      status: String = "SUCCESS"): Unit = {
+    import spark.implicits._
+    Seq((sourceId, batchId, durationSec, status))
+      .toDF("source_id", "batch_id", "duration_sec", "status")
+      .withColumn("completed_at", current_timestamp())
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(durationDir)
+  }
+
+  /** Run `body` with wall-clock stamping: the duration row is appended
+    * on success AND on failure (status FAILURE — the slow-or-dead runs
+    * are exactly the ones an SLA monitor must see), failures rethrow.
+    * Returns (result, durationSec). Compose outermost:
+    * `withRunLease(...) { timedRun(...) { loggedRun(...) { cycle } } }`. */
+  def timedRun[A](spark: SparkSession, durationDir: String,
+      sourceId: String, batchId: String)(body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val result =
+      try body
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          logRunDuration(spark, durationDir, sourceId, batchId,
+            (System.nanoTime() - t0) / 1e9, status = "FAILURE")
+          throw e
+      }
+    val sec = (System.nanoTime() - t0) / 1e9
+    logRunDuration(spark, durationDir, sourceId, batchId, sec)
+    (result, sec)
+  }
+
+  /** Runs whose wall time exceeded the SLA bound — the monitoring
+    * query over the duration log for
+    * [[graft.sources.PipelineConfig.PerformanceThresholds.maxExecutionSec]]. */
+  def slowRuns(spark: SparkSession, durationDir: String,
+      maxExecutionSec: Double): DataFrame =
+    spark.read.parquet(durationDir)
+      .where(col("duration_sec") > maxExecutionSec)
+      .select("source_id", "batch_id", "duration_sec", "status", "completed_at")
+
+  /** SLA upper bound for the next run, derived from history like
+    * [[expectedRowBounds]]: the last SUCCESS duration × (1 +
+    * tolerance), tightened by the configured hard cap when one is
+    * given. None with no history and no cap (first run — nothing to
+    * compare against). */
+  def expectedDurationBounds(spark: SparkSession, durationDir: String,
+      sourceId: String, tolerance: Double = 1.0,
+      slaCapSec: Option[Double] = None): Option[Double] = {
+    val hist =
+      if (!nonEmptyDir(spark, durationDir)) None
+      else spark.read.parquet(durationDir)
+        .where(col("source_id") === sourceId && col("status") === "SUCCESS")
+        .orderBy(desc("completed_at"))
+        .select("duration_sec").limit(1).collect()
+        .headOption.map(_.getDouble(0) * (1.0 + tolerance))
+    (hist, slaCapSec) match {
+      case (Some(h), Some(c)) => Some(math.min(h, c))
+      case (h, c) => h.orElse(c)
+    }
+  }
+
+  /** Task-level retry policy — the reference DAGs' `retries`
+    * default_args (production.py:22, incremental_etl_dag.py:40).
+    * Re-runs a LOGGED stage up to `retries` extra times: every failed
+    * attempt appends its failure row (attempt-stamped stage name) and
+    * the watermark cannot advance mid-attempt, so replays stay
+    * exactly-once by the cycle contract; exhaustion rethrows with the
+    * FAILURE rows in place. */
+  def retryingRun[A](spark: SparkSession, failureDir: String,
+      sourceId: String, batchId: String, stage: String, retries: Int,
+      delayMs: Long = 0L)(body: => A): A = {
+    require(retries >= 0, s"retries must be >= 0, got $retries")
+    var attempt = 0
+    while (true) {
+      val stamped = if (attempt == 0) stage else s"$stage#retry$attempt"
+      try return loggedRun(spark, failureDir, sourceId, batchId, stamped)(body)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          attempt += 1
+          if (attempt > retries) throw e
+          if (delayMs > 0) Thread.sleep(delayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Row-count bounds for the next batch derived from the control
     * log's history (the "row-count delta vs prior batch" gate the
     * reference checks by hand): bounds are the last SUCCESS batch's
