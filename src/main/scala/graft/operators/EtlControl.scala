@@ -84,9 +84,36 @@ object EtlControl {
           throw new LeaseHeldException(
             s"run lease for $sourceId is held (age ${nowMs() - acquiredAt} ms" +
               s" <= ttl $ttlMs ms) — another cycle is active; skipping")
-        fs.delete(p, false) // stale: crashed holder, take over
+        // Stale takeover via ATOMIC RENAME, not delete-then-create: two
+        // acquirers can both observe the stale file, but only one
+        // rename succeeds — the loser backs off instead of deleting a
+        // lease the winner may have just re-created (the double-holder
+        // interleaving the lease exists to prevent).
+        val tomb = new org.apache.hadoop.fs.Path(controlDir,
+          s"_lease_$sourceId.stale.$holderId.${nowMs()}")
+        if (!fs.rename(p, tomb))
+          throw new LeaseHeldException(
+            s"run lease for $sourceId is being taken over by another " +
+              "acquirer; skipping")
+        fs.delete(tomb, false)
       }
-      val out = fs.create(p, false) // atomic create-if-absent on HDFS
+      // create-if-absent: atomic on HDFS-semantics stores. A lost race
+      // (another acquirer created between our exists/rename and here)
+      // surfaces as the typed lease exception, not a raw FS error.
+      // Residual window: a plain local FS checks-then-creates inside
+      // create(overwrite=false), so cross-PROCESS local acquirers keep
+      // a microsecond TOCTOU (in-JVM ones are serialized by the
+      // monitor); HDFS-like namespaces have none.
+      val out =
+        try fs.create(p, false)
+        catch {
+          case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new LeaseHeldException(
+              s"run lease for $sourceId was acquired concurrently: $e")
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new LeaseHeldException(
+              s"run lease for $sourceId was acquired concurrently: $e")
+        }
       try {
         val props = new java.util.Properties()
         props.setProperty("holder_id", holderId)

@@ -76,8 +76,19 @@ object ImportanceModel {
       weights: DataFrame, buckets: Int = 65536): DataFrame =
     if (graft.plans.GraftExtensions.nativeAvailable) {
       val dense = new Array[Long](buckets)
-      weights.select("bucket", "w_milli").collect()
-        .foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+      weights.select("bucket", "w_milli").collect().foreach { r =>
+        val b = r.getLong(0)
+        // a weights table trained under a LARGER bucket count would
+        // index past the dense array — fail with the actual mismatch
+        // instead of an ArrayIndexOutOfBounds (the join fallback merely
+        // never matches those grams, silently scoring them 0; a
+        // train/score bucket mismatch is a bug either way)
+        require(b >= 0 && b < buckets,
+          s"weights table bucket $b is outside [0, $buckets) — the " +
+            "table was trained with a different bucket count than " +
+            s"score(buckets = $buckets); retrain or pass the matching count")
+        dense(b.toInt) = r.getLong(1)
+      }
       // coalesce for null-text parity with the join form (whose
       // explode drops the row and the outer coalesce lands 0)
       docs.withColumn("score_milli",

@@ -308,11 +308,19 @@ object TextDedup {
   /** Fail fast when a prior window-hash store was written under the
     * other hash path — mixed flavors would silently match nothing and
     * keep every duplicate. Bounded driver work: the distinct of a
-    * constant column (≤ 2 values). */
+    * constant column (≤ 2 values). NULL flavors are legacy rows (files
+    * written before the marker existed, surfaced as nulls by a
+    * mergeSchema read of a mixed store) and are accepted as-is — the
+    * same grandfathering as a store with no marker column at all.
+    * Callers reading a store that may mix legacy and stamped files
+    * should read with mergeSchema=true, else parquet picks ONE file's
+    * schema and the marker can silently vanish
+    * ([[graft.streaming.StreamingDedup]] does). */
   private[graft] def checkWindowHashFlavor(prior: DataFrame,
       native: Boolean): Unit =
     if (prior != null && prior.columns.contains("hash_flavor")) {
-      val stored = prior.select("hash_flavor").distinct()
+      val stored = prior.select("hash_flavor")
+        .where(col("hash_flavor").isNotNull).distinct()
         .collect().map(_.getString(0)).toSet
       val session = windowHashFlavor(native)
       if (!stored.subsetOf(Set(session)))

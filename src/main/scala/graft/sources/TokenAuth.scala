@@ -24,8 +24,11 @@ import org.apache.hadoop.fs.Path
   *     its storage row; here a plain monitor, since paging is
   *     driver-side);
   *   - PERSISTED artifact: refreshed tokens land in a small properties
-  *     file (write-temp-then-rename, so a crash mid-write leaves the
-  *     old token readable), and a fresh provider — a restarted run —
+  *     file (write-temp-then-swap; a crash mid-write leaves the old
+  *     token readable, and a crash inside the swap's delete→rename
+  *     window is recovered from the fully-written .tmp on load — at
+  *     every instant some valid artifact is readable), and a fresh
+  *     provider — a restarted run —
   *     reuses an unexpired persisted token without calling the
   *     endpoint at all (the api_token_storage behavior);
   *   - bounded retry: a failing endpoint is retried up to
@@ -121,20 +124,30 @@ object TokenAuth {
 
     private def fs(p: Path) = p.getFileSystem(hadoopConf)
 
-    private def loadPersisted(): Option[Token] = storePath.flatMap { dir =>
-      val p = new Path(dir, "token.properties")
+    /** Read one artifact file; None when missing or torn (a torn file
+      * must fall through to the other epoch, not crash recovery). */
+    private def readArtifact(p: Path): Option[Token] = {
       val f = fs(p)
       if (!f.exists(p)) None
-      else {
+      else scala.util.Try {
         val in = f.open(p)
         try {
           val props = new Properties()
           props.load(in)
-          Some(Token(props.getProperty("access_token"),
+          Token(props.getProperty("access_token"),
             props.getProperty("refresh_token"),
-            props.getProperty("expires_at").toLong))
+            props.getProperty("expires_at").toLong)
         } finally in.close()
-      }
+      }.toOption
+    }
+
+    private def loadPersisted(): Option[Token] = storePath.flatMap { dir =>
+      // the .tmp fallback closes persist()'s delete→rename crash
+      // window: the tmp is fully written and closed BEFORE the swap,
+      // so if the crash struck between delete and rename the newest
+      // token is still recoverable from the tmp
+      readArtifact(new Path(dir, "token.properties"))
+        .orElse(readArtifact(new Path(dir, "token.properties.tmp")))
     }
 
     private def persist(t: Token): Unit = storePath.foreach { dir =>
@@ -149,8 +162,10 @@ object TokenAuth {
         props.setProperty("expires_at", t.expiresAt.toString)
         props.store(out, "graft token artifact")
       } finally out.close()
-      // rename over the old artifact — a crash before this line leaves
-      // the previous token readable, never a torn file
+      // swap: a crash before the delete leaves the previous token
+      // readable; a crash between delete and rename is covered by
+      // loadPersisted's .tmp fallback (the tmp was closed above) — at
+      // every instant SOME valid token artifact is recoverable
       f.delete(dst, false)
       if (!f.rename(tmp, dst))
         throw new AuthException(s"could not persist token artifact at $dst")

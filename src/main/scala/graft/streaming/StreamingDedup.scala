@@ -293,9 +293,14 @@ object StreamingDedup {
             Seq(idCol), "left_anti")
         try {
           // flavor check runs even when guarded is empty — the
-          // hash-append path below must not mix flavors either
+          // hash-append path below must not mix flavors either.
+          // mergeSchema: a store whose older files predate the
+          // hash_flavor marker is a mixed-schema store; a plain read
+          // may pick a markerless file's schema and skip the check
+          // (legacy rows then surface as accepted nulls)
           if (nonEmptyDir(storeDir))
-            TextDedup.checkWindowHashFlavor(spark.read.parquet(storeDir),
+            TextDedup.checkWindowHashFlavor(
+              spark.read.option("mergeSchema", "true").parquet(storeDir),
               graft.plans.GraftExtensions.nativeAvailable)
           if (!guarded.isEmpty) {
             val prior =

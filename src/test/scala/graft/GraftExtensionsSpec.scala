@@ -193,6 +193,23 @@ class GraftExtensionsSpec extends SparkTestBase {
       TextDedup.substringDedupAgainst(docs, "doc_id", "text", 10, foreign)
     }
     assert(e.getMessage.contains("string") && e.getMessage.contains("native"))
+    // MIXED on-disk store: legacy files (no marker) + stamped files.
+    // A mergeSchema read surfaces legacy rows as NULL flavor — they
+    // must be grandfathered (no spurious mismatch), while a real
+    // foreign flavor in the same mixed store still throws
+    val dir = java.nio.file.Files.createTempDirectory("flavor-mix")
+      .toString + "/store"
+    store.drop("hash_flavor").write.parquet(dir) // legacy epoch
+    store.write.mode("append").parquet(dir) // stamped epoch
+    val mixed = spark.read.option("mergeSchema", "true").parquet(dir)
+    TextDedup.checkWindowHashFlavor(mixed, native = true) // must not throw
+    assert(TextDedup.substringDedupAgainst(docs, "doc_id", "text", 10,
+      mixed).count() == 20)
+    val mixedForeign = mixed.withColumn("hash_flavor",
+      coalesce(col("hash_flavor"), lit("string")))
+    intercept[IllegalStateException] {
+      TextDedup.checkWindowHashFlavor(mixedForeign, native = true)
+    }
   }
 
   test("native text_scores / text_gate ≡ HOF gate columns, bit-equal incl. edges") {

@@ -103,6 +103,23 @@ class TokenAuthSpec extends SparkTestBase {
     val p4 = new CredentialProvider(dead, () => clock2.get(),
       storePath = Some(store))
     assert(p4.validToken().accessToken == "tok-next")
+    // crash INSIDE the swap (after delete, before rename): only the
+    // fully-written .tmp exists — recovery must read it, not refresh
+    val dir = java.nio.file.Paths.get(store)
+    java.nio.file.Files.move(dir.resolve("token.properties"),
+      dir.resolve("token.properties.tmp"))
+    val p5 = new CredentialProvider(dead, () => clock2.get(),
+      storePath = Some(store))
+    assert(p5.validToken().accessToken == "tok-next")
+    // a TORN tmp (crash mid-write, no main artifact) must fall through
+    // to a clean refresh, not crash recovery
+    java.nio.file.Files.write(dir.resolve("token.properties.tmp"),
+      "access_token=half\nexpires_at=not-a-number".getBytes)
+    val grants2 = new AtomicInteger(0)
+    val p6 = new CredentialProvider(
+      _ => { grants2.incrementAndGet(); Token("tok-clean", "r", clock2.get() + 1000L) },
+      () => clock2.get(), storePath = Some(store))
+    assert(p6.validToken().accessToken == "tok-clean" && grants2.get() == 1)
   }
 
   test("401 path through the authed pager: rejected token invalidates, retry refreshes, extraction completes") {
