@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Micro-batch streaming throughput bench — puts a number on the
+  * foreachBatch/state-store overhead story the MemoryStream specs only
+  * gate functionally.
+  *
+  * Two representative pipelines, each at three batch sizes:
+  *   - `continuousChunkDedup` — the HEAVY foreachBatch shape: every
+  *     batch re-reads the parquet chunk store, anti-joins, and appends
+  *     both store and output (per-batch cost is dominated by that
+  *     read-modify-write, so rows/s GROWS with batch size — batching
+  *     amortizes the fixed store round-trip);
+  *   - `windowedQuantiles` — native stateful aggregation (per-window
+  *     quantile sketch in the state store, no foreachBatch at all).
+  *
+  * Feeds come from the sf corpus (documents / events), cycled with
+  * per-batch id offsets so the dedup store genuinely grows. Output:
+  * ONE JSON line
+  * {"metric":"stream","chunk_dedup_rows_per_sec":{bs:...},"windowed_quantiles_rows_per_sec":{bs:...}}.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "6").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+
+    // driver-held feeds (bounded: the sf0.1 corpus is 5k docs / 100k events)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val evs = Tables.loadEvents(spark, sfDir)
+      .select("ts", "event_type", "value").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+
+    /** rows/s over `nBatches` micro-batches of `batch(i)` rows each. */
+    def drive[A](mkQuery: MemoryStream[A] => org.apache.spark.sql.streaming.StreamingQuery,
+        stream: MemoryStream[A], batch: Int => Seq[A]): Double = {
+      val query = mkQuery(stream)
+      try {
+        // batch 0 primes codegen/state outside the timed window
+        stream.addData(batch(0): _*)
+        query.processAllAvailable()
+        val t0 = System.nanoTime()
+        var rows = 0L
+        for (i <- 1 to nBatches) {
+          val b = batch(i)
+          rows += b.size
+          stream.addData(b: _*)
+          query.processAllAvailable()
+        }
+        rows / ((System.nanoTime() - t0) / 1e9)
+      } finally query.stop()
+    }
+
+    val chunkSizes = Seq(250, 1000, 4000)
+    val chunkRates = chunkSizes.map { bs =>
+      val input = MemoryStream[(Long, String)]
+      val out = tmp("sb-out") + "/docs"
+      val store = tmp("sb-store") + "/chunks"
+      val rate = drive[(Long, String)](
+        s => graft.streaming.StreamingDedup.continuousChunkDedup(
+            s.toDF().toDF("doc_id", "text"), out, store, "doc_id", "text")
+          .option("checkpointLocation", tmp("sb-ckpt")).start(),
+        input,
+        // unique ids per batch: the store grows like a real feed
+        i => docs.take(bs).map { case (id, t) => (id + i * 1000000L, t) }.toSeq)
+      bs -> rate
+    }
+
+    val qSizes = Seq(5000, 20000, 100000)
+    val qRates = qSizes.map { bs =>
+      val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val rate = drive[(java.sql.Timestamp, String, Double)](
+        s => graft.streaming.StreamingDedup.windowedQuantiles(
+            s.toDF().toDF("ts", "event_type", "value")).writeStream
+          .format("memory").queryName(s"sbq_$bs").outputMode("update")
+          .option("checkpointLocation", tmp("sb-qckpt")).start(),
+        input,
+        i => {
+          val n = math.min(bs, evs.length)
+          evs.iterator.take(n).map { case (ts, et, v) => (ts, et, v + i) }.toSeq
+        })
+      bs -> rate
+    }
+
+    def fmt(rs: Seq[(Int, Double)]): String =
+      rs.map { case (b, r) => s""""$b":${math.round(r)}""" }.mkString(",")
+    println(s"""{"metric":"stream","sf":"$sfDir","n_batches":$nBatches,""" +
+      s""""chunk_dedup_rows_per_sec":{${fmt(chunkRates)}},""" +
+      s""""windowed_quantiles_rows_per_sec":{${fmt(qRates)}}}""")
+    spark.stop()
+  }
+}
