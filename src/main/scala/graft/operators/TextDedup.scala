@@ -385,7 +385,16 @@ object TextDedup {
     // explode, which is one codegen'd kernel pass over the scan —
     // measured cheaper than writing the n_tokens-per-doc narrow frame
     // into the cache (0.26 s recompute vs ~0.4 s persist at sf0.1,
-    // and at 100 TB the cache write is a full extra materialization)
+    // and at 100 TB the cache write is a full extra materialization).
+    // A single-explode ANALYTIC form (min/count OVER (PARTITION BY
+    // __h) instead of groupBy+join-back) was measured r10 at 1.47 s →
+    // 1.09 s on q84's shape and REJECTED anyway: partitionBy(__h)
+    // lands every occurrence of a hot hash on ONE reducer — a
+    // boilerplate window repeated across a 100 TB crawl is exactly
+    // such a key — while the groupBy form partial-aggregates it
+    // map-side and broadcasts the (tiny) duplicated-hash set. The
+    // second explode is the price of skew immunity; the 30× amplified
+    // sweep (q84 2.8×, q67 2.6× — sub-linear) shows it amortizing.
     def windows = windowExplode(docs, idCol, textCol, spanTokens, native)
     // only DUPLICATED hashes can mark a range (cnt > 1), so the probe's
     // build side is the repeated-window set — tiny on real corpora, and

@@ -108,12 +108,55 @@ object Scratch {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
         .orderBy("p_brand")
     }
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextDedup
+    import graft.functions.TextFunctions
+    // q84's crawl input (banner injection at varying alignment)
+    def crawl84 = {
+      val toks = TextFunctions.tokens(col("text"))
+      val banner = split(lit("subscribe to our newsletter for the latest updates " +
+        "and exclusive offers today"), " ")
+      val k = (col("doc_id") % 4).cast("int")
+      val injected = concat_ws(" ", flatten(array(
+        slice(toks, lit(1), k), banner,
+        slice(toks, k + 1, greatest(size(toks) - k, lit(0))))))
+      graft.Tables.load(spark, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 1, injected)
+          .otherwise(col("text")).as("text"))
+    }
+    val current = () => noop(
+      TextDedup.substringDedup(crawl84, "doc_id", "text", 10).orderBy("doc_id"))
+    val windowed = () => noop {
+      val docs = crawl84
+      val windows = TextDedup.windowExplode(docs, "doc_id", "text", 10,
+        native = true)
+      val w = Window.partitionBy("__h")
+      val flagged = windows
+        .withColumn("__first", min(struct(col("__id"), col("pos"))).over(w))
+        .withColumn("__cnt", count(lit(1)).over(w))
+      val dupPos = flagged
+        .where(col("__cnt") > 1 &&
+          struct(col("__id"), col("pos")) =!= col("__first"))
+        .groupBy("__id")
+        .agg(sort_array(collect_list(col("pos"))).as("__dups"))
+      docs.join(dupPos, docs("doc_id") === dupPos("__id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__dups"), array().cast("array<int>")).as("__dups"),
+          col("text").as("__text"))
+        .withColumn("__rb", call_function("drop_token_spans",
+          col("__text"), col("__dups"), lit(10)))
+        .select(col("doc_id"),
+          col("__rb.text").as("text"),
+          col("__rb.n_kept").as("n_tokens_kept"),
+          col("__rb.n_total").as("n_tokens_total"))
+        .orderBy("doc_id")
+    }
     var b0 = Double.MaxValue; var b1 = Double.MaxValue
     for (_ <- 1 to 8) {
-      b0 = math.min(b0, time(q65variant("merge")))
-      b1 = math.min(b1, time(q65variant("shuffle_hash")))
+      b0 = math.min(b0, time(current()))
+      b1 = math.min(b1, time(windowed()))
     }
-    println(f"RESULT merge=$b0%.3f shuffle_hash=$b1%.3f")
+    println(f"RESULT current=$b0%.3f windowed=$b1%.3f")
     spark.stop()
   }
 }
