@@ -660,7 +660,7 @@ object LlmQueries {
     * partition-local mapPartitions — the payload bytes never enter a
     * shuffle. */
   def q64ImageDecode(s: SparkSession, dir: String): DataFrame = {
-    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val ids = spreadSeeds(t(s, dir, "documents").select(col("doc_id")))
     val png = Multimodal.encodePng(s, ids, "doc_id").toDF()
     Multimodal.decodeImage(s, png, "id", "payload").toDF()
       .select(col("id").as("doc_id"), col("width"), col("height"),
@@ -688,9 +688,9 @@ object LlmQueries {
     * comparison proves the Spark side's encode→decode→hash round-trip
     * is pixel-exact (the q64 argument extended through the hash). */
   def q69ImageDedup(s: SparkSession, dir: String): DataFrame = {
-    val ids = t(s, dir, "documents").select(col("doc_id"),
+    val ids = spreadSeeds(t(s, dir, "documents").select(col("doc_id"),
       (col("doc_id") % 400).as("content_key"),
-      (when(col("doc_id") >= 400, 20).otherwise(0)).as("brightness"))
+      (when(col("doc_id") >= 400, 20).otherwise(0)).as("brightness")))
     val png = Multimodal.encodePhotoPng(s, ids, "doc_id",
       "content_key", "brightness").toDF()
     Multimodal.dHash64(s, png, "id", "payload").toDF()
@@ -713,7 +713,7 @@ object LlmQueries {
     * of q64's closed-form image round-trip. Both codec stages are
     * batched partition-local; payload bytes never enter a shuffle. */
   def q70AudioDecode(s: SparkSession, dir: String): DataFrame = {
-    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val ids = spreadSeeds(t(s, dir, "documents").select(col("doc_id")))
     val wav = Audio.encodeWav(s, ids, "doc_id").toDF()
     Audio.decodeAudio(s, wav, "id", "payload").toDF()
       .select(col("id").as("doc_id"),
@@ -737,7 +737,7 @@ object LlmQueries {
     * analogue of q64/q70. All three codec stages are partition-local
     * and fuse into one narrow stage; payload bytes never shuffle. */
   def q71VideoFrames(s: SparkSession, dir: String): DataFrame = {
-    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val ids = spreadSeeds(t(s, dir, "documents").select(col("doc_id")))
     val vid = Multimodal.encodeVideo(s, ids, "doc_id").toDF()
     val frames = Multimodal.frameSample(s, vid, "id", "payload", stride = 2)
     Multimodal.decodeFrames(s, frames).toDF()
@@ -763,7 +763,7 @@ object LlmQueries {
     * q71's, and matching it proves the I-decode + delta-accumulate
     * chain is bit-exact. */
   def q83InterVideo(s: SparkSession, dir: String): DataFrame = {
-    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val ids = spreadSeeds(t(s, dir, "documents").select(col("doc_id")))
     val vid = Multimodal.encodeVideoInter(s, ids, "doc_id", gop = 4)
     Multimodal.sampleFramesInter(s, vid.toDF(), "id", "payload", stride = 2)
       .toDF()
@@ -880,9 +880,9 @@ object LlmQueries {
     * gradient bits → hash → dup groups. Only the 8-byte hash reaches
     * the exchange. */
   def q78AudioDedup(s: SparkSession, dir: String): DataFrame = {
-    val ids = t(s, dir, "documents").select(col("doc_id"),
+    val ids = spreadSeeds(t(s, dir, "documents").select(col("doc_id"),
       (col("doc_id") % 400).as("content_key"),
-      (floor(col("doc_id") / 400) % 3 * 5 + 20).cast("int").as("gain"))
+      (floor(col("doc_id") / 400) % 3 * 5 + 20).cast("int").as("gain")))
     val wav = Audio.encodeWavKeyed(s, ids, "doc_id", "content_key", "gain").toDF()
     Audio.envelopeHash64(s, wav, "id", "payload").toDF()
       .groupBy("ehash")
@@ -988,6 +988,17 @@ object LlmQueries {
   private val Boilerplate =
     "this site uses cookies accept terms of service privacy policy " +
       "all rights reserved copyright twenty twenty four navigation home about"
+
+  /** Spread a tiny seed frame across the session's cores BEFORE the
+    * partition-local codec stages. The synthetic corpora are one
+    * parquet file → one scan partition, which would serialize the
+    * whole encode→demux→decode chain onto a single task (r10 profile:
+    * q71 ran its ~40k frame codecs on one core while 31 idled). Only
+    * the seed ints shuffle; payload bytes are generated and consumed
+    * partition-locally downstream — the same discipline a real 100 TB
+    * media table gets from its own many-file layout. */
+  private def spreadSeeds(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** New-in-r7 — sub-document SPAN dedup ([[TextDedup.chunkDedup]],
     * the C4 / Lee et al. granularity): a simulated boilerplate crawl

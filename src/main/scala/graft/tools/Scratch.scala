@@ -151,12 +151,39 @@ object Scratch {
           col("__rb.n_total").as("n_tokens_total"))
         .orderBy("doc_id")
     }
-    var b0 = Double.MaxValue; var b1 = Double.MaxValue
-    for (_ <- 1 to 8) {
-      b0 = math.min(b0, time(current()))
-      b1 = math.min(b1, time(windowed()))
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    def wavRoundtrip(id: Long): Long = {
+      val pcm = graft.operators.Audio.syntheticPcm(id)
+      val bytes = new Array[Byte](pcm.length * 2)
+      var k = 0
+      while (k < pcm.length) {
+        bytes(2 * k) = (pcm(k) & 0xff).toByte
+        bytes(2 * k + 1) = ((pcm(k) >> 8) & 0xff).toByte
+        k += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(bytes), fmt, pcm.length),
+        AudioFileFormat.Type.WAVE, bos)
+      val ais = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bos.toByteArray))
+      ais.readAllBytes().length.toLong
     }
-    println(f"RESULT current=$b0%.3f windowed=$b1%.3f")
+    def bench(par: Boolean): Double = {
+      val t0 = System.nanoTime()
+      if (par) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+        val futs = (0L until 5000L).map(i =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = wavRoundtrip(i) }))
+        futs.foreach(_.get()); pool.shutdown()
+      } else (0L until 5000L).foreach(wavRoundtrip)
+      (System.nanoTime() - t0) / 1e9
+    }
+    bench(false); bench(true) // warm
+    println(f"RESULT wav_seq=${bench(false)}%.3f wav_par32=${bench(true)}%.3f")
     spark.stop()
   }
 }

@@ -20,6 +20,48 @@ class AudioSpec extends SparkTestBase {
     }
   }
 
+  test("canonical WAV writer is byte-identical to AudioSystem; parser round-trips and declines foreign layouts") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    (0L until 12L).foreach { id =>
+      val pcm = Audio.syntheticPcm(id)
+      val bytes = new Array[Byte](pcm.length * 2)
+      pcm.indices.foreach { k =>
+        bytes(2 * k) = (pcm(k) & 0xff).toByte
+        bytes(2 * k + 1) = ((pcm(k) >> 8) & 0xff).toByte
+      }
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(bytes), new AudioFormat(8000f, 16, 1, true, false),
+        pcm.length), AudioFileFormat.Type.WAVE, bos)
+      val jdk = bos.toByteArray
+      val fast = Audio.encodeCanonicalWav(bytes, 8000)
+      assert(java.util.Arrays.equals(jdk, fast), s"id $id: writer bytes diverge")
+      // parser agrees with the container it just wrote
+      val Some((rate, off, n)) = Audio.parsePcm16MonoLe(fast)
+      assert(rate == 8000 && n == pcm.length &&
+        java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(fast, off, off + 2 * n), bytes))
+    }
+    // foreign layouts decline (→ AudioSystem fallback), malformed declines
+    def wavOf(fmt: AudioFormat, frames: Int, bpf: Int): Array[Byte] = {
+      val data = new Array[Byte](frames * bpf)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(Audio.parsePcm16MonoLe(
+      wavOf(new AudioFormat(8000f, 8, 1, false, false), 40, 1)).isEmpty, "8-bit")
+    assert(Audio.parsePcm16MonoLe(
+      wavOf(new AudioFormat(8000f, 16, 2, true, false), 40, 4)).isEmpty, "stereo")
+    assert(Audio.parsePcm16MonoLe(Array[Byte](1, 2, 3)).isEmpty, "garbage")
+    assert(Audio.parsePcm16MonoLe(
+      "RIFF0000WAVEdata".getBytes ++ new Array[Byte](64)).isEmpty,
+      "data before fmt")
+  }
+
   test("decodeAudio: format + PCM round-trip exactly; features match direct computation") {
     val ids = Seq(0L, 1L, 6L, 13L).toDF("doc_id")
     val wav = Audio.encodeWav(spark, ids.toDF(), "doc_id").toDF()
