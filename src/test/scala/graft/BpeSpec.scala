@@ -84,6 +84,17 @@ class BpeSpec extends SparkTestBase {
     assert(got.nonEmpty && got.map(_.rank) == got.indices)
   }
 
+  test("adaptive local trainer ≡ distributed loop bit-for-bit (corpus + forced fallback)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val local = Bpe.train(docs, "text", 6) // vocab ≪ bound → local path
+    val dist = Bpe.trainDistributed(docs, "text", 6)
+    assert(local == dist, s"local/distributed merge tables differ:\n  $local\n  $dist")
+    // forcing the bound to 0 exercises the fallback dispatch
+    assert(Bpe.train(docs, "text", 6, maxLocalVocab = 0L) == dist)
+  }
+
   test("subwordCount: merges in rank order, counts match a hand replay") {
     val docs = Seq((1L, "the then aaa"), (2L, ""), (3L, "in rather"))
       .toDF("doc_id", "text")
