@@ -98,6 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JsonLongExpr].getName, "json_long"),
       (args: Seq[Expression]) => JsonLongExpr(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("json_scan"),
+      new ExpressionInfo(classOf[JsonScanExpr].getName, "json_scan"),
+      (args: Seq[Expression]) => JsonScanExpr(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("chunk_hashes"),
       new ExpressionInfo(classOf[ChunkHashesExpr].getName, "chunk_hashes"),
       (args: Seq[Expression]) => ChunkHashesExpr(args(0), args(1))))

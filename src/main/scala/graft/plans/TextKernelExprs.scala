@@ -351,10 +351,39 @@ object TextKernels {
     }
   }
 
+  /** The PERMISSIVE-with-corrupt-column twin — exactly
+    * [[graft.operators.Normalize.parseJsonWithQuarantine]]'s from_json
+    * call: yields (field value, corrupt-record-non-null). */
+  private final class JsonSlowQuarantine(field: String) {
+    private val corrupt = "_corrupt_record"
+    private val expr = org.apache.spark.sql.catalyst.expressions.JsonToStructs(
+      StructType(Seq(StructField(field, LongType),
+        StructField(corrupt, StringType))),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, StringType, nullable = true),
+      Some("UTC"))
+    private val row = new GenericInternalRow(1)
+    def eval(text: UTF8String): InternalRow = {
+      row.update(0, text)
+      expr.eval(row) match {
+        case null => new GenericInternalRow(Array[Any](null, false))
+        case r: InternalRow => new GenericInternalRow(Array[Any](
+          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
+          !r.isNullAt(1)))
+      }
+    }
+  }
+
   private val JsonSlowLocal =
     new ThreadLocal[java.util.HashMap[String, JsonSlow]] {
       override def initialValue(): java.util.HashMap[String, JsonSlow] =
         new java.util.HashMap[String, JsonSlow]
+    }
+  private val JsonSlowQLocal =
+    new ThreadLocal[java.util.HashMap[String, JsonSlowQuarantine]] {
+      override def initialValue(): java.util.HashMap[String, JsonSlowQuarantine] =
+        new java.util.HashMap[String, JsonSlowQuarantine]
     }
 
   private def jsonLongSlow(text: UTF8String, field: UTF8String): java.lang.Long = {
@@ -365,31 +394,66 @@ object TextKernels {
     slow.eval(text)
   }
 
+  private def jsonScanSlow(text: UTF8String, field: UTF8String): InternalRow = {
+    val key = field.toString
+    val cache = JsonSlowQLocal.get()
+    var slow = cache.get(key)
+    if (slow == null) { slow = new JsonSlowQuarantine(key); cache.put(key, slow) }
+    slow.eval(text)
+  }
+
+  /** Fast-path bail sentinel: the flat-object scanner met something
+    * outside its strict subset — delegate to the real from_json. */
+  private val JsonBail = new Object
+
+  val JsonScanSchema: StructType = StructType(Seq(
+    StructField("val", LongType),
+    StructField("corrupt", BooleanType, nullable = false)))
+
+  /** `json_scan(doc, field)` → struct<val bigint, corrupt boolean> ≡
+    * PERMISSIVE from_json with a corrupt-record column: val =
+    * parsed.field, corrupt = corrupt-record non-null. Same fast
+    * scanner as [[jsonLong]]; the strict subset is by construction
+    * never corrupt. */
+  def jsonScan(text: UTF8String, field: UTF8String): InternalRow =
+    jsonLongFast(text, field) match {
+      case JsonBail => jsonScanSlow(text, field)
+      case v => new GenericInternalRow(Array[Any](v, false))
+    }
+
   @inline private def isJsonWs(c: Int): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r'
 
-  def jsonLong(text: UTF8String, field: UTF8String): java.lang.Long = {
+  def jsonLong(text: UTF8String, field: UTF8String): java.lang.Long =
+    jsonLongFast(text, field) match {
+      case JsonBail => jsonLongSlow(text, field)
+      case v => v.asInstanceOf[java.lang.Long]
+    }
+
+  /** The shared flat-object byte scanner: boxed Long / null on the
+    * strict subset, [[JsonBail]] on anything else. */
+  private def jsonLongFast(text: UTF8String, field: UTF8String): AnyRef = {
     val b = text.getBytes
     val n = b.length
     val f = field.getBytes
     var result: java.lang.Long = null
     var i = 0
     while (i < n && isJsonWs(b(i) & 0xff)) i += 1
-    if (i >= n || b(i) != '{') return jsonLongSlow(text, field)
+    if (i >= n || b(i) != '{') return JsonBail
     i += 1
     while (i < n && isJsonWs(b(i) & 0xff)) i += 1
     if (i < n && b(i) == '}') {
       i += 1
       while (i < n && isJsonWs(b(i) & 0xff)) i += 1
-      return if (i == n) null else jsonLongSlow(text, field)
+      return if (i == n) null else JsonBail
     }
     while (true) {
       // "key"
-      if (i >= n || b(i) != '"') return jsonLongSlow(text, field)
+      if (i >= n || b(i) != '"') return JsonBail
       val ks = i + 1
       var j = ks
       while (j < n && b(j) != '"' && b(j) != '\\' && (b(j) & 0xff) >= 0x20) j += 1
-      if (j >= n || b(j) != '"') return jsonLongSlow(text, field)
+      if (j >= n || b(j) != '"') return JsonBail
       var isTarget = (j - ks) == f.length
       if (isTarget) {
         var k = 0
@@ -397,10 +461,10 @@ object TextKernels {
       }
       i = j + 1
       while (i < n && isJsonWs(b(i) & 0xff)) i += 1
-      if (i >= n || b(i) != ':') return jsonLongSlow(text, field)
+      if (i >= n || b(i) != ':') return JsonBail
       i += 1
       while (i < n && isJsonWs(b(i) & 0xff)) i += 1
-      if (i >= n) return jsonLongSlow(text, field)
+      if (i >= n) return JsonBail
       // value
       val c = b(i) & 0xff
       if (c == '-' || (c >= '0' && c <= '9')) {
@@ -410,21 +474,21 @@ object TextKernels {
         val ds = p
         var v = 0L
         while (p < n && (b(p) & 0xff) >= '0' && (b(p) & 0xff) <= '9') {
-          if (p - ds >= 18) return jsonLongSlow(text, field)
+          if (p - ds >= 18) return JsonBail
           v = v * 10 + (b(p) - '0')
           p += 1
         }
-        if (p == ds) return jsonLongSlow(text, field) // "-" with no digits
-        if (b(ds) == '0' && p - ds > 1) return jsonLongSlow(text, field)
+        if (p == ds) return JsonBail // "-" with no digits
+        if (b(ds) == '0' && p - ds > 1) return JsonBail
         if (p < n && (b(p) == '.' || b(p) == 'e' || b(p) == 'E'))
-          return jsonLongSlow(text, field)
+          return JsonBail
         if (isTarget) result = java.lang.Long.valueOf(if (neg) -v else v)
         i = p
       } else if (c == '"') {
-        if (isTarget) return jsonLongSlow(text, field) // target type mismatch
+        if (isTarget) return JsonBail // target type mismatch
         var j2 = i + 1
         while (j2 < n && b(j2) != '"' && b(j2) != '\\' && (b(j2) & 0xff) >= 0x20) j2 += 1
-        if (j2 >= n || b(j2) != '"') return jsonLongSlow(text, field)
+        if (j2 >= n || b(j2) != '"') return JsonBail
         i = j2 + 1
       } else if (n - i >= 4 && b(i) == 'n' && b(i + 1) == 'u' && b(i + 2) == 'l' &&
           b(i + 3) == 'l') {
@@ -432,13 +496,13 @@ object TextKernels {
         i += 4
       } else if (n - i >= 4 && b(i) == 't' && b(i + 1) == 'r' && b(i + 2) == 'u' &&
           b(i + 3) == 'e') {
-        if (isTarget) return jsonLongSlow(text, field)
+        if (isTarget) return JsonBail
         i += 4
       } else if (n - i >= 5 && b(i) == 'f' && b(i + 1) == 'a' && b(i + 2) == 'l' &&
           b(i + 3) == 's' && b(i + 4) == 'e') {
-        if (isTarget) return jsonLongSlow(text, field)
+        if (isTarget) return JsonBail
         i += 5
-      } else return jsonLongSlow(text, field) // nesting or malformed
+      } else return JsonBail // nesting or malformed
       while (i < n && isJsonWs(b(i) & 0xff)) i += 1
       if (i < n && b(i) == ',') {
         i += 1
@@ -446,8 +510,8 @@ object TextKernels {
       } else if (i < n && b(i) == '}') {
         i += 1
         while (i < n && isJsonWs(b(i) & 0xff)) i += 1
-        return if (i == n) result else jsonLongSlow(text, field)
-      } else return jsonLongSlow(text, field)
+        return if (i == n) result else JsonBail
+      } else return JsonBail
     }
     null // unreachable
   }
@@ -742,6 +806,26 @@ case class JsonLongExpr(left: Expression, right: Expression)
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
        """.stripMargin
     })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** `json_scan(doc, field)` → struct<val bigint, corrupt boolean> ≡
+  * PERMISSIVE from_json with a corrupt-record column (see
+  * [[TextKernels.jsonScan]]). */
+case class JsonScanExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = TextKernels.JsonScanSchema
+  override def prettyName: String = "json_scan"
+
+  override def nullSafeEval(doc: Any, field: Any): Any =
+    TextKernels.jsonScan(doc.asInstanceOf[UTF8String],
+      field.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, f) =>
+      s"${ev.value} = graft.plans.TextKernels.jsonScan($d, $f);")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)

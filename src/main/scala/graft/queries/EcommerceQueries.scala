@@ -297,8 +297,19 @@ object EcommerceQueries {
     val corrupted = t(s, dir, "events").withColumn("props",
       when(col("event_id") % 7 === 0, translate(col("props"), "{", "<"))
         .otherwise(col("props")))
-    Normalize.parseJsonWithQuarantine(corrupted, "props",
+    // native: json_scan fuses parse + quarantine flag in one fast-path
+    // byte scan (exact PERMISSIVE from_json fallback inside the
+    // kernel); null props coalesce to not-quarantined, matching
+    // from_json(null) → null struct → corrupt-col isNotNull = false
+    val parsed =
+      if (graft.plans.GraftExtensions.nativeAvailable)
+        corrupted
+          .withColumn("__p", call_function("json_scan", col("props"), lit("k")))
+          .withColumn("is_quarantined", coalesce(col("__p.corrupt"), lit(false)))
+          .withColumn("parsed", struct(col("__p.val").as("k")))
+      else Normalize.parseJsonWithQuarantine(corrupted, "props",
         StructType(Seq(StructField("k", LongType))))
+    parsed
       .groupBy("event_type")
       .agg(
         count(when(!col("is_quarantined"), 1)).as("n_valid"),

@@ -366,6 +366,27 @@ break", "k": 6}""", "").toDF("doc")
     assert(diff == 0, s"$diff rows diverge between json_long and from_json")
   }
 
+  test("native json_scan ≡ parseJsonWithQuarantine on the same edge battery") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val docs = Seq(
+      """{"k": 76}""", """{"k":-3}""", """{}""", """{"k": null}""",
+      """{"j": 5}""", """{"k": "76"}""", """{"k": 7.5}""", """{"k": 01}""",
+      """{"k": [1]}""", """{"j": {"k": 5}}""", """{"k":1,"k":2}""",
+      """{"k": 5} x""", """[1,2]""", """not json""", """<"k": 5}""",
+      """{"k": 99999999999999999999999}""", "").toDF("props")
+    val viaKernel = docs
+      .select(call_function("json_scan", col("props"), lit("k")).as("__p"))
+      .select(col("__p.val").as("k"),
+        coalesce(col("__p.corrupt"), lit(false)).as("q"))
+    val viaFromJson = graft.operators.Normalize.parseJsonWithQuarantine(
+        docs, "props", StructType(Seq(StructField("k", LongType))))
+      .select(col("parsed.k").as("k"), col("is_quarantined").as("q"))
+    val k = viaKernel.collect().map(r => (Option(r.get(0)), r.getBoolean(1))).toSeq
+    val f = viaFromJson.collect().map(r => (Option(r.get(0)), r.getBoolean(1))).toSeq
+    assert(k == f, s"json_scan diverges:\n  kernel: $k\n  from_json: $f")
+  }
+
   test("native array_pmod ≡ transform(arr, pmod), BIT-identical incl. negatives") {
     import spark.implicits._
     val arrs = Seq(Seq(-5L, 0L, 5L, Long.MinValue + 1, Long.MaxValue, -2305843009213693951L),
