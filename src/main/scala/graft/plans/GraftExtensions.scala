@@ -102,6 +102,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JsonScanExpr].getName, "json_scan"),
       (args: Seq[Expression]) => JsonScanExpr(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("safe_long"),
+      new ExpressionInfo(classOf[SafeLongExpr].getName, "safe_long"),
+      (args: Seq[Expression]) => SafeLongExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("safe_double"),
+      new ExpressionInfo(classOf[SafeDoubleExpr].getName, "safe_double"),
+      (args: Seq[Expression]) => SafeDoubleExpr(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("chunk_hashes"),
       new ExpressionInfo(classOf[ChunkHashesExpr].getName, "chunk_hashes"),
       (args: Seq[Expression]) => ChunkHashesExpr(args(0), args(1))))

@@ -406,6 +406,136 @@ object TextKernels {
     * outside its strict subset — delegate to the real from_json. */
   private val JsonBail = new Object
 
+  // ---- q06 exception-free safe casts -------------------------------------
+  // Under ANSI mode (the Spark 4 default) `try_cast` evaluates
+  // Cast(TRY), whose failure path THROWS per row and catches — ~20 µs
+  // per unparseable value (r10 profile: q06's two never-parseable
+  // columns cost 0.45 s over 20k rows at sf0.1, 2.5× the whole rest of
+  // the query). The scanners below decide the two CERTAIN outcomes
+  // over the UTF-8 bytes without any exception:
+  //   - certain VALUE: canonical [+-]?digits (long; ≤18 digits) or a
+  //     ≤15-significant-digit decimal (double — exact-in-IEEE mantissa
+  //     ÷ exact power of ten is correctly rounded, so it equals
+  //     parseDouble bit-for-bit);
+  //   - certain NULL: any ASCII byte that can appear in NO valid
+  //     numeric literal of the target type (letters for long; letters
+  //     outside the Infinity/NaN/exponent/hex-float alphabet for
+  //     double);
+  //   - anything else (whitespace padding, multiple signs, huge
+  //     mantissas, non-ASCII) BAILS to a cached real Cast(TRY) eval —
+  //     semantics are try_cast BY CONSTRUCTION on every input
+  //     (GraftExtensionsSpec fuzzes the equality).
+
+  private final class TryCastSlow(target: DataType) {
+    private val expr = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, StringType, nullable = true),
+      target, Some("UTC"),
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
+    private val row = new GenericInternalRow(1)
+    def eval(text: UTF8String): Any = {
+      row.update(0, text)
+      expr.eval(row)
+    }
+  }
+
+  private val LongCastLocal = new ThreadLocal[TryCastSlow] {
+    override def initialValue(): TryCastSlow = new TryCastSlow(LongType)
+  }
+  private val DoubleCastLocal = new ThreadLocal[TryCastSlow] {
+    override def initialValue(): TryCastSlow = new TryCastSlow(DoubleType)
+  }
+
+  @inline private def isWsB(c: Int): Boolean = (c >= 0x09 && c <= 0x0d) || c == 0x20
+
+  /** `safe_long(s)` ≡ `try_cast(s AS BIGINT)`, boxed Long or null. */
+  def safeLong(text: UTF8String): java.lang.Long = {
+    val b = text.getBytes
+    val n = b.length
+    if (n == 0) return null
+    // pass 1: classify bytes
+    var i = 0
+    var certainNull = false
+    var clean = true // canonical [+-]?digits with no ws
+    while (i < n && !certainNull) {
+      val c = b(i) & 0xff
+      if (isDigitB(c)) ()
+      else if ((c == '+' || c == '-') && i == 0) ()
+      else if (c < 0x80 && !isWsB(c) && c != '+' && c != '-') {
+        // an ASCII byte no valid long literal can contain → null
+        certainNull = true
+      } else clean = false // ws / misplaced sign / non-ASCII → ambiguous
+      i += 1
+    }
+    if (certainNull) return null
+    if (clean) {
+      val neg = b(0) == '-'
+      val ds = if (b(0) == '+' || b(0) == '-') 1 else 0
+      val nd = n - ds
+      if (nd >= 1 && nd <= 18) {
+        var v = 0L
+        var p = ds
+        while (p < n) { v = v * 10 + (b(p) - '0'); p += 1 }
+        return java.lang.Long.valueOf(if (neg) -v else v)
+      }
+    }
+    LongCastLocal.get().eval(text).asInstanceOf[java.lang.Long]
+  }
+
+  // letters that can appear in SOME valid double literal: exponent
+  // markers, hex-float syntax (0x1.8p1), type suffixes (1.5f/1.5d),
+  // Infinity / NaN in any case
+  private val DoubleLetterOk: Array[Boolean] = {
+    val ok = new Array[Boolean](128)
+    "eExXpPaAbBcCdDfFiInNtTyY".foreach(ch => ok(ch) = true)
+    ok
+  }
+
+  /** `safe_double(s)` ≡ `try_cast(s AS DOUBLE)`, boxed Double or null. */
+  def safeDouble(text: UTF8String): java.lang.Double = {
+    val b = text.getBytes
+    val n = b.length
+    if (n == 0) return null
+    var i = 0
+    var certainNull = false
+    var clean = true // canonical [+-]?digits[.digits]?
+    var dot = -1
+    while (i < n && !certainNull) {
+      val c = b(i) & 0xff
+      if (isDigitB(c)) ()
+      else if ((c == '+' || c == '-') && i == 0) ()
+      else if (c == '.' && dot < 0) dot = i
+      else if (c < 0x80 && !isWsB(c) && c != '+' && c != '-' && c != '.' &&
+          !DoubleLetterOk(c)) {
+        certainNull = true
+      } else clean = false
+      i += 1
+    }
+    if (certainNull) return null
+    if (clean) {
+      val ds = if (b(0) == '+' || b(0) == '-') 1 else 0
+      val neg = b(0) == '-'
+      val intLen = (if (dot >= 0) dot else n) - ds
+      val fracLen = if (dot >= 0) n - dot - 1 else 0
+      val sig = intLen + fracLen
+      if (intLen + fracLen >= 1 && sig <= 15 && fracLen <= 15 &&
+          !(dot >= 0 && intLen == 0 && fracLen == 0)) {
+        var m = 0L
+        var p = ds
+        while (p < n) {
+          if (p != dot) m = m * 10 + (b(p) - '0')
+          p += 1
+        }
+        var pow = 1.0
+        var k = 0
+        while (k < fracLen) { pow *= 10.0; k += 1 }
+        val v = m.toDouble / pow
+        return java.lang.Double.valueOf(if (neg) -v else v)
+      }
+    }
+    DoubleCastLocal.get().eval(text).asInstanceOf[java.lang.Double]
+  }
+
   val JsonScanSchema: StructType = StructType(Seq(
     StructField("val", LongType),
     StructField("corrupt", BooleanType, nullable = false)))
@@ -829,6 +959,55 @@ case class JsonScanExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** `safe_long(s)` → bigint ≡ `try_cast(s AS BIGINT)` without the
+  * per-row exception on unparseable input (see
+  * [[TextKernels.safeLong]]). */
+case class SafeLongExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "safe_long"
+
+  override def nullSafeEval(s: Any): Any = {
+    val r = TextKernels.safeLong(s.asInstanceOf[UTF8String])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("safeLong")
+      s"""java.lang.Long $r = graft.plans.TextKernels.safeLong($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `safe_double(s)` → double ≡ `try_cast(s AS DOUBLE)` without the
+  * per-row exception on unparseable input. */
+case class SafeDoubleExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "safe_double"
+
+  override def nullSafeEval(s: Any): Any = {
+    val r = TextKernels.safeDouble(s.asInstanceOf[UTF8String])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("safeDouble")
+      s"""java.lang.Double $r = graft.plans.TextKernels.safeDouble($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `array_pmod(arr, m)` → array<bigint>. */

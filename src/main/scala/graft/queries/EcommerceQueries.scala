@@ -94,10 +94,10 @@ object EcommerceQueries {
       .otherwise(lit("1"))
     p.select(
         col("p_partkey"),
-        SafeCasts.safeInt(col("p_brand")).as("brand_as_int"),
-        SafeCasts.safeInt(regexp_extract(col("p_brand"), "([0-9]+)", 1))
+        SafeCasts.safeIntStr(col("p_brand")).as("brand_as_int"),
+        SafeCasts.safeIntStr(regexp_extract(col("p_brand"), "([0-9]+)", 1))
           .as("brand_num"),
-        SafeCasts.safeFloat(col("p_type")).as("type_as_float"),
+        SafeCasts.safeFloatStr(col("p_type")).as("type_as_float"),
         SafeCasts.safeBool(boolStr).as("flag"),
         SafeCasts.safeString(col("p_name"), 12).as("name_trunc"))
       .orderBy("p_partkey")

@@ -29,9 +29,21 @@ object Scratch {
 
     // current experiment slots — swap in the queries under study
     val a = () => noop(
-      graft.queries.EcommerceQueries.q10StarJoin(spark, dir))
-    val b = () => noop(
-      graft.queries.AnalyticsQueries.q53RangeJoin(spark, dir))
+      graft.queries.EcommerceQueries.q06SafeCasts(spark, dir))
+    val b = () => noop {
+      val p = graft.Tables.load(spark, dir, "part")
+      val boolStr = when(col("p_size") % 4 === 0, lit("TRUE"))
+        .when(col("p_size") % 4 === 1, lit("yes"))
+        .when(col("p_size") % 4 === 2, lit("off"))
+        .otherwise(lit("1"))
+      p.select(
+          col("p_partkey"),
+          graft.functions.SafeCasts.safeInt(
+            regexp_extract(col("p_brand"), "([0-9]+)", 1)).as("brand_num"),
+          graft.functions.SafeCasts.safeBool(boolStr).as("flag"),
+          graft.functions.SafeCasts.safeString(col("p_name"), 12).as("name_trunc"))
+        .orderBy("p_partkey")
+    }
     var bA = Double.MaxValue
     var bB = Double.MaxValue
     for (_ <- 1 to 8) {

@@ -387,6 +387,41 @@ break", "k": 6}""", "").toDF("doc")
     assert(k == f, s"json_scan diverges:\n  kernel: $k\n  from_json: $f")
   }
 
+  test("native safe_long / safe_double ≡ try_cast on edges and fuzzed numerics") {
+    import spark.implicits._
+    val edges = Seq(
+      "12", "+12", "-12", "0", "007", "999999999999999999",
+      "9223372036854775807", "9223372036854775808", "-9223372036854775808",
+      "12.7", "12.", ".5", "-.5", "+.", ".", "+", "-", "", " ", " 12",
+      "12 ", "\t12\n", "+-3", "1-2", "1e3", "1E-2", "Infinity", "-Infinity",
+      "NaN", "nan", "infinity", "0x1.8p1", "1.5f", "1.5d", "Brand#13",
+      "STANDARD ANODIZED TIN", "12,345", "١٢", "1 2", "12.500",
+      "0.1", "3.141592653589793", "123456789012345.6", "1234567890123456.7",
+      "--1", "9".repeat(40))
+    val fragGen = {
+      import org.scalacheck.Gen
+      val frags = Seq("1", "23", "0", ".", "-", "+", " ", "e", "E", "9",
+        "f", "x", "Inf", "aN", "\t", "7".repeat(9))
+      Gen.choose(0, 6).flatMap(k => Gen.listOfN(k, Gen.oneOf(frags)).map(_.mkString))
+    }
+    val fuzz = (1 to 3000).flatMap(i =>
+      fragGen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)))
+    val docs = (edges ++ fuzz).toDF("s")
+    val diff = docs.select(
+        call_function("safe_long", col("s")).as("nl"),
+        col("s").try_cast("bigint").as("tl"),
+        call_function("safe_double", col("s")).as("nd"),
+        col("s").try_cast("double").as("td"))
+      .where(col("nl") =!= col("tl") || (col("nl").isNull =!= col("tl").isNull) ||
+        col("nd") =!= col("td") || (col("nd").isNull =!= col("td").isNull) ||
+        // NaN =!= NaN is null-ish; compare bit patterns too
+        (col("nd").isNotNull && col("td").isNotNull &&
+          expr("not (nd <=> td)")))
+      .collect()
+    assert(diff.isEmpty, s"safe casts diverge from try_cast on: ${diff.take(10).mkString(", ")}")
+  }
+
   test("native array_pmod ≡ transform(arr, pmod), BIT-identical incl. negatives") {
     import spark.implicits._
     val arrs = Seq(Seq(-5L, 0L, 5L, Long.MinValue + 1, Long.MaxValue, -2305843009213693951L),
