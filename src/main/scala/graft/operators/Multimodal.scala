@@ -3,8 +3,8 @@ package graft.operators
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-import javax.imageio.{ImageIO, ImageReader, ImageWriter}
-import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+import javax.imageio.{ImageIO, ImageReader}
+import javax.imageio.stream.MemoryCacheImageInputStream
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -54,26 +54,11 @@ object Multimodal {
   case class DecodedFrame(id: Long, frameIdx: Int, width: Int, height: Int,
       nChannels: Int, channelMeans: Array[Double], pixelSum: Long)
 
-  /** Run `f` with a reused PNG ImageWriter: `ImageIO.write` does a
-    * service-provider scan and allocates a fresh writer (and its
-    * Deflater state) PER CALL — on the small frames codec stages
-    * process in bulk that fixed cost is ~3× the actual encode work
-    * (measured: 66 µs/frame → 23 µs with reuse). Callers scope one
-    * writer per batch, amortizing the lookup without holding codec
-    * state for a whole partition. */
-  private def withPngWriter[A](f: ImageWriter => A): A = {
-    val writer = ImageIO.getImageWritersByFormatName("png").next()
-    try f(writer) finally writer.dispose()
-  }
-
-  private def writePng(writer: ImageWriter, img: BufferedImage): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val ios = new MemoryCacheImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.write(img)
-    ios.close()
-    bos.toByteArray
-  }
+  // PNG encode is [[FastPng.encode]] (r10): the reused-ImageWriter
+  // path this file carried before still cost ~23 µs/frame of ImageIO
+  // machinery on 32–72-pixel frames; the canonical filter-0 writer is
+  // a real PNG (ImageIO pixel-equality asserted in MultimodalSpec)
+  // with none of it.
 
   /** Batch-scoped image decoder with reused per-format readers:
     * dispatches on the payload's magic bytes (PNG/JPEG/GIF/BMP/TIFF —
@@ -94,6 +79,13 @@ object Multimodal {
     def read(bytes: Array[Byte]): BufferedImage = {
       if (bytes == null || bytes.length < 2) return null
       val fmt = formatOf(bytes)
+      if (fmt == "png") {
+        // canonical-subset fast path (8-bit RGB, non-interlaced, all
+        // five scanline filters); null → the reader below, so the
+        // accepted universe stays exactly ImageIO's
+        val fast = FastPng.decode(bytes)
+        if (fast != null) return fast
+      }
       if (fmt == null)
         return try ImageIO.read(new ByteArrayInputStream(bytes))
         catch { case _: Exception => null }
@@ -154,9 +146,7 @@ object Multimodal {
     rows.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          withPngWriter { w =>
-            batch.map(id => EncodedImage(id, writePng(w, syntheticImage(id))))
-          }
+          batch.map(id => EncodedImage(id, FastPng.encode(syntheticImage(id))))
         }
       }
   }
@@ -302,10 +292,8 @@ object Multimodal {
         col(brightnessCol).cast("int")).as[(Long, Long, Int)]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          withPngWriter { w =>
-            batch.map { case (id, key, bright) =>
-              EncodedImage(id, writePng(w, syntheticPhoto(key, bright)))
-            }
+          batch.map { case (id, key, bright) =>
+            EncodedImage(id, FastPng.encode(syntheticPhoto(key, bright)))
           }
         }
       }
@@ -418,17 +406,15 @@ object Multimodal {
     rows.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          withPngWriter { w =>
-            batch.map { id =>
-              val bos = new ByteArrayOutputStream()
-              val nFrames = (6 + id % 5).toInt
-              var f = 0
-              while (f < nFrames) {
-                bos.write(writePng(w, syntheticVideoFrame(id, f)))
-                f += 1
-              }
-              EncodedImage(id, bos.toByteArray)
+          batch.map { id =>
+            val bos = new ByteArrayOutputStream()
+            val nFrames = (6 + id % 5).toInt
+            var f = 0
+            while (f < nFrames) {
+              bos.write(FastPng.encode(syntheticVideoFrame(id, f)))
+              f += 1
             }
+            EncodedImage(id, bos.toByteArray)
           }
         }
       }
@@ -571,30 +557,28 @@ object Multimodal {
     rows.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          withPngWriter { w =>
-            batch.map { id =>
-              val bos = new ByteArrayOutputStream()
-              bos.write(GdvMagic)
-              val nFrames = (6 + id % 5).toInt
-              var prev: Array[Byte] = null
-              var f = 0
-              while (f < nFrames) {
-                val img = syntheticVideoFrame(id, f)
-                val cur = rgbBytes(img)
-                val (tpe, payload) =
-                  if (f % gop == 0) ('I'.toByte, writePng(w, img))
-                  else ('P'.toByte, deflate(deltaBytes(prev, cur)))
-                bos.write(tpe)
-                bos.write((payload.length >>> 24) & 0xff)
-                bos.write((payload.length >>> 16) & 0xff)
-                bos.write((payload.length >>> 8) & 0xff)
-                bos.write(payload.length & 0xff)
-                bos.write(payload)
-                prev = cur
-                f += 1
-              }
-              EncodedImage(id, bos.toByteArray)
+          batch.map { id =>
+            val bos = new ByteArrayOutputStream()
+            bos.write(GdvMagic)
+            val nFrames = (6 + id % 5).toInt
+            var prev: Array[Byte] = null
+            var f = 0
+            while (f < nFrames) {
+              val img = syntheticVideoFrame(id, f)
+              val cur = rgbBytes(img)
+              val (tpe, payload) =
+                if (f % gop == 0) ('I'.toByte, FastPng.encode(img))
+                else ('P'.toByte, deflate(deltaBytes(prev, cur)))
+              bos.write(tpe)
+              bos.write((payload.length >>> 24) & 0xff)
+              bos.write((payload.length >>> 16) & 0xff)
+              bos.write((payload.length >>> 8) & 0xff)
+              bos.write(payload.length & 0xff)
+              bos.write(payload)
+              prev = cur
+              f += 1
             }
+            EncodedImage(id, bos.toByteArray)
           }
         }
       }

@@ -28,29 +28,39 @@ object Scratch {
       df.write.mode("overwrite").format("noop").save()
 
     // current experiment slots — swap in the queries under study
-    val a = () => noop(
-      graft.queries.EcommerceQueries.q06SafeCasts(spark, dir))
-    val b = () => noop {
-      val p = graft.Tables.load(spark, dir, "part")
-      val boolStr = when(col("p_size") % 4 === 0, lit("TRUE"))
-        .when(col("p_size") % 4 === 1, lit("yes"))
-        .when(col("p_size") % 4 === 2, lit("off"))
-        .otherwise(lit("1"))
-      p.select(
-          col("p_partkey"),
-          graft.functions.SafeCasts.safeInt(
-            regexp_extract(col("p_brand"), "([0-9]+)", 1)).as("brand_num"),
-          graft.functions.SafeCasts.safeBool(boolStr).as("flag"),
-          graft.functions.SafeCasts.safeString(col("p_name"), 12).as("name_trunc"))
-        .orderBy("p_partkey")
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    def pngRoundtrip(id: Long): Int = {
+      val w = (8 + id % 5).toInt; val h = (4 + id % 3).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, (x << 8) | y); x += 1 }; y += 1 }
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios); writer.write(img); ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      val reader = ImageIO.getImageReadersByFormatName("png").next()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis, true, true)
+      val out = reader.read(0)
+      reader.dispose(); iis.close()
+      out.getWidth
     }
-    var bA = Double.MaxValue
-    var bB = Double.MaxValue
-    for (_ <- 1 to 8) {
-      bA = math.min(bA, time(a()))
-      bB = math.min(bB, time(b()))
+    def bench(par: Boolean): Double = {
+      val t0 = System.nanoTime()
+      if (par) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+        val futs = (0L until 8000L).map(i =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = pngRoundtrip(i) }))
+        futs.foreach(_.get()); pool.shutdown()
+      } else (0L until 8000L).foreach(pngRoundtrip)
+      (System.nanoTime() - t0) / 1e9
     }
-    println(f"RESULT a=$bA%.3f b=$bB%.3f")
+    bench(false); bench(true)
+    println(f"RESULT png_seq=${bench(false)}%.3f png_par32=${bench(true)}%.3f")
     spark.stop()
   }
 }

@@ -36,6 +36,52 @@ class MultimodalSpec extends SparkTestBase {
     assert(img.getWidth == (8 + 11 % 5) && img.getHeight == (4 + 11 % 3))
   }
 
+  test("FastPng: ImageIO-interoperable both directions; foreign layouts decline to fallback") {
+    import graft.operators.FastPng
+    import java.awt.image.BufferedImage
+    val rnd = new scala.util.Random(7)
+    def randomImg(w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rnd.nextInt(1 << 24))
+      img
+    }
+    def pixels(img: BufferedImage): Seq[Int] =
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield img.getRGB(x, y) & 0xffffff
+    val shapes = Seq((1, 1), (8, 4), (12, 6), (33, 1), (1, 47), (64, 64), (127, 3))
+    shapes.foreach { case (w, h) =>
+      val img = randomImg(w, h)
+      // our writer → ImageIO reader
+      val fastBytes = FastPng.encode(img)
+      val viaImageIO = ImageIO.read(new java.io.ByteArrayInputStream(fastBytes))
+      assert(viaImageIO != null && pixels(viaImageIO) == pixels(img), s"$w x $h enc")
+      // our writer → our reader
+      val viaFast = FastPng.decode(fastBytes)
+      assert(viaFast != null && pixels(viaFast) == pixels(img), s"$w x $h rt")
+      // ImageIO writer (its own adaptive filter choices) → our reader
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      val decoded = FastPng.decode(bos.toByteArray)
+      assert(decoded != null && pixels(decoded) == pixels(img), s"$w x $h dec")
+    }
+    // foreign layouts → null (ImageIO fallback), never a wrong decode
+    val rgba = new BufferedImage(6, 6, BufferedImage.TYPE_INT_ARGB)
+    rgba.setRGB(1, 1, 0x80123456)
+    val bosA = new java.io.ByteArrayOutputStream()
+    ImageIO.write(rgba, "png", bosA)
+    assert(FastPng.decode(bosA.toByteArray) == null, "RGBA must decline")
+    val gray = new BufferedImage(5, 5, BufferedImage.TYPE_BYTE_GRAY)
+    val bosG = new java.io.ByteArrayOutputStream()
+    ImageIO.write(gray, "png", bosG)
+    assert(FastPng.decode(bosG.toByteArray) == null, "grayscale must decline")
+    assert(FastPng.decode(Array[Byte](1, 2, 3)) == null)
+    // bit-flip inside IDAT → CRC mismatch → decline
+    val ok = FastPng.encode(randomImg(9, 5))
+    val corrupt = ok.clone(); corrupt(ok.length - 20) = (corrupt(ok.length - 20) ^ 0x7f).toByte
+    assert(FastPng.decode(corrupt) == null, "corrupt payload must decline")
+  }
+
   test("decodeImage: real ImageIO decode with closed-form channel stats") {
     val ids = (0L until 60L).toDF("doc_id")
     val png = Multimodal.encodePng(spark, ids.toDF(), "doc_id").toDF()
