@@ -162,6 +162,10 @@ object EcommerceQueries {
     // sum+count_distinct otherwise costs. At 100 TB this is the
     // difference between shuffling the lineitem fact once NARROW
     // (3 columns, combined) and shuffling it wide into the join.
+    // r10: a shuffle_hash hint on the fact⋈fact join (the q65 trick)
+    // was measured 1.35 s → 1.46 s and REJECTED — both sides here are
+    // fact-sized, so the hash build costs more than the two sorts it
+    // saves; SMJ stays.
     val liAgg = li.groupBy(col("l_orderkey"), col("l_returnflag"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(18,4)")).as("rev"))

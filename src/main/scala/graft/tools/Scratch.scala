@@ -28,39 +28,32 @@ object Scratch {
       df.write.mode("overwrite").format("noop").save()
 
     // current experiment slots — swap in the queries under study
-    import javax.imageio.ImageIO
-    import java.awt.image.BufferedImage
-    def pngRoundtrip(id: Long): Int = {
-      val w = (8 + id % 5).toInt; val h = (4 + id % 3).toInt
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, (x << 8) | y); x += 1 }; y += 1 }
-      val writer = ImageIO.getImageWritersByFormatName("png").next()
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-      writer.setOutput(ios); writer.write(img); ios.close(); writer.dispose()
-      val bytes = bos.toByteArray
-      val reader = ImageIO.getImageReadersByFormatName("png").next()
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      reader.setInput(iis, true, true)
-      val out = reader.read(0)
-      reader.dispose(); iis.close()
-      out.getWidth
+    def q10variant(hint: String): Unit = noop {
+      val li = graft.Tables.load(spark, dir, "lineitem")
+      val o0 = graft.Tables.load(spark, dir, "orders")
+      val o = if (hint.isEmpty) o0 else o0.hint(hint)
+      val c = broadcast(graft.Tables.load(spark, dir, "customer"))
+      val n = broadcast(graft.Tables.load(spark, dir, "nation"))
+      val r = broadcast(graft.Tables.load(spark, dir, "region"))
+      val liAgg = li.groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+      liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("l_returnflag"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "l_returnflag")
     }
-    def bench(par: Boolean): Double = {
-      val t0 = System.nanoTime()
-      if (par) {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
-        val futs = (0L until 8000L).map(i =>
-          pool.submit(new java.util.concurrent.Callable[Int] {
-            def call(): Int = pngRoundtrip(i) }))
-        futs.foreach(_.get()); pool.shutdown()
-      } else (0L until 8000L).foreach(pngRoundtrip)
-      (System.nanoTime() - t0) / 1e9
+    var bA = Double.MaxValue
+    var bB = Double.MaxValue
+    for (_ <- 1 to 8) {
+      bA = math.min(bA, time(q10variant("")))
+      bB = math.min(bB, time(q10variant("shuffle_hash")))
     }
-    bench(false); bench(true)
-    println(f"RESULT png_seq=${bench(false)}%.3f png_par32=${bench(true)}%.3f")
+    println(f"RESULT smj=$bA%.3f shj=$bB%.3f")
     spark.stop()
   }
 }
