@@ -21,10 +21,14 @@ object AnalyticsQueries {
     t(s, dir, "events").withColumn("ts_us", expr("ts_ns div 1000"))
 
   /** §2 #23 — gap-based sessionization (30-min gap), per-session
-    * rollup. One shuffle on user_id for the windows, one for the
-    * session aggregate. */
+    * rollup. ONE range exchange on user_id total (r10 — the q44
+    * discipline): the windows cluster on it, the session aggregate's
+    * (user_id, session_id) clustering is satisfied by the user_id
+    * partitioning (a subset of its keys), and the ordered range
+    * partitions make the final key-prefixed sort exchange-free. */
   def q27Sessionize(s: SparkSession, dir: String): DataFrame =
-    Sessionize.withSessionId(eventsUs(s, dir), "user_id",
+    Sessionize.withSessionId(
+        eventsUs(s, dir).repartitionByRange(col("user_id")), "user_id",
         col("ts_us"), col("event_id"), gap = 1800000000L)
       .groupBy("user_id", "session_id")
       .agg(
@@ -37,7 +41,7 @@ object AnalyticsQueries {
         col("n_events"), col("session_start"), col("session_end"),
         expr("(max_us - min_us) div 1000000").as("duration_sec"),
         col("total_value"))
-      .orderBy("user_id", "session_id")
+      .sortWithinPartitions("user_id", "session_id")
 
   /** §2 #22 — as-of join: each purchase attributed to the latest
     * prior-or-simultaneous view by the same user (merge formulation —
@@ -122,11 +126,12 @@ object AnalyticsQueries {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     t(s, dir, "orders")
+      .repartitionByRange(col("o_custkey")) // one exchange total (see q44)
       .select(col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
           .cast("double").as("running_rev"))
-      .orderBy("o_custkey", "o_orderkey")
+      .sortWithinPartitions("o_custkey", "o_orderkey")
   }
 
   /** §2 #29 — tumbling 6-hour windows per event type (batch form of

@@ -28,32 +28,28 @@ object Scratch {
       df.write.mode("overwrite").format("noop").save()
 
     // current experiment slots — swap in the queries under study
-    def q10variant(hint: String): Unit = noop {
-      val li = graft.Tables.load(spark, dir, "lineitem")
-      val o0 = graft.Tables.load(spark, dir, "orders")
-      val o = if (hint.isEmpty) o0 else o0.hint(hint)
-      val c = broadcast(graft.Tables.load(spark, dir, "customer"))
-      val n = broadcast(graft.Tables.load(spark, dir, "nation"))
-      val r = broadcast(graft.Tables.load(spark, dir, "region"))
-      val liAgg = li.groupBy(col("l_orderkey"), col("l_returnflag"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).as("rev"))
-      liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(n, col("c_nationkey") === col("n_nationkey"))
-        .join(r, col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("l_returnflag"))
-        .agg(sum(col("rev")).cast("double").as("revenue"),
-          count(lit(1)).as("n_orders"))
-        .orderBy("r_name", "l_returnflag")
+    import graft.operators.Scd2
+    val q44cur = () => noop(
+      graft.queries.EcommerceQueries.queries("q44_scd2_history")(spark, dir))
+    val q44rng = () => noop {
+      val ev = graft.Tables.loadEvents(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"))
+        .repartitionByRange(col("user_id"))
+      Scd2.fromChangeLog(ev, Seq("user_id"), Seq("event_type"), "ts_us")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"),
+          col("version"), col("is_current").cast("string").as("is_current"))
+        .sortWithinPartitions("user_id", "valid_from_us")
     }
     var bA = Double.MaxValue
     var bB = Double.MaxValue
     for (_ <- 1 to 8) {
-      bA = math.min(bA, time(q10variant("")))
-      bB = math.min(bB, time(q10variant("shuffle_hash")))
+      bA = math.min(bA, time(q44cur()))
+      bB = math.min(bB, time(q44rng()))
     }
-    println(f"RESULT smj=$bA%.3f shj=$bB%.3f")
+    println(f"RESULT q44cur=$bA%.3f q44rng=$bB%.3f")
     spark.stop()
   }
 }

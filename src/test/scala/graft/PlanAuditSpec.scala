@@ -187,12 +187,17 @@ class PlanAuditSpec extends SparkTestBase {
     import graft.queries.AnalyticsQueries
     val asof = executed(AnalyticsQueries.q28AsofJoin(spark, sf0001))
     assert(!asof.contains("Join"), s"as-of must not plan a join:\n$asof")
+    // r10: the range-partitioned window-input discipline — ONE range
+    // exchange feeds windows, aggregate AND the key-prefixed output
+    // order (range clusters equal keys like hash, and its partitions
+    // are globally ordered, so the trailing sort is exchange-free)
     val sess = executed(AnalyticsQueries.q27Sessionize(spark, sf0001))
-    // windows (one exchange) + session aggregate + output sort
-    val sessShuffles = countOccurrences(sess, "Exchange hashpartitioning")
-    assert(sessShuffles <= 2, s"sessionize over-shuffles ($sessShuffles):\n$sess")
+    assert(countOccurrences(sess, "Exchange") == 1 &&
+      sess.contains("Exchange rangepartitioning"),
+      s"sessionize must run on ONE range exchange:\n$sess")
     val run = executed(AnalyticsQueries.q34RunningTotal(spark, sf0001))
-    val runShuffles = countOccurrences(run, "Exchange hashpartitioning")
-    assert(runShuffles == 1, s"running total needs 1 hash shuffle, got $runShuffles:\n$run")
+    assert(countOccurrences(run, "Exchange") == 1 &&
+      run.contains("Exchange rangepartitioning"),
+      s"running total must run on ONE range exchange:\n$run")
   }
 }
