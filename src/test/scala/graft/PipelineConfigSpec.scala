@@ -125,6 +125,59 @@ class PipelineConfigSpec extends SparkTestBase {
     assert(bound.exists(b => b > 0.0 && b <= 120.0))
   }
 
+  test("capstone: a fully CONFIGURED operational cycle — lease → timed → retrying → incremental load → SLA check") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cfg = PipelineConfig.fromEnv(fakeEnv.get)
+    val root = Files.createTempDirectory("cfg-e2e").toString
+    val control = s"$root/control"
+    val failures = s"$root/failures"
+    val durations = s"$root/durations"
+    val target = s"$root/target"
+    val src = cfg.source("shop_stream")
+    val feed = Tables.loadEvents(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val flaky = new AtomicInteger(0)
+
+    // cycle 1: transient stage failure absorbed by the configured retry
+    // policy, the whole run leased, timed, and committed exactly once
+    val ((wm1, rows1), sec1) = EtlControl.withRunLease(spark, control,
+        src.id, "worker-1", ttlMs = 60000L) {
+      EtlControl.timedRun(spark, durations, src.id, "b1") {
+        EtlControl.retryingRun(spark, failures, src.id, "b1", "load",
+            retries = cfg.schedule.retries) {
+          if (flaky.incrementAndGet() == 1) throw new RuntimeException("flaky io")
+          EtlControl.runIncrementalCycle(spark, control, src.id, feed, "ts",
+            Seq("event_id"), target, defaultWatermarkUs = 0L, batchId = "b1")
+        }
+      }
+    }
+    assert(rows1 > 0 && wm1 > 0 && sec1 > 0.0)
+    assert(spark.read.parquet(target).count() == feed.count())
+    // one commit row, one duration row, one failure row (the absorbed attempt)
+    assert(spark.read.parquet(control)
+      .where(col("status") === "SUCCESS").count() == 1)
+    assert(spark.read.parquet(failures).count() == 1)
+    // SLA: the run is inside the configured bound; no slow-run flag
+    assert(EtlControl.slowRuns(spark, durations,
+      cfg.thresholds.maxExecutionSec.toDouble).isEmpty)
+    // row-count gate primed from the committed history
+    val bounds = EtlControl.expectedRowBounds(spark, control, src.id)
+    assert(bounds.exists { case (lo, hi) => lo <= rows1 && rows1 <= hi })
+    // cycle 2 under the SAME lease holder id while cycle 1's lease is
+    // gone (released): an idle re-run commits IDLE and moves nothing
+    val ((wm2, _), _) = EtlControl.withRunLease(spark, control, src.id,
+        "worker-2", ttlMs = 60000L) {
+      EtlControl.timedRun(spark, durations, src.id, "b2") {
+        EtlControl.runIncrementalCycle(spark, control, src.id, feed, "ts",
+          Seq("event_id"), target, defaultWatermarkUs = 0L, batchId = "b2")
+      }
+    }
+    assert(wm2 == wm1, "idle cycle must not advance the watermark")
+    assert(spark.read.parquet(control)
+      .where(col("status") === "IDLE").count() == 1)
+    assert(spark.read.parquet(durations).count() == 2)
+  }
+
   test("retryingRun: transient failure retries then succeeds; exhaustion leaves FAILURE rows") {
     val cfg = PipelineConfig.fromEnv(fakeEnv.get)
     val failDir = Files.createTempDirectory("cfg-fail").toString + "/failures"
