@@ -269,7 +269,7 @@ object LlmQueries {
     // (pattern scan, already codegen'd)
     val base =
       if (graft.plans.GraftExtensions.nativeAvailable)
-        t(s, dir, "documents")
+        byDocId(t(s, dir, "documents"))
           .withColumn("__st", call_function("text_full_stats", col("text")))
           .select(col("doc_id"),
             col("__st.n_tokens").as("n_tokens"),
@@ -279,7 +279,7 @@ object LlmQueries {
             col("__st.lang_pred").as("lang_pred"),
             col("__st.quality").as("quality"))
       else
-        t(s, dir, "documents").select(
+        byDocId(t(s, dir, "documents")).select(
           col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
           TextFunctions.bpeishTokenCount(col("text")).as("est_bpe_tokens"),
@@ -287,19 +287,21 @@ object LlmQueries {
           TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
           TextFunctions.langId(col("text")).as("lang_pred"),
           TextFunctions.qualityScore(col("text")).as("quality"))
-    base.orderBy("doc_id")
+    base.sortWithinPartitions("doc_id")
   }
 
   /** §2 #20 — rolling-hash document fingerprint (md5-token polynomial
     * fold mod 1e9+7 — engine-portable). */
   def q24Fingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
+    byDocId(t(s, dir, "documents")).select(
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** §2 #21 — multimodal binary column + typed metadata. */
   def q25MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    // not byDocId: the meta projection is trivial, so the sampler's
+    // re-run costs less than the range-partitioned scan (measured)
     Multimodal.withBinaryMeta(t(s, dir, "documents"), "doc_id", "text")
       .select(col("doc_id"), col("n_bytes"), col("magic8"),
         col("est_chunks").cast("bigint").as("est_chunks"))
@@ -528,14 +530,14 @@ object LlmQueries {
     // count is O(distinct·grams) string comparisons per row
     val scored =
       if (graft.plans.GraftExtensions.nativeAvailable)
-        t(s, dir, "documents")
+        byDocId(t(s, dir, "documents"))
           .withColumn("__r", call_function("text_rep_scores", col("text")))
           .select(col("doc_id"),
             round(col("__r.dup_frac"), 6).as("dup_token_frac"),
             round(col("__r.top2"), 6).as("top2_frac"),
             round(col("__r.top3"), 6).as("top3_frac"))
       else
-        t(s, dir, "documents").select(
+        byDocId(t(s, dir, "documents")).select(
           col("doc_id"),
           round(TextFunctions.dupTokenFraction(col("text")), 6).as("dup_token_frac"),
           round(TextFunctions.topNgramFraction(col("text"), 2), 6).as("top2_frac"),
@@ -543,7 +545,7 @@ object LlmQueries {
     scored
       .withColumn("is_repetitive",
         col("dup_token_frac") > 0.4 || col("top2_frac") > 0.2)
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** New-in-r6 — PII scrub before release: deterministic synthetic
@@ -785,11 +787,11 @@ object LlmQueries {
     * harness's determinism, not the operator). Integer milli-weights
     * end-to-end → the oracle replays scores bit-exactly. */
   def q72ClassifierGate(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    byDocId(t(s, dir, "documents"))
       .select(col("doc_id"),
         TextFunctions.classifierScoreMilli(col("text")).as("score_milli"))
       .withColumn("keep", col("score_milli") > 0)
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** New-in-r7 — BPE pair statistics ([[Bpe]]): the round-0 merge
     * candidates of tokenizer induction — adjacent character-pair
@@ -836,9 +838,9 @@ object LlmQueries {
     * adjacent pair occurrences (which share a boundary) still match —
     * the same greedy semantics as the Column fold. */
   def q75SubwordCount(s: SparkSession, dir: String): DataFrame =
-    Bpe.subwordCount(t(s, dir, "documents"), "text", FixedMerges)
+    Bpe.subwordCount(byDocId(t(s, dir, "documents")), "text", FixedMerges)
       .select(col("doc_id"), col("n_subwords"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** New-in-r7 — cross-split LEAKAGE audit (eval hygiene): near-dup
     * pairs that STRADDLE a train/val/test boundary — each one is an
@@ -905,10 +907,12 @@ object LlmQueries {
   def q79ImportanceScore(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val wts = ImportanceModel.train(docs, "text", col("lang") === "en")
-    ImportanceModel.score(docs, "doc_id", "text", wts)
+    // train on the raw scan (its own shuffles); score map-only on the
+    // range-partitioned one (byDocId discipline)
+    ImportanceModel.score(byDocId(docs), "doc_id", "text", wts)
       .select(col("doc_id"), col("score_milli"),
         (col("score_milli") > 0).as("keep"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** New-in-r8 — the TRAINED-weight classifier gate (VERDICT r7 item
@@ -988,6 +992,16 @@ object LlmQueries {
   private val Boilerplate =
     "this site uses cookies accept terms of service privacy policy " +
       "all rights reserved copyright twenty twenty four navigation home about"
+
+  /** Range-partition the corpus scan on doc_id BEFORE a map-only
+    * kernel chain whose output is doc_id-ordered (r10, the q44
+    * discipline): the range sampler reads JUST the id column instead
+    * of re-running every kernel (a global sort executes its child
+    * twice — once to sample range boundaries), map stages preserve
+    * the partitioning, and the trailing key sort is the exchange-free
+    * sortWithinPartitions. */
+  private def byDocId(df: DataFrame): DataFrame =
+    df.repartitionByRange(col("doc_id"))
 
   /** Spread a tiny seed frame across the session's cores BEFORE the
     * partition-local codec stages. The synthetic corpora are one
