@@ -1024,11 +1024,15 @@ object LlmQueries {
     * window — the oracle's row_number formulation is equivalent
     * (rn = 1 ⇔ min (id, pos)). */
   def q67ChunkDedup(s: SparkSession, dir: String): DataFrame = {
-    val crawl = t(s, dir, "documents").select(col("doc_id"),
+    // byDocId: the dedup pipeline's survivor aggregate clusters on
+    // doc_id and the rebuild join broadcasts its small side, so the
+    // whole chain runs on the ONE range exchange and the trailing sort
+    // is exchange-free — the sampler no longer re-runs the pipeline
+    val crawl = byDocId(t(s, dir, "documents")).select(col("doc_id"),
       when(col("doc_id") % 4 === 0, concat(lit(Boilerplate + " "), col("text")))
         .otherwise(col("text")).as("text"))
     TextDedup.chunkDedup(crawl, "doc_id", "text", chunkTokens = 10)
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** New-in-r8 — ANY-ALIGNMENT exact-substring dedup
@@ -1051,11 +1055,11 @@ object LlmQueries {
     val injected = concat_ws(" ", flatten(array(
       slice(toks, lit(1), k), banner,
       slice(toks, k + 1, greatest(size(toks) - k, lit(0))))))
-    val crawl = t(s, dir, "documents").select(col("doc_id"),
+    val crawl = byDocId(t(s, dir, "documents")).select(col("doc_id"),
       when(col("doc_id") % 3 === 1, injected)
         .otherwise(col("text")).as("text"))
     TextDedup.substringDedup(crawl, "doc_id", "text", spanTokens = 10)
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** New-in-r7 — temperature-scaled language-mixture sampling
