@@ -85,6 +85,23 @@ object StreamBench {
       bs -> rate
     }
 
+    // the heaviest foreachBatch member: sliding-window store, flavor
+    // check + anti-joins per batch
+    val subSizes = Seq(250, 1000, 4000)
+    val subRates = subSizes.map { bs =>
+      val input = MemoryStream[(Long, String)]
+      val out = tmp("sb-sout") + "/docs"
+      val store = tmp("sb-sstore") + "/windows"
+      val rate = drive[(Long, String)](
+        s => graft.streaming.StreamingDedup.continuousSubstringDedup(
+            s.toDF().toDF("doc_id", "text"), out, store, "doc_id", "text",
+            spanTokens = 10)
+          .option("checkpointLocation", tmp("sb-sckpt")).start(),
+        input,
+        i => docs.take(bs).map { case (id, t) => (id + i * 1000000L, t) }.toSeq)
+      bs -> rate
+    }
+
     val qSizes = Seq(5000, 20000, 100000)
     val qRates = qSizes.map { bs =>
       val input = MemoryStream[(java.sql.Timestamp, String, Double)]
@@ -105,6 +122,7 @@ object StreamBench {
       rs.map { case (b, r) => s""""$b":${math.round(r)}""" }.mkString(",")
     println(s"""{"metric":"stream","sf":"$sfDir","n_batches":$nBatches,""" +
       s""""chunk_dedup_rows_per_sec":{${fmt(chunkRates)}},""" +
+      s""""substring_dedup_rows_per_sec":{${fmt(subRates)}},""" +
       s""""windowed_quantiles_rows_per_sec":{${fmt(qRates)}}}""")
     spark.stop()
   }
