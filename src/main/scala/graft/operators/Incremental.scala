@@ -42,6 +42,23 @@ object Incremental {
     Dedup.keepLast(tagged, keys, order :+ col("__src")).drop("__src")
   }
 
+  /** [[upsert]] whose single window exchange is RANGE-partitioned on
+    * the keys (range clusters equal keys exactly like hash), so the
+    * merged output comes back in globally key-ordered partitions — a
+    * consumer that wants the result key-sorted pays only an in-memory
+    * sortWithinPartitions instead of a second full exchange, and the
+    * range sampler reads just the key columns. Same rows as [[upsert]]
+    * (asserted in OperatorsSpec); prefer plain [[upsert]] when the
+    * output is consumed unordered. */
+  def upsertOrdered(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      order: Seq[Column] = Nil): DataFrame = {
+    val cols = base.columns.toSeq
+    val tagged = base.select(cols.map(col): _*).withColumn("__src", lit(0))
+      .unionByName(updates.select(cols.map(col): _*).withColumn("__src", lit(1)))
+      .repartitionByRange(keys.map(col): _*)
+    Dedup.keepLast(tagged, keys, order :+ col("__src")).drop("__src")
+  }
+
   /** Delete-by-key then insert (bridge refresh). The delta key set is
     * small relative to base → broadcast the anti-join side. */
   def deleteInsert(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {

@@ -244,8 +244,10 @@ object EcommerceQueries {
     val updates = o.where(col("o_orderkey") % 2 === 0)
       .withColumn("o_orderstatus", lit("U"))
       .withColumn("o_totalprice", col("o_totalprice") * 2)
-    Incremental.upsert(base, updates, Seq("o_orderkey"))
-      .orderBy("o_orderkey")
+    // upsertOrdered: the one window exchange is range-partitioned, so
+    // the key-sorted gate output needs no second exchange (see q44)
+    Incremental.upsertOrdered(base, updates, Seq("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
   }
 
   /** §2 #11 — delete-by-key then insert (misa_crm_loader.py:847-880). */

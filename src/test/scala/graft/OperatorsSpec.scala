@@ -23,6 +23,24 @@ class OperatorsSpec extends SparkTestBase {
       Seq((1L, "a"), (2L, "B"), (3L, "C")))
   }
 
+  test("upsertOrdered equals upsert row-for-row; exactly one (range) exchange") {
+    val base = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_orderstatus")
+    val upd = base.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    val plain = Incremental.upsert(base, upd, Seq("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val ordered = Incremental.upsertOrdered(base, upd, Seq("o_orderkey"))
+    val got = ordered.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == plain)
+    // AQE's toString prints final + initial sections, so assert the
+    // SHAPE: the one window exchange is range, and nothing hashes
+    val plan = ordered.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange hashpartitioning"),
+      s"upsertOrdered must ride one range exchange, no hash:\n$plan")
+  }
+
   test("deleteInsert replaces exactly the delta keys") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val delta = Seq((2L, "B2"), (2L, "B2b")).toDF("k", "v")
