@@ -111,10 +111,17 @@ object Audio {
       if (body + len > b.length) return None
       if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
         if (len < 16) return None
-        // PCM(1), mono, 16-bit — anything else → None (fallback path)
+        // PCM(1), mono, 16-bit — anything else → None (fallback path).
+        // Also require the DERIVED fields to be consistent
+        // (blockAlign == 2, byteRate == rate·2): AudioSystem derives
+        // frame size from blockAlign, so accepting an inconsistent
+        // header here would make the fast path disagree with the
+        // fallback on sample count instead of deferring to it.
         if (rdU16le(b, body) != 1 || rdU16le(b, body + 2) != 1 ||
           rdU16le(b, body + 14) != 16) return None
+        if (rdU16le(b, body + 12) != 2) return None
         rate = rdU32le(b, body + 4).toInt
+        if (rdU32le(b, body + 8) != rate.toLong * 2L) return None
       } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
           b(p + 3) == 'a') {
         if (rate < 0) return None // fmt must precede data

@@ -70,20 +70,33 @@ object EtlControl {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(p.getParent)
       if (fs.exists(p)) {
-        val acquiredAt = try {
+        // Read the lease CONTENT (raw bytes) once: staleness is judged
+        // from its acquired_at_ms, and the same bytes identify the file
+        // after the takeover rename below — verification needs to know
+        // the renamed file IS the one whose staleness was observed.
+        val observedBytes: Option[Array[Byte]] = try {
           val in = fs.open(p)
           try {
-            val props = new java.util.Properties(); props.load(in)
-            props.getProperty("acquired_at_ms").toLong
+            val buf = new java.io.ByteArrayOutputStream(256)
+            val tmp = new Array[Byte](4096)
+            var r = in.read(tmp)
+            while (r >= 0) { buf.write(tmp, 0, r); r = in.read(tmp) }
+            Some(buf.toByteArray)
           } finally in.close()
-        } catch {
-          case scala.util.control.NonFatal(_) =>
-            fs.getFileStatus(p).getModificationTime
-        }
+        } catch { case scala.util.control.NonFatal(_) => None }
+        val observedMtime = fs.getFileStatus(p).getModificationTime
+        val acquiredAt = observedBytes.flatMap { bs =>
+          try {
+            val props = new java.util.Properties()
+            props.load(new java.io.ByteArrayInputStream(bs))
+            Option(props.getProperty("acquired_at_ms")).map(_.toLong)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.getOrElse(observedMtime)
         if (nowMs() - acquiredAt <= ttlMs)
           throw new LeaseHeldException(
             s"run lease for $sourceId is held (age ${nowMs() - acquiredAt} ms" +
               s" <= ttl $ttlMs ms) — another cycle is active; skipping")
+        staleTakeoverTestHook()
         // Stale takeover via ATOMIC RENAME, not delete-then-create: two
         // acquirers can both observe the stale file, but only one
         // rename succeeds — the loser backs off instead of deleting a
@@ -95,6 +108,34 @@ object EtlControl {
           throw new LeaseHeldException(
             s"run lease for $sourceId is being taken over by another " +
               "acquirer; skipping")
+        // The rename alone does not prove we moved the STALE lease: a
+        // rival could have completed its own takeover (rename + delete
+        // + fresh create at p) between our staleness read and our
+        // rename, in which case we just renamed the rival's LIVE lease.
+        // Verify the tomb is the file we observed (byte-equal content;
+        // mtime when the content was torn/unreadable — rename preserves
+        // it). On mismatch, restore the rival's lease and back off.
+        val tombMatchesObserved = try {
+          val st = fs.getFileStatus(tomb)
+          observedBytes match {
+            case Some(ob) =>
+              val in = fs.open(tomb)
+              try {
+                val buf = new java.io.ByteArrayOutputStream(256)
+                val tmp = new Array[Byte](4096)
+                var r = in.read(tmp)
+                while (r >= 0) { buf.write(tmp, 0, r); r = in.read(tmp) }
+                java.util.Arrays.equals(ob, buf.toByteArray)
+              } finally in.close()
+            case None => st.getModificationTime == observedMtime
+          }
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (!tombMatchesObserved) {
+          fs.rename(tomb, p) // best-effort restore of the rival's lease
+          throw new LeaseHeldException(
+            s"run lease for $sourceId was re-acquired by another holder " +
+              "during stale takeover; restored it and backing off")
+        }
         fs.delete(tomb, false)
       }
       // create-if-absent: atomic on HDFS-semantics stores. A lost race
@@ -127,6 +168,11 @@ object EtlControl {
     * same-JVM concurrent acquirers (cross-process atomicity comes
     * from the store's create-if-absent). */
   private val leaseMonitor = new Object
+
+  /** Test seam: runs between the staleness observation and the
+    * takeover rename, where a rival acquirer can complete its own
+    * takeover. Production value is a no-op. */
+  private[graft] var staleTakeoverTestHook: () => Unit = () => ()
 
   /** Run `body` under the source's run lease: acquire → body →
     * release (also on body failure — a FAILED run must free the slot,

@@ -652,8 +652,53 @@ object TextKernels {
     * on the ORIGINAL text, IP replace on the email-redacted text), but
     * via the byte scanners above — no regex engine, no UTF-16 decode,
     * MD5 over the redacted UTF-8 bytes directly. */
+  /** Strict well-formed-UTF-8 check (RFC 3629: no overlongs, no
+    * encoded surrogates, max U+10FFFF). When this holds,
+    * `new String(bytes, UTF_8).getBytes(UTF_8)` is the identity, so
+    * byte-level scanners and the String-round-tripping Column chain
+    * see the same content; when it does not hold the Column chain
+    * would substitute U+FFFD — [[piiScan]] falls back to that
+    * round-trip for such rows so the two paths stay bit-equal. */
+  private[graft] def isWellFormedUtf8(b: Array[Byte]): Boolean = {
+    val n = b.length
+    var i = 0
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation or overlong lead
+      else if (c < 0xe0) { // 2-byte
+        if (i + 1 >= n || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) { // 3-byte
+        if (i + 2 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        val lo = if (c == 0xe0) 0xa0 else 0x80
+        val hi = if (c == 0xed) 0x9f else 0xbf // exclude surrogates
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xc0) != 0x80) return false
+        i += 3
+      } else if (c < 0xf5) { // 4-byte
+        if (i + 3 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        val lo = if (c == 0xf0) 0x90 else 0x80
+        val hi = if (c == 0xf4) 0x8f else 0xbf // cap at U+10FFFF
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xc0) != 0x80 ||
+          (b(i + 3) & 0xc0) != 0x80) return false
+        i += 4
+      } else return false
+    }
+    true
+  }
+
   def piiScan(text: UTF8String): InternalRow = {
-    val bytes = text.getBytes
+    val rawBytes = text.getBytes
+    // Ill-formed UTF-8: the Column-chain oracle decodes to String
+    // (replacing bad sequences with U+FFFD) before scanning, so its
+    // counts and md5 are over the REPLACED text — take the same
+    // round-trip here; the well-formed re-encoding then makes the
+    // byte scanners exact again.
+    val bytes =
+      if (isWellFormedUtf8(rawBytes)) rawBytes
+      else UTF8String.fromString(text.toString).getBytes
     val out1 = new java.io.ByteArrayOutputStream(bytes.length + 8)
     val nEmails = emailPass(bytes, out1)
     val nIps = ipv4Pass(bytes, null)

@@ -92,8 +92,12 @@ object PipelineConfig {
       val extras = Seq(
         userVar.flatMap(env).map(u => s"user=$u"),
         passwordVar.flatMap(env).map(p => s"password=$p")).flatten
+      // Semicolon-style connection strings only (SQL Server form, the
+      // reference's target — settings.py:55-60). `?`/`&`-style URLs
+      // (PostgreSQL/MySQL) should pass user/password via connection
+      // properties instead of URL folding.
       if (extras.isEmpty) base
-      else base + (if (base.contains(";")) ";" else ";") + extras.mkString(";")
+      else base + (if (base.endsWith(";")) "" else ";") + extras.mkString(";")
     }
   }
 

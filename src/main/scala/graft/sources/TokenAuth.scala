@@ -134,9 +134,16 @@ object TokenAuth {
         try {
           val props = new Properties()
           props.load(in)
-          Token(props.getProperty("access_token"),
-            props.getProperty("refresh_token"),
-            props.getProperty("expires_at").toLong)
+          // Properties.store writes keys in unspecified order, so a
+          // torn file can hold a parseable expires_at with NO
+          // access_token — require every field before accepting, else
+          // a truncated artifact would be served as a live credential.
+          val access = props.getProperty("access_token")
+          val refresh = props.getProperty("refresh_token")
+          val expires = props.getProperty("expires_at")
+          require(access != null && refresh != null && expires != null,
+            "torn token artifact: missing field")
+          Token(access, refresh, expires.toLong)
         } finally in.close()
       }.toOption
     }

@@ -60,6 +60,23 @@ class AudioSpec extends SparkTestBase {
     assert(Audio.parsePcm16MonoLe(
       "RIFF0000WAVEdata".getBytes ++ new Array[Byte](64)).isEmpty,
       "data before fmt")
+    // inconsistent derived header fields decline (AudioSystem derives
+    // frame size from blockAlign — an accepted blockAlign=4 header
+    // would give the fast path a different sample count than the
+    // fallback; both must see the same accepted-format universe)
+    val good = Audio.encodeCanonicalWav(new Array[Byte](80), 8000)
+    def patched(off: Int, v: Int, wide: Boolean): Array[Byte] = {
+      val c = good.clone()
+      c(off) = (v & 0xff).toByte; c(off + 1) = ((v >> 8) & 0xff).toByte
+      if (wide) { c(off + 2) = ((v >> 16) & 0xff).toByte
+        c(off + 3) = ((v >> 24) & 0xff).toByte }
+      c
+    }
+    assert(Audio.parsePcm16MonoLe(good).isDefined, "canonical accepts")
+    assert(Audio.parsePcm16MonoLe(patched(32, 4, wide = false)).isEmpty,
+      "blockAlign=4 declines")
+    assert(Audio.parsePcm16MonoLe(patched(28, 8000, wide = true)).isEmpty,
+      "byteRate != rate*2 declines")
   }
 
   test("decodeAudio: format + PCM round-trip exactly; features match direct computation") {

@@ -230,6 +230,41 @@ class EtlControlSpec extends SparkTestBase {
       "next", ttlMs = 5000L, nowMs = () => 6001L) // age 5001 > ttl
     takeover.release()
 
+    // DOUBLE-HOLDER window on stale takeover: B observes the stale
+    // lease, then A completes a FULL takeover (rename+delete+create of
+    // a fresh lease) before B's rename. B's rename then moves A's LIVE
+    // lease — the post-rename verification must detect the content
+    // mismatch, RESTORE A's lease, and back off with the typed error.
+    EtlControl.acquireRunLease(spark, control, "events", "crashed2",
+      ttlMs = 5000L, nowMs = () => 1000L) // never released (stale at 7000)
+    var rivalRan = false
+    EtlControl.staleTakeoverTestHook = () => {
+      EtlControl.staleTakeoverTestHook = () => () // run the rival once
+      rivalRan = true
+      // rival A: its own complete stale takeover (same monitor thread,
+      // reentrant) — afterwards a FRESH live lease for holder A sits at p
+      EtlControl.acquireRunLease(spark, control, "events", "rival-A",
+        ttlMs = 5000L, nowMs = () => 7000L)
+    }
+    try {
+      intercept[EtlControl.LeaseHeldException] {
+        EtlControl.acquireRunLease(spark, control, "events", "loser-B",
+          ttlMs = 5000L, nowMs = () => 7000L)
+      }
+    } finally EtlControl.staleTakeoverTestHook = () => ()
+    assert(rivalRan)
+    // A's fresh lease survived B's aborted takeover: still held for A
+    val heldErr = intercept[EtlControl.LeaseHeldException] {
+      EtlControl.acquireRunLease(spark, control, "events", "later",
+        ttlMs = 5000L, nowMs = () => 8000L) // age 1000 <= ttl → held
+    }
+    assert(heldErr.getMessage.contains("held"))
+    // and no stray tomb files pollute the control dir
+    val leaseFiles = new java.io.File(control).listFiles()
+      .map(_.getName).filter(_.startsWith("_lease_events"))
+    assert(leaseFiles.toSeq == Seq("_lease_events"), leaseFiles.mkString(","))
+    new java.io.File(control, "_lease_events").delete() // free A's slot
+
     // the lease marker never corrupts the control log read path
     assert(EtlControl.lastWatermarkMicros(spark, control, "events", t0) > t0)
   }

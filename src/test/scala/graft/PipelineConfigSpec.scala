@@ -51,6 +51,15 @@ class PipelineConfigSpec extends SparkTestBase {
         .resolve(fakeEnv.get))
     assert(missing.getMessage.contains("GONE"))
     assert(cfg.target.resolveUrl(fakeEnv.get).startsWith("jdbc:derby:memory:cfg"))
+    // user/password folding: exactly one ';' separator, no ';;' on a
+    // trailing-semicolon base, bare base untouched
+    val ref = PipelineConfig.JdbcTargetRef(urlVar = "U",
+      userVar = Some("UU"), passwordVar = Some("PP"))
+    val env1 = Map("U" -> "jdbc:x:db", "UU" -> "u", "PP" -> "p")
+    assert(ref.resolveUrl(env1.get) == "jdbc:x:db;user=u;password=p")
+    val env2 = Map("U" -> "jdbc:x:db;", "UU" -> "u", "PP" -> "p")
+    assert(ref.resolveUrl(env2.get) == "jdbc:x:db;user=u;password=p")
+    assert(ref.resolveUrl(Map("U" -> "jdbc:x:db").get) == "jdbc:x:db")
   }
 
   test("one config object drives a three-source extraction cycle end to end") {

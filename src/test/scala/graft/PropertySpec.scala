@@ -345,6 +345,29 @@ class PropertySpec extends SparkTestBase {
       val got = (row.getLong(0), row.getLong(1), row.getUTF8String(2).toString)
       assert(got == refPii(s), s"diverges on <$s>")
     }
+    // ILL-FORMED UTF-8: the Column chain round-trips through String
+    // (U+FFFD replacement) before scanning and hashing — the kernel
+    // must match that, not md5 the raw bytes (valid-string fuzz can
+    // never catch this branch)
+    val illFormed = Seq[Array[Byte]](
+      Array(0x80.toByte), // lone continuation
+      Array('a', 0xc3.toByte), // truncated 2-byte tail
+      Array(0xc0.toByte, 0xaf.toByte), // overlong '/'
+      Array(0xed.toByte, 0xa0.toByte, 0x80.toByte), // encoded surrogate
+      Array(0xf5.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte), // > U+10FFFF
+      "a@b.cc ".getBytes("UTF-8") ++ Array(0xff.toByte) ++
+        " 1.2.3.4".getBytes("UTF-8"))
+    illFormed.foreach { bs =>
+      assert(!graft.plans.TextKernels.isWellFormedUtf8(bs))
+      val row = graft.plans.TextKernels.piiScan(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(bs))
+      val got = (row.getLong(0), row.getLong(1), row.getUTF8String(2).toString)
+      val exp = refPii(new String(bs, java.nio.charset.StandardCharsets.UTF_8))
+      assert(got == exp, s"ill-formed bytes ${bs.mkString(",")} diverge")
+    }
+    // and the validator accepts exactly the well-formed shapes nearby
+    Seq("", "a", "ü", "例", "😀", "�").foreach(s =>
+      assert(graft.plans.TextKernels.isWellFormedUtf8(s.getBytes("UTF-8"))))
   }
 
   test("json_long ≡ from_json reference on random JSON-ish fragment strings") {

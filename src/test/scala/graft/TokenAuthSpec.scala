@@ -120,6 +120,18 @@ class TokenAuthSpec extends SparkTestBase {
       _ => { grants2.incrementAndGet(); Token("tok-clean", "r", clock2.get() + 1000L) },
       () => clock2.get(), storePath = Some(store))
     assert(p6.validToken().accessToken == "tok-clean" && grants2.get() == 1)
+    // a torn tmp holding a parseable expires_at but NO access_token
+    // (Properties.store writes keys in unspecified order, so a
+    // truncation can keep either line) must also fall through to a
+    // refresh — never serve Token(null, ...) as a live credential
+    java.nio.file.Files.deleteIfExists(dir.resolve("token.properties"))
+    java.nio.file.Files.write(dir.resolve("token.properties.tmp"),
+      s"expires_at=${clock2.get() + 999}\n".getBytes)
+    val grants3 = new AtomicInteger(0)
+    val p7 = new CredentialProvider(
+      _ => { grants3.incrementAndGet(); Token("tok-clean2", "r", clock2.get() + 1000L) },
+      () => clock2.get(), storePath = Some(store))
+    assert(p7.validToken().accessToken == "tok-clean2" && grants3.get() == 1)
   }
 
   test("401 path through the authed pager: rejected token invalidates, retry refreshes, extraction completes") {
