@@ -327,6 +327,93 @@ object EtlControl {
     }
   }
 
+  /** Empty frame with `schema` when `dir` has no parquet yet — the
+    * reporting views below must work before any log exists. */
+  private def readLogOr(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (nonEmptyDir(spark, dir)) spark.read.parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private val commitLogSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "source_id string, batch_id string, watermark_us bigint, " +
+      "records_loaded bigint, status string, committed_at timestamp")
+  private val durationLogSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "source_id string, batch_id string, duration_sec double, " +
+      "status string, completed_at timestamp")
+  private val failureLogSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "source_id string, batch_id string, stage string, error_class string, " +
+      "error_message string, failed_at timestamp")
+
+  /** Recent-runs view — the reference's run-summary read over
+    * etl_control.batch_runs (sql/00_master_setup.sql:65-76: per-batch
+    * status + records + times), re-expressed over the three
+    * append-only logs. One row per (source_id, batch_id):
+    *
+    *   - status: the commit row's (SUCCESS/IDLE) when one exists; a
+    *     batch seen only in the failure/duration logs never committed
+    *     → FAILURE (the crashed/failed-run shape — commit rows are
+    *     written last, so absence IS the failure signal).
+    *   - records_loaded/watermark_us from the commit log,
+    *     duration_sec from the duration log, n_failures +
+    *     last_error_class from the failure log (retries append one
+    *     row per attempt — the count is the retry story).
+    *   - event_time: the run's latest known timestamp (commit ⊔
+    *     duration ⊔ last failure), newest-first sort key.
+    *
+    * Pure metadata joins (one row per run, bounded logs): no driver
+    * collect, safe at any history length; filter on `source_id` /
+    * limit downstream as needed. */
+  def runHistory(spark: SparkSession, controlDir: String,
+      durationDir: String = "", failureDir: String = ""): DataFrame = {
+    val commits = readLogOr(spark, controlDir, commitLogSchema)
+      .select(col("source_id"), col("batch_id"),
+        col("status").as("commit_status"),
+        col("records_loaded"), col("watermark_us"), col("committed_at"))
+    val durations = readLogOr(spark,
+        if (durationDir.isEmpty) controlDir + "/_none_" else durationDir,
+        durationLogSchema)
+      .groupBy("source_id", "batch_id")
+      .agg(max("duration_sec").as("duration_sec"),
+        max("completed_at").as("completed_at"))
+    val failures = readLogOr(spark,
+        if (failureDir.isEmpty) controlDir + "/_none_" else failureDir,
+        failureLogSchema)
+      .groupBy("source_id", "batch_id")
+      .agg(count(lit(1)).as("n_failures"),
+        max_by(col("error_class"), col("failed_at")).as("last_error_class"),
+        max("failed_at").as("last_failed_at"))
+    commits
+      .join(durations, Seq("source_id", "batch_id"), "full_outer")
+      .join(failures, Seq("source_id", "batch_id"), "full_outer")
+      .select(col("source_id"), col("batch_id"),
+        coalesce(col("commit_status"), lit("FAILURE")).as("status"),
+        col("records_loaded"), col("watermark_us"), col("duration_sec"),
+        coalesce(col("n_failures"), lit(0L)).as("n_failures"),
+        col("last_error_class"),
+        greatest(col("committed_at"), col("completed_at"),
+          col("last_failed_at")).as("event_time"))
+      .orderBy(desc_nulls_last("event_time"), col("source_id"), col("batch_id"))
+  }
+
+  /** Per-source success rate over [[runHistory]] — the reference's
+    * "how healthy is each source" summary (batch_runs status
+    * breakdown). SUCCESS and IDLE both count as ok (an IDLE cycle ran
+    * to completion and saw no new rows); FAILURE rows are runs that
+    * never committed. */
+  def successRate(spark: SparkSession, controlDir: String,
+      durationDir: String = "", failureDir: String = ""): DataFrame = {
+    val ok = col("status").isin("SUCCESS", "IDLE")
+    runHistory(spark, controlDir, durationDir, failureDir)
+      .groupBy("source_id")
+      .agg(count(lit(1)).as("n_runs"),
+        sum(when(col("status") === "SUCCESS", 1L).otherwise(0L)).as("n_success"),
+        sum(when(col("status") === "IDLE", 1L).otherwise(0L)).as("n_idle"),
+        sum(when(ok, 0L).otherwise(1L)).as("n_failed"),
+        avg(when(ok, 1.0).otherwise(0.0)).as("success_rate"))
+      .orderBy("source_id")
+  }
+
   /** Task-level retry policy — the reference DAGs' `retries`
     * default_args (production.py:22, incremental_etl_dag.py:40).
     * Re-runs a LOGGED stage up to `retries` extra times: every failed

@@ -525,4 +525,69 @@ class EtlControlSpec extends SparkTestBase {
     }
     assert(names == Seq("t") && spark.read.parquet(target).count() == 4)
   }
+
+  test("runHistory + successRate summarize the three logs across a multi-run replay") {
+    val dir = Files.createTempDirectory("etl-hist").toString
+    val (control, durations, failures) =
+      (s"$dir/control", s"$dir/durations", s"$dir/failures")
+
+    // before any log exists both views answer (empty), never throw
+    assert(EtlControl.runHistory(spark, control, durations, failures)
+      .collect().isEmpty)
+    assert(EtlControl.successRate(spark, control, durations, failures)
+      .collect().isEmpty)
+
+    // events/b1: clean SUCCESS with a duration row
+    EtlControl.commitRun(spark, control, "events", "b1",
+      watermarkUs = 1000L, recordsLoaded = 100L)
+    EtlControl.logRunDuration(spark, durations, "events", "b1", 1.25)
+    // events/b2: IDLE cycle (ran to completion, saw nothing)
+    EtlControl.commitRun(spark, control, "events", "b2",
+      watermarkUs = 1000L, recordsLoaded = 0L, status = "IDLE")
+    EtlControl.logRunDuration(spark, durations, "events", "b2", 0.5)
+    // events/b3: fails through retryingRun (2 attempts → 2 failure
+    // rows) inside timedRun (FAILURE duration row), never commits
+    intercept[IllegalStateException] {
+      EtlControl.timedRun(spark, durations, "events", "b3") {
+        EtlControl.retryingRun(spark, failures, "events", "b3",
+          "load", retries = 1) {
+          throw new IllegalStateException("api 500")
+        }
+      }
+    }
+    // orders/b1: a second source, one SUCCESS (no duration log row)
+    EtlControl.commitRun(spark, control, "orders", "b1",
+      watermarkUs = 2000L, recordsLoaded = 7L)
+
+    val hist = EtlControl.runHistory(spark, control, durations, failures)
+      .collect().map(r => (r.getAs[String]("source_id"),
+        r.getAs[String]("batch_id")) -> r).toMap
+    assert(hist.size == 4, s"expected 4 runs, got ${hist.keySet}")
+    val b1 = hist(("events", "b1"))
+    assert(b1.getAs[String]("status") == "SUCCESS" &&
+      b1.getAs[Long]("records_loaded") == 100L &&
+      b1.getAs[Double]("duration_sec") == 1.25 &&
+      b1.getAs[Long]("n_failures") == 0L)
+    assert(hist(("events", "b2")).getAs[String]("status") == "IDLE")
+    val b3 = hist(("events", "b3"))
+    assert(b3.getAs[String]("status") == "FAILURE", "no commit row → FAILURE")
+    assert(b3.getAs[Long]("n_failures") == 2L, "one row per retry attempt")
+    assert(b3.getAs[String]("last_error_class")
+      .contains("IllegalStateException"))
+    assert(!b3.isNullAt(b3.fieldIndex("duration_sec")),
+      "timedRun stamped the failed run's wall time")
+    val ob1 = hist(("orders", "b1"))
+    assert(ob1.getAs[String]("status") == "SUCCESS" &&
+      ob1.isNullAt(ob1.fieldIndex("duration_sec")))
+
+    val rates = EtlControl.successRate(spark, control, durations, failures)
+      .collect().map(r => r.getAs[String]("source_id") -> r).toMap
+    val ev = rates("events")
+    assert(ev.getAs[Long]("n_runs") == 3L && ev.getAs[Long]("n_success") == 1L &&
+      ev.getAs[Long]("n_idle") == 1L && ev.getAs[Long]("n_failed") == 1L)
+    assert(math.abs(ev.getAs[Double]("success_rate") - 2.0 / 3.0) < 1e-9)
+    val or = rates("orders")
+    assert(or.getAs[Long]("n_runs") == 1L &&
+      or.getAs[Double]("success_rate") == 1.0)
+  }
 }
