@@ -120,7 +120,15 @@ object BloomPrune {
     *     re-broadcast, LocalTableScan-fed union) costs more than the
     *     second parallel columnar delta scan it saves, and at larger
     *     scale the delta scan shrinks relative to the base while the
-    *     driver serialization does not. The second delta read stays. */
+    *     driver serialization does not. The second delta read stays.
+    *
+    * Floor twin (r11, closes the q45 adjudication with data): a plan
+    * with the SAME three lineitem scans + union + agg + sort and ZERO
+    * delete logic (no anti join, no broadcast build) measured 1.13 s
+    * vs the real query's 1.06 s in the same window (second window:
+    * 1.30 vs 1.43) — the twin fully explains the time, so the
+    * residual vs DuckDB's 0.14 s is scan + job floor, not this
+    * operator. Measurement in BASELINE.md "Round-11 additions". */
   def prunedDeleteInsert(base: DataFrame, delta: DataFrame, keys: Seq[String],
       expectedItems: Long, fpp: Double = 0.01): DataFrame =
     if (broadcastable(expectedItems, keys.length)) {

@@ -79,7 +79,18 @@ object Skew {
     * exchange. The same discipline as BloomPrune's broadcast tier: pay
     * the mitigation only in the regime that needs it. Both paths are
     * result-identical (SkewAndSinkSpec asserts each against the plain
-    * join). */
+    * join).
+    *
+    * Measured overhead of the machinery (r11, q65 data at sf0.1, one
+    * window, pooled min-of-8 ×2): plain shuffle_hash join 0.60 s,
+    * salted 0.83 s → the sampling pre-pass + salt column + hot-key
+    * replication + widened exchange cost +0.23 s (+38 %). That is the
+    * insurance premium for bounding the hot key's reducer: at sf0.1
+    * a single reducer absorbs the hot third of the fact easily, so
+    * plain wins; in the x10/x30 sweep (BASELINE.md, q65 3.3×
+    * sub-linear at 30×) the salted exchange is what keeps the curve
+    * sub-linear. Bench ratios vs the DuckDB oracle (which runs the
+    * PLAIN join) therefore overstate the engine gap by that 38 %. */
   def partialSaltedJoin(skewed: DataFrame, small: DataFrame, key: String,
       factor: Int, saltSource: Seq[String], hot: Seq[Any]): DataFrame = {
     if (hot.isEmpty) return skewed.join(small, Seq(key))

@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * materialization rule). Edit the closures, `sbt "runMain
   * graft.tools.Scratch"`, read the RESULT line. Findings worth keeping
   * move into scaladocs/BASELINE.md (e.g. the r10 q60 floor-twin
-  * decomposition, the q45 local-delta rejection, the javax.sound
-  * registry-contention measurement). */
+  * decomposition, the r11 q45/q10/q53 floor twins and the q65
+  * salted-vs-plain overhead split). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,29 +27,166 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // current experiment slots — swap in the queries under study
-    import graft.operators.Scd2
-    val q44cur = () => noop(
-      graft.queries.EcommerceQueries.queries("q44_scd2_history")(spark, dir))
-    val q44rng = () => noop {
-      val ev = graft.Tables.loadEvents(spark, dir)
-        .select(col("user_id"), col("event_type"),
-          expr("ts_ns div 1000").as("ts_us"))
-        .repartitionByRange(col("user_id"))
-      Scd2.fromChangeLog(ev, Seq("user_id"), Seq("event_type"), "ts_us")
-        .select(col("user_id"), col("event_type"),
-          col("valid_from").as("valid_from_us"),
-          col("valid_to").as("valid_to_us"),
-          col("version"), col("is_current").cast("string").as("is_current"))
-        .sortWithinPartitions("user_id", "valid_from_us")
+    import graft.Tables
+
+    // ---- r11 floor twins: same scans + exchanges + trailing agg/sort,
+    // ZERO operator logic (no anti join / SMJ merge / interval join) —
+    // the q60 method for adjudicating whether a >2x-vs-DuckDB ratio is
+    // job/scan floor or the operator itself.
+
+    val q45real = () => noop(
+      graft.queries.EcommerceQueries.queries("q45_bloom_delete_insert")(spark, dir))
+    // twin: base scan + delta scan + union + agg + sort, plus the
+    // third (delta-keys) scan as its own action — no anti join
+    val q45twin = () => {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val delta = li.where(col("l_orderkey") % 13 === 0)
+        .withColumn("l_quantity", lit(0.0))
+      noop(li.unionByName(delta).groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"))
+        .orderBy("l_orderkey"))
+      noop(li.where(col("l_orderkey") % 13 === 0)
+        .select("l_orderkey", "l_linenumber"))
     }
-    var bA = Double.MaxValue
-    var bB = Double.MaxValue
-    for (_ <- 1 to 8) {
-      bA = math.min(bA, time(q44cur()))
-      bB = math.min(bB, time(q44rng()))
+
+    val q10real = () => noop(
+      graft.queries.EcommerceQueries.queries("q10_star_join")(spark, dir))
+    // twin: the fact partial-agg (scan + both agg exchanges) and the
+    // orders scan + its shuffle, final small agg + sort — no SMJ, no
+    // broadcast dims
+    val q10twin = () => {
+      val li = Tables.load(spark, dir, "lineitem")
+      val liAgg = li.groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+      noop(liAgg.groupBy("l_returnflag")
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("l_returnflag"))
+      noop(Tables.load(spark, dir, "orders")
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n")))
     }
-    println(f"RESULT q44cur=$bA%.3f q44rng=$bB%.3f")
+
+    val q53real = () => noop(
+      graft.queries.AnalyticsQueries.queries("q53_range_join")(spark, dir))
+    // twin: points scan binned + shuffled into the count_distinct
+    // (Expand) agg + sort, incidents scan + bin explode — no join
+    val q53twin = () => {
+      val winUs = 600000000L
+      val ev = Tables.loadEvents(spark, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val pts = ev.select(col("event_id"), col("user_id"), col("value"),
+          col("ts_us"))
+        .withColumn("__bin", floor(col("ts_us") / winUs))
+      noop(pts.groupBy("__bin")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy("__bin"))
+      noop(ev.where(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          col("ts_us").as("s_us"), (col("ts_us") + 600000000L).as("e_us"))
+        .withColumn("__bin", explode(sequence(
+          floor(col("s_us") / winUs), floor((col("e_us") - 1) / winUs)))))
+    }
+
+    // ---- q65 decomposition: salted machinery vs the PLAIN join on the
+    // same data in the same window (overhead = salted − plain)
+    val q65real = () => noop(
+      graft.queries.EcommerceQueries.queries("q65_salted_join")(spark, dir))
+    val q65plain = () => {
+      val fact = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .withColumn("pk",
+          when(col("l_orderkey") % 3 === 0, lit(1L))
+            .otherwise(col("l_partkey").cast("long")))
+      val dim = Tables.load(spark, dir, "part")
+        .select(col("p_partkey").cast("long").as("pk"), col("p_brand"))
+        .hint("shuffle_hash")
+      noop(fact.join(dim, "pk")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"))
+        .orderBy("p_brand"))
+    }
+
+    // q53 optimization candidates: broadcast the (small) interval side
+    // so the points never shuffle into the bin join; with/without the
+    // count_distinct replaced by a pre-join distinct
+    def q53Parts = {
+      val winUs = 600000000L
+      val ev = Tables.loadEvents(spark, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val incidents = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("ts_us").as("s_us"),
+          (col("ts_us") + winUs).as("e_us"))
+      val pts = ev.select(col("event_id"), col("user_id"), col("value"),
+        col("ts_us"))
+      (pts, incidents, winUs)
+    }
+    val q53bc = () => {
+      val (pts, incidents, winUs) = q53Parts
+      noop(graft.operators.RangeJoin.binnedIntervalJoin(pts, "ts_us",
+          broadcast(incidents), "s_us", "e_us", binUs = winUs)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy("incident_id"))
+    }
+    val q53shj = () => {
+      val (pts, incidents, winUs) = q53Parts
+      noop(graft.operators.RangeJoin.binnedIntervalJoin(pts, "ts_us",
+          incidents.hint("shuffle_hash"), "s_us", "e_us", binUs = winUs)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy("incident_id"))
+    }
+
+    val q53nc = () => { // no count_distinct → no Expand: isolates its cost
+      val (pts, incidents, winUs) = q53Parts
+      noop(graft.operators.RangeJoin.binnedIntervalJoin(pts, "ts_us",
+          incidents.hint("shuffle_hash"), "s_us", "e_us", binUs = winUs)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy("incident_id"))
+    }
+    val q53two = () => { // two-phase: plain agg + distinct-pair agg, joined
+      val (pts, incidents, winUs) = q53Parts
+      val joined = graft.operators.RangeJoin.binnedIntervalJoin(pts, "ts_us",
+        incidents.hint("shuffle_hash"), "s_us", "e_us", binUs = winUs)
+      val baseAgg = joined.groupBy("incident_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+      val users = joined.select("incident_id", "user_id").distinct()
+        .groupBy("incident_id").agg(count(lit(1)).as("n_users"))
+      noop(baseAgg.join(users, Seq("incident_id"))
+        .select(col("incident_id"), col("n_events"), col("n_users"),
+          col("total_value"))
+        .orderBy("incident_id"))
+    }
+
+    val slots: Seq[(String, () => Unit)] = Seq(
+      "q53real" -> q53real, "q53shj" -> q53shj, "q53nc" -> q53nc,
+      "q53two" -> q53two)
+    val best = scala.collection.mutable.Map[String, Double]()
+      .withDefaultValue(Double.MaxValue)
+    for (_ <- 1 to 8; (name, f) <- slots)
+      best(name) = math.min(best(name), time(f()))
+    println("RESULT " + slots.map { case (n, _) =>
+      f"$n=${best(n)}%.3f" }.mkString(" "))
     spark.stop()
   }
 }
