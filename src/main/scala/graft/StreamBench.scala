@@ -102,6 +102,46 @@ object StreamBench {
       bs -> rate
     }
 
+    // FLAGSHIP pipeline: continuousDedup — per micro-batch, LSH sign
+    // the new docs into the persisted band artifact, probe for
+    // candidates, verify, fold pairs into the (node, component)
+    // assignment exactly-once. Per-batch cost = store round-trip
+    // (corpus read + artifact/assign/control IO, batch-size-free) +
+    // pair work (batch- and candidate-sized). Decomposed two ways:
+    //   - the linear fit over (batch_size, sec/batch) — its intercept
+    //     is the fixed per-batch cost;
+    //   - a UNIQUE-text control (every token salted per doc copy →
+    //     no candidate pairs survive banding) — its sec/batch is the
+    //     store round-trip alone, the real-text delta is pair work.
+    val dedupSizes = Seq(250, 1000, 4000)
+    def dedupRate(bs: Int, unique: Boolean): (Int, Double) = {
+      val input = MemoryStream[(Long, String)]
+      val root = tmp("sb-cd")
+      val rate = drive[(Long, String)](
+        s => graft.streaming.StreamingDedup.continuousDedup(
+            s.toDF().toDF("doc_id", "text"),
+            s"$root/corpus", s"$root/control", s"$root/artifact",
+            s"$root/assign", s"bench_${bs}_${if (unique) "u" else "d"}",
+            "doc_id", "text")
+          .option("checkpointLocation", tmp("sb-cdckpt")).start(),
+        input,
+        i => docs.take(bs).map { case (id, t) =>
+          val nid = id + i * 1000000L
+          (nid, if (!unique) t
+            else t.split(" ").map(w => s"$w§$nid").mkString(" "))
+        }.toSeq)
+      bs -> rate
+    }
+    val dedupRates = dedupSizes.map(dedupRate(_, unique = false))
+    val dedupUniqRates = Seq(1000).map(dedupRate(_, unique = true))
+    // least-squares intercept of sec/batch vs batch size = the fixed
+    // store-round-trip cost the batch size amortizes
+    val pts = dedupRates.map { case (b, r) => (b.toDouble, b / r) }
+    val (mx, my) = (pts.map(_._1).sum / pts.size, pts.map(_._2).sum / pts.size)
+    val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+      pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val fixedSec = my - slope * mx
+
     val qSizes = Seq(5000, 20000, 100000)
     val qRates = qSizes.map { bs =>
       val input = MemoryStream[(java.sql.Timestamp, String, Double)]
@@ -123,6 +163,9 @@ object StreamBench {
     println(s"""{"metric":"stream","sf":"$sfDir","n_batches":$nBatches,""" +
       s""""chunk_dedup_rows_per_sec":{${fmt(chunkRates)}},""" +
       s""""substring_dedup_rows_per_sec":{${fmt(subRates)}},""" +
+      s""""continuous_dedup_rows_per_sec":{${fmt(dedupRates)}},""" +
+      s""""continuous_dedup_uniq_rows_per_sec":{${fmt(dedupUniqRates)}},""" +
+      f""""continuous_dedup_fixed_sec_per_batch":$fixedSec%.3f,""" +
       s""""windowed_quantiles_rows_per_sec":{${fmt(qRates)}}}""")
     spark.stop()
   }
