@@ -147,12 +147,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** True when the active session has graft's native functions. */
   def nativeAvailable: Boolean =
-    !forceHofForTest && org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.getActiveSession
       .exists(_.catalog.functionExists("minhash_sig"))
-
-  /** Test seam: forces every kernel dispatch site onto its
-    * Column/HOF fallback even in a kernel-enabled session, so a FULL
-    * QUERY can be row-compared kernel-vs-fallback (SparkEntrySpec's
-    * q42 gate). Production value is false. */
-  private[graft] var forceHofForTest: Boolean = false
 }

@@ -30,6 +30,9 @@ class GoldenPlanSpec extends SparkTestBase {
 
   private def normalize(plan: String): String =
     plan
+      // serialized bloom literals: megabytes of hex whose long zero-digit
+      // runs make the later float regex quadratic — strip them FIRST
+      .replaceAll("0x[0-9A-F]{64,}", "<blob>")
       .replaceAll("#\\d+", "#_")
       .replaceAll("\\b[xy]_\\d+", "v_") // lambda vars (x_N, zip_with/merge y_N) use a session-global counter
       .replaceAll("plan_id=\\d+", "plan_id=_")
@@ -40,10 +43,17 @@ class GoldenPlanSpec extends SparkTestBase {
       .linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n")
       .trim
 
-  private def snapshot(name: String, mk: => DataFrame): Unit = test(s"golden plan: $name") {
+  private def snapshot(name: String, mk: => DataFrame,
+      confs: Map[String, String] = Map.empty): Unit = test(s"golden plan: $name") {
     spark.catalog.clearCache()
-    val plan = normalize(
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val plan = try normalize(
       mk.queryExecution.explainString(ExplainMode.fromString("formatted")))
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
     val file = goldenDir.resolve(s"$name.txt")
     if (sys.env.contains("SPARK_GRAFT_UPDATE_GOLDENS")) {
       Files.createDirectories(goldenDir)
@@ -107,4 +117,30 @@ class GoldenPlanSpec extends SparkTestBase {
   snapshot("q72_classifier_gate", LlmQueries.q72ClassifierGate(spark, sf0001))
   snapshot("q73_bpe_pairs", LlmQueries.q73BpePairs(spark, sf0001))
   snapshot("q75_subword_count", LlmQueries.q75SubwordCount(spark, sf0001))
+  // r11: q45's BLOOM-SPLIT tier — the plan the self-sizing operator
+  // flips into on the 10× amplified corpus (verified this round by
+  // dumping q45's formatted plan against /tmp/graft_scale/x10: same
+  // shape — kept branch scans under `NOT bloom_might_contain` with no
+  // join, only the bloom-positive rows exchange into the SMJ LeftAnti
+  // vs delta keys, delta unions in, one agg + sort). Reproduced
+  // deterministically here by calling the split path directly with
+  // broadcast disabled (the x10 static planner's choice); the
+  // megabyte serialized-bloom literal is normalized to <blob>.
+  snapshot("q45_bloom_split", {
+    import graft.operators.BloomPrune
+    import org.apache.spark.sql.functions.{col, lit}
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val delta = li.where(col("l_orderkey") % 13 === 0)
+      .withColumn("l_quantity", lit(0.0))
+    BloomPrune.splitDeleteInsert(li, delta,
+        Seq("l_orderkey", "l_linenumber"), expectedItems = 500000L,
+        fpp = 0.01)
+      .groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_items"),
+        org.apache.spark.sql.functions.sum(
+          col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("total_qty"))
+      .orderBy("l_orderkey")
+  }, confs = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"))
 }
