@@ -19,8 +19,28 @@ import graft.Tables
   */
 object Stats {
 
-  /** Per-table row counts, descending — the reference's most-run query. */
+  /** Per-table row counts, descending — the reference's most-run
+    * query, answered the way the reference itself answers it: from
+    * METADATA. The reference counts via `sys.partitions` (query/đếm số
+    * dòng mỗi bảng.sql); the parquet analogue is the footer row-group
+    * counts ([[graft.sources.ParquetMeta.rowCount]] — driver-pooled
+    * footer reads, or a Spark job over the file listing past a few
+    * hundred files). Exact, zero data pages read; equality with the
+    * scan-based form is spec'd in ParquetMetaSpec. r11: 0.9 s of nine
+    * no-column scans at the x10 tier → ~20 ms. */
   def rowCounts(spark: SparkSession, sfDir: String,
+      tables: Seq[String] = Tables.allTables): DataFrame = {
+    import spark.implicits._
+    tables.map { t =>
+        (t, graft.sources.ParquetMeta.rowCount(spark, s"$sfDir/$t.parquet"))
+      }.toDF("table_name", "n_rows")
+      .orderBy(desc("n_rows"), col("table_name"))
+  }
+
+  /** Scan-based twin of [[rowCounts]] for inputs that are NOT immutable
+    * parquet directories (views, post-filter frames): one no-column
+    * vectorized scan per table, unioned. */
+  def rowCountsScan(spark: SparkSession, sfDir: String,
       tables: Seq[String] = Tables.allTables): DataFrame =
     tables.map { t =>
       Tables.load(spark, sfDir, t)

@@ -176,6 +176,16 @@ object EcommerceQueries {
     // merge and the three broadcasts are inside the noise, so the
     // plan is adjudicated floor-bound; further join tuning has no
     // headroom at this sf.
+    // r11 x10-tier re-derivation (the one >1 s survivor): FIVE
+    // alternatives measured on the amplified corpus, ALL rejected —
+    // raw-fact repartition(orderkey) before the agg (1.98 vs 1.67 s:
+    // moves full-width rows where the agg exchange moves partials),
+    // shuffle_hash orders join (1.89), both combined (1.62, window
+    // noise), broadcast 2-col orders + post-join (r,flag,orderkey)
+    // agg (2.21: the 1.5 M-row broadcast build plus an orderkey-
+    // granular hash agg over 15 M joined rows cost more than the
+    // pre-shrunk exchange), and its count_distinct/Expand form
+    // (2.27). The plan below is the measured optimum at both tiers.
     val liAgg = li.groupBy(col("l_orderkey"), col("l_returnflag"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(18,4)")).as("rev"))

@@ -229,9 +229,122 @@ object Scratch {
       noop(q10finish(liAgg, o.hint("shuffle_hash"), c, n, r))
     }
 
+    // broadcast a 2-col projection of orders (orderkey→custkey map):
+    // the whole dim chain becomes broadcast-side, so lineitem never
+    // shuffles raw — the only fact-granular exchange is the post-join
+    // partial agg at (r_name, flag, orderkey), already partial-agged
+    // map-side. revenue = plain sum (each lineitem contributes once to
+    // its (orderkey, flag) group's rev); only n_orders needs the
+    // orderkey granularity.
+    def q10bcParts = {
+      val (li, _, c, n, r) = q10parts
+      val o2 = broadcast(Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey"))
+      val joined = li.join(o2, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+      joined
+    }
+    val q10bc2 = () => { // two-phase manual: no Expand
+      val joined = q10bcParts
+      val byOrder = joined
+        .groupBy(col("r_name"), col("l_returnflag"), col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+      noop(byOrder.groupBy(col("r_name"), col("l_returnflag"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "l_returnflag"))
+    }
+    val q10bcd = () => { // single-shot: count_distinct (Expand x2)
+      val joined = q10bcParts
+      noop(joined.groupBy(col("r_name"), col("l_returnflag"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count_distinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("r_name", "l_returnflag"))
+    }
+
+    // ---- q32 exact percentile: Spark's `percentile` agg accumulates a
+    // value→count OpenHashMap per group (the whole column in memory for
+    // mostly-distinct doubles — 31× vs DuckDB at x10). Candidate: sort-
+    // based rank interpolation — one exchange + per-group sort, keep
+    // only the bracketing rows per percentile, interpolate in a tiny agg.
+    val q32real = () => noop(
+      graft.queries.AnalyticsQueries.queries("q32_percentile")(spark, dir))
+    val q32rank = () => {
+      import org.apache.spark.sql.expressions.Window
+      val ps = Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99")
+      val ev = Tables.loadEvents(spark, dir)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val wOrd = Window.partitionBy("event_type").orderBy("v")
+      val wAll = Window.partitionBy("event_type")
+      val ranked = ev
+        .withColumn("rn0", row_number().over(wOrd) - lit(1L))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val keep = ps.map { case (p, _) =>
+        val lo = floor((col("n") - 1) * p)
+        col("rn0") === lo || col("rn0") === lo + 1
+      }.reduce(_ || _)
+      val aggs = ps.flatMap { case (p, nm) =>
+        val lo = floor((col("n") - 1) * p)
+        Seq(
+          max(when(col("rn0") === lo, col("v"))).as(s"${nm}_lo"),
+          max(when(col("rn0") === lo + 1, col("v"))).as(s"${nm}_hi"),
+          max(col("n")).as(s"${nm}_n"))
+      }
+      val g = ranked.where(keep).groupBy("event_type")
+        .agg(aggs.head, aggs.tail: _*)
+      val out = ps.foldLeft(g) { case (df, (p, nm)) =>
+        val t = (col(s"${nm}_n") - 1) * p
+        val frac = t - floor(t)
+        df.withColumn(nm, round(col(s"${nm}_lo") +
+          frac * (coalesce(col(s"${nm}_hi"), col(s"${nm}_lo"))
+            - col(s"${nm}_lo")), 6))
+      }.select(col("event_type"), col("p50"), col("p95"), col("p99"))
+        .orderBy("event_type")
+      noop(out)
+    }
+    val q32aprx = () => { // accuracy-losing reference point, timing only
+      noop(Tables.loadEvents(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
+          round(expr("approx_percentile(value, 0.95, 10000)"), 6).as("p95"),
+          round(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99"))
+        .orderBy("event_type"))
+    }
+
+    // value-count pre-agg: the corpus's value domain is small (17.8k
+    // distinct in 1M rows at x10) — shrink in a codegen'd HashAggregate
+    // first, then run the weighted percentile over (group × distinct
+    // value) rows only. The object agg (boxed OpenHashMap per row) sees
+    // 89k rows instead of 1M.
+    val q32vc = () => {
+      val vc = Tables.loadEvents(spark, dir)
+        .groupBy(col("event_type"), col("value").cast("double").as("v"))
+        .agg(count(lit(1)).as("freq"))
+      noop(vc.groupBy("event_type")
+        .agg(
+          round(expr("percentile(v, 0.5, freq)"), 6).as("p50"),
+          round(expr("percentile(v, 0.95, freq)"), 6).as("p95"),
+          round(expr("percentile(v, 0.99, freq)"), 6).as("p99"))
+        .orderBy("event_type"))
+    }
+
+    val q32direct = () => { // the pre-r11 single-agg form
+      noop(Tables.loadEvents(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type"))
+    }
+
     val slots: Seq[(String, () => Unit)] = Seq(
-      "q10real" -> q10real, "q10repart" -> q10repart,
-      "q10shj" -> q10shj, "q10repartShj" -> q10repartShj)
+      "q32real" -> q32real, "q32direct" -> q32direct)
     val best = scala.collection.mutable.Map[String, Double]()
       .withDefaultValue(Double.MaxValue)
     for (_ <- 1 to 8; (name, f) <- slots)

@@ -110,6 +110,16 @@ class AnalyticsSpec extends SparkTestBase {
       s"approx_percentile drifted $maxRelErr from exact — sketch misconfigured")
   }
 
+  test("q32 value-count pre-agg is bit-identical to the direct percentile") {
+    // the weighted percentile over (group, value, freq) must build the
+    // SAME counts map the direct form builds row-by-row — any drift
+    // here means the pre-agg rewrite changed semantics. Both shapes
+    // forced explicitly (the public entry tier-switches on row count).
+    val pre = AnalyticsQueries.q32PercentilePreAgg(spark, sf001).collect()
+    val direct = AnalyticsQueries.q32PercentileDirect(spark, sf001).collect()
+    assert(pre.toSeq == direct.toSeq)
+  }
+
   test("approxBatchStats: HLL sketch within rsd bound of exact distinct") {
     val ev = Tables.load(spark, sf001, "events")
     val approx = graft.operators.Stats.approxBatchStats(ev)
