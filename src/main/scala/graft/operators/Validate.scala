@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality validation gates.
@@ -190,6 +190,101 @@ object Validate {
       (round(col("__bad").cast("double") /
         greatest(col("__n"), lit(1L)).cast("double"), 6) <= maxOrphanRate)
         .as("passed"))
+  }
+
+  /** Per-COLUMN table profile in one aggregate pass (the Deequ-style
+    * profiling companion to [[profileByKey]]'s per-key form): for every
+    * requested column — row count, null count, distinct count, and
+    * type-appropriate extremes (numeric min/max/mean as doubles;
+    * string/timestamp min/max as strings, timestamps formatted to
+    * seconds). One HashAggregate scan however many columns (plus one
+    * sort-free global-agg scan for string extremes — see the pass
+    * split below); the distinct counts are the only expansion (Spark
+    * plans n distinct aggregates as one Expand — n× the scan's rows
+    * into map-side partials). `exactDistinct = false` swaps in
+    * HLL++ `approx_count_distinct` — fixed-size mergeable partials, the
+    * 100 TB default when the profile feeds monitoring rather than an
+    * equality oracle (drift bound spec'd in ValidateSpec).
+    *
+    * The mean uses the exact-decimal sum ÷ count, both cast to double
+    * BEFORE dividing and rounded to 6 — bit-portable across engines
+    * (the [[graft.queries.QualityQueries]] oracle replays it).
+    *
+    * Output: (column_name, n_rows, n_nulls, n_distinct, num_min,
+    * num_max, num_avg, str_min, str_max) — one row per column;
+    * persistable per batch like [[profileByKey]]'s artifact. */
+  def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "no columns given")
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def isNum(c: String) = fields(c) match {
+      case _: NumericType => true
+      case _ => false
+    }
+    def isTs(c: String) = fields(c) match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    // PASS 1 — everything with a PRIMITIVE aggregate buffer, so the
+    // whole Expand pipeline stays in HashAggregate: counts, distincts,
+    // numeric min/max/mean, timestamps as epoch-micros longs
+    // (formatted after the fact). min/max(string) would demote the
+    // ENTIRE agg to SortAggregate — two sorts of the Expand-multiplied
+    // rows (measured: 2.8 s vs 0.8 s at sf0.1) — so string extremes
+    // run in PASS 2, a separate global agg: no grouping keys, hence no
+    // sort, and the two one-row frames cross-join for free.
+    val p1Aggs = cols.flatMap { c =>
+      val distinctAgg =
+        if (exactDistinct) count_distinct(col(c))
+        else approx_count_distinct(col(c))
+      Seq(
+        coalesce(sum(when(col(c).isNull, 1L)), lit(0L)).as(s"__${c}_nulls"),
+        distinctAgg.cast("long").as(s"__${c}_distinct")) ++
+      (if (isNum(c)) Seq(
+        min(col(c)).cast("double").as(s"__${c}_nmin"),
+        max(col(c)).cast("double").as(s"__${c}_nmax"),
+        round(sum(col(c).cast("decimal(18,2)")).cast("double") /
+          count(col(c)), 6).as(s"__${c}_navg"))
+      else if (isTs(c)) Seq( // NTZ folds via session-tz cast (UTC here)
+        min(unix_micros(col(c).cast("timestamp"))).as(s"__${c}_tmin"),
+        max(unix_micros(col(c).cast("timestamp"))).as(s"__${c}_tmax"))
+      else Nil)
+    }
+    val strCols = cols.filter(c => !isNum(c) && !isTs(c))
+    val p1 = df.agg(count(lit(1)).as("__n"), p1Aggs: _*)
+    val agged =
+      if (strCols.isEmpty) p1
+      else {
+        val p2Aggs = strCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"__${c}_smin"),
+          max(col(c)).cast("string").as(s"__${c}_smax")))
+        p1.crossJoin(df.agg(p2Aggs.head, p2Aggs.tail: _*))
+      }
+    val rows = cols.map { c =>
+      val (nmin, nmax, navg, smin, smax) =
+        if (isNum(c))
+          (col(s"__${c}_nmin"), col(s"__${c}_nmax"), col(s"__${c}_navg"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        else if (isTs(c))
+          (lit(null).cast("double"), lit(null).cast("double"),
+            lit(null).cast("double"),
+            date_format(timestamp_micros(col(s"__${c}_tmin")),
+              "yyyy-MM-dd HH:mm:ss"),
+            date_format(timestamp_micros(col(s"__${c}_tmax")),
+              "yyyy-MM-dd HH:mm:ss"))
+        else
+          (lit(null).cast("double"), lit(null).cast("double"),
+            lit(null).cast("double"), col(s"__${c}_smin"), col(s"__${c}_smax"))
+      struct(lit(c).as("column_name"), col("__n").as("n_rows"),
+        col(s"__${c}_nulls").as("n_nulls"),
+        col(s"__${c}_distinct").as("n_distinct"),
+        nmin.as("num_min"), nmax.as("num_max"), navg.as("num_avg"),
+        smin.as("str_min"), smax.as("str_max"))
+    }
+    agged.select(explode(array(rows: _*)).as("r"))
+      .select("r.*")
+      .orderBy("column_name")
   }
 
   /** True iff every expectation in the report passed. */

@@ -89,13 +89,70 @@ object QualityQueries {
       .orderBy("event_type")
   }
 
+  /** New-in-r11 — per-column table profile (Deequ-style): row/null/
+    * distinct counts + typed extremes for every events column in ONE
+    * aggregate pass, oracle-replayed exactly in DuckDB. The batch-QA
+    * report the reference's validate_loaded_data approximates with
+    * count checks (misa_crm_loader.py:1021), widened to the per-column
+    * form a 100 TB feed needs before training on it. */
+  def q85Profile(s: SparkSession, dir: String): DataFrame =
+    Validate.profile(t(s, dir, "events"),
+      Seq("event_id", "user_id", "event_type", "value", "ts", "props"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_quality_gate" -> (q39QualityGate _),
     "q40_fk_integrity" -> (q40FkIntegrity _),
-    "q63_drift_report" -> (q63DriftReport _)
+    "q63_drift_report" -> (q63DriftReport _),
+    "q85_profile" -> (q85Profile _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q85_profile" ->
+      """WITH m AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CASE WHEN event_id IS NULL THEN 1 END), 0) AS BIGINT) AS eid_nulls,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS eid_distinct,
+        |  CAST(min(event_id) AS DOUBLE) AS eid_min, CAST(max(event_id) AS DOUBLE) AS eid_max,
+        |  round(CAST(sum(CAST(event_id AS DECIMAL(18,2))) AS DOUBLE) / count(event_id), 6) AS eid_avg,
+        |  CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 END), 0) AS BIGINT) AS uid_nulls,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS uid_distinct,
+        |  CAST(min(user_id) AS DOUBLE) AS uid_min, CAST(max(user_id) AS DOUBLE) AS uid_max,
+        |  round(CAST(sum(CAST(user_id AS DECIMAL(18,2))) AS DOUBLE) / count(user_id), 6) AS uid_avg,
+        |  CAST(coalesce(sum(CASE WHEN event_type IS NULL THEN 1 END), 0) AS BIGINT) AS et_nulls,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS et_distinct,
+        |  min(event_type) AS et_min, max(event_type) AS et_max,
+        |  CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 END), 0) AS BIGINT) AS v_nulls,
+        |  CAST(count(DISTINCT value) AS BIGINT) AS v_distinct,
+        |  CAST(min(value) AS DOUBLE) AS v_min, CAST(max(value) AS DOUBLE) AS v_max,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 6) AS v_avg,
+        |  CAST(coalesce(sum(CASE WHEN ts IS NULL THEN 1 END), 0) AS BIGINT) AS ts_nulls,
+        |  CAST(count(DISTINCT ts) AS BIGINT) AS ts_distinct,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_max,
+        |  CAST(coalesce(sum(CASE WHEN props IS NULL THEN 1 END), 0) AS BIGINT) AS p_nulls,
+        |  CAST(count(DISTINCT props) AS BIGINT) AS p_distinct,
+        |  min(props) AS p_min, max(props) AS p_max
+        |FROM events),
+        |rep AS (
+        |  SELECT 'event_id' AS column_name, n AS n_rows, eid_nulls AS n_nulls,
+        |    eid_distinct AS n_distinct, eid_min AS num_min, eid_max AS num_max,
+        |    eid_avg AS num_avg, CAST(NULL AS VARCHAR) AS str_min,
+        |    CAST(NULL AS VARCHAR) AS str_max FROM m
+        |  UNION ALL SELECT 'user_id', n, uid_nulls, uid_distinct,
+        |    uid_min, uid_max, uid_avg, NULL, NULL FROM m
+        |  UNION ALL SELECT 'event_type', n, et_nulls, et_distinct,
+        |    NULL, NULL, NULL, et_min, et_max FROM m
+        |  UNION ALL SELECT 'value', n, v_nulls, v_distinct,
+        |    v_min, v_max, v_avg, NULL, NULL FROM m
+        |  UNION ALL SELECT 'ts', n, ts_nulls, ts_distinct,
+        |    NULL, NULL, NULL, ts_min, ts_max FROM m
+        |  UNION ALL SELECT 'props', n, p_nulls, p_distinct,
+        |    NULL, NULL, NULL, p_min, p_max FROM m)
+        |SELECT column_name, n_rows, n_nulls, n_distinct,
+        |  CAST(num_min AS DOUBLE) AS num_min, CAST(num_max AS DOUBLE) AS num_max,
+        |  CAST(num_avg AS DOUBLE) AS num_avg, str_min, str_max
+        |FROM rep ORDER BY column_name""".stripMargin,
+
     "q63_drift_report" ->
       """WITH cur AS (
         |  SELECT event_type, count(*) AS n_rows, avg(value) AS mean_val

@@ -343,8 +343,16 @@ object Scratch {
         .orderBy("event_type"))
     }
 
+    val q85real = () => noop(
+      graft.queries.QualityQueries.queries("q85_profile")(spark, dir))
+    val q85explain = () => {
+      graft.queries.QualityQueries.queries("q85_profile")(spark, dir)
+        .explain("formatted")
+    }
+
     val slots: Seq[(String, () => Unit)] = Seq(
-      "q32real" -> q32real, "q32direct" -> q32direct)
+      "q85real" -> q85real)
+    q85explain()
     val best = scala.collection.mutable.Map[String, Double]()
       .withDefaultValue(Double.MaxValue)
     for (_ <- 1 to 8; (name, f) <- slots)

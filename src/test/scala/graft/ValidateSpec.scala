@@ -82,6 +82,59 @@ class ValidateSpec extends SparkTestBase {
     assert(out("new") === true)  // appeared
   }
 
+  test("profile: per-column counts/extremes on a hand-built frame") {
+    val df = Seq(
+      (1L, Some(2.0), Some("b")),
+      (2L, Some(4.0), Some("a")),
+      (3L, None, Some("a")),
+      (4L, Some(4.0), None)
+    ).toDF("id", "v", "s")
+    val out = Validate.profile(df, Seq("id", "v", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert(id.getLong(1) == 4L && id.getLong(2) == 0L && id.getLong(3) == 4L)
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 4.0 &&
+      id.getDouble(6) == 2.5)
+    val v = out("v")
+    assert(v.getLong(2) == 1L && v.getLong(3) == 2L) // 1 null; {2.0, 4.0}
+    assert(v.getDouble(4) == 2.0 && v.getDouble(5) == 4.0 &&
+      v.getDouble(6) == 3.333333) // mean over non-null (2+4+4)/3, round 6
+    val s = out("s")
+    assert(s.getLong(2) == 1L && s.getLong(3) == 2L)
+    assert(s.isNullAt(4) && s.getString(7) == "a" && s.getString(8) == "b")
+  }
+
+  test("profile: approx-distinct mode stays within HLL drift of exact") {
+    val ev = Tables.load(spark, sf001, "events")
+    val cols = Seq("event_id", "user_id", "event_type")
+    val exact = Validate.profile(ev, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Validate.profile(ev, cols, exactDistinct = false).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    for (c <- cols) {
+      val rel = math.abs(approx(c) - exact(c)).toDouble / math.max(exact(c), 1L)
+      assert(rel < 0.05, s"$c: approx ${approx(c)} vs exact ${exact(c)}")
+    }
+  }
+
+  test("profile: Expand pipeline stays hash-aggregated, no data sorts") {
+    // min/max(string) in the same agg as the distincts would demote
+    // the whole Expand pipeline to SortAggregate UNDER A SORT of the
+    // n×-multiplied rows (measured 2.8 s vs 0.8 s at sf0.1). The pass
+    // split keeps the Expand side in HashAggregate; the string pass
+    // may plan SortAggregate but with no grouping keys it requires no
+    // ordering — so the ONLY Sort in the plan is the final orderBy.
+    val df = Seq((1L, 2.0, "x")).toDF("id", "v", "s")
+    val plan = Validate.profile(df, Seq("id", "v", "s"))
+      .queryExecution.executedPlan.toString
+    val sorts = plan.linesIterator.count(_.trim.matches("^[+:]?-* *Sort .*"))
+    assert(sorts == 1, s"expected only the output orderBy Sort, got $sorts:\n$plan")
+    assert(plan.contains("Expand"))
+    val expandSide = plan.substring(0, plan.indexOf("Expand"))
+    assert(!expandSide.contains("SortAggregate"),
+      "Expand pipeline demoted to SortAggregate")
+  }
+
   test("whole gate is one aggregate job (single scan)") {
     val report = Validate.check(frame, Seq(
       NotNull("cat"), TypeConforms("code", "bigint"), InSet("cat", Seq("a", "c")),
