@@ -85,4 +85,124 @@ object ParquetMeta {
         .sum().toLong
     }
   }
+
+  /** Per-column footer stats for one file: (rows, nulls, min, max) per
+    * requested column, mins/maxes only for NUMERIC physical types
+    * (INT32/INT64/FLOAT/DOUBLE — binary stats may be TRUNCATED by
+    * writers, so string extremes never come from footers), and only
+    * when every row group carries complete statistics; `None` min/max
+    * otherwise. Null counts are exact whenever present (−1 = unknown
+    * poisons the whole column's null count). */
+  private[graft] def footerColumnStats(conf: Configuration, file: Path,
+      cols: Seq[String]): ColStats = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val per = cols.map { c =>
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == c))
+        if (chunks.isEmpty || chunks.size != blocks.size)
+          c -> ColStat(rows, -1L, None, None) // column absent somewhere
+        else {
+          val stats = chunks.map(_.getStatistics)
+          val nulls =
+            if (stats.exists(s => s == null || !s.isNumNullsSet)) -1L
+            else stats.map(_.getNumNulls).sum
+          val numeric = chunks.head.getPrimitiveType.getPrimitiveTypeName match {
+            case INT32 | INT64 | FLOAT | DOUBLE => true
+            case _ => false
+          }
+          // a chunk that is ALL nulls legitimately has no min/max —
+          // it must not veto the file's extremes, just contribute none;
+          // a chunk with ABSENT stats (and real values) must
+          val incomplete = chunks.exists { ch =>
+            val s = ch.getStatistics
+            s == null || (!s.hasNonNullValue &&
+              !(s.isNumNullsSet && s.getNumNulls == ch.getValueCount))
+          }
+          val (mins, maxs) =
+            if (!numeric || incomplete) (Nil, Nil)
+            else (
+              stats.filter(_.hasNonNullValue)
+                .map(s => anyToDouble(s.genericGetMin)),
+              stats.filter(_.hasNonNullValue)
+                .map(s => anyToDouble(s.genericGetMax)))
+          c -> ColStat(rows, nulls,
+            if (mins.isEmpty || mins.contains(None)) None
+            else Some(mins.flatten.min),
+            if (maxs.isEmpty || maxs.contains(None)) None
+            else Some(maxs.flatten.max))
+        }
+      }
+      ColStats(rows, per.toMap)
+    } finally reader.close()
+  }
+
+  private def anyToDouble(v: Any): Option[Double] = v match {
+    case n: java.lang.Integer => Some(n.doubleValue)
+    case n: java.lang.Long => Some(n.doubleValue)
+    case n: java.lang.Float => Some(n.doubleValue)
+    case n: java.lang.Double => Some(n.doubleValue)
+    case _ => None
+  }
+
+  case class ColStat(rows: Long, nulls: Long,
+      min: Option[Double], max: Option[Double])
+  case class ColStats(rows: Long, cols: Map[String, ColStat])
+
+  private def mergeStats(cols: Seq[String])(a: ColStats, b: ColStats)
+      : ColStats =
+    ColStats(a.rows + b.rows, cols.map { c =>
+      val (x, y) = (a.cols(c), b.cols(c))
+      def opt(f: (Double, Double) => Double)
+          (l: Option[Double], r: Option[Double]) = (l, r) match {
+        case (Some(lv), Some(rv)) => Some(f(lv, rv))
+        // one side all-null (min absent but nulls==rows) is fine; one
+        // side UNKNOWN (numeric stats missing) must poison the merge
+        case (l2, r2) =>
+          if ((x.nulls == x.rows || y.nulls == y.rows)) l2.orElse(r2)
+          else None
+      }
+      c -> ColStat(x.rows + y.rows,
+        if (x.nulls < 0 || y.nulls < 0) -1L else x.nulls + y.nulls,
+        opt(math.min)(x.min, y.min), opt(math.max)(x.max, y.max))
+    }.toMap)
+
+  /** Zero-scan numeric profile of the parquet table at `path`: exact
+    * per-column null counts and min/max for numeric columns, straight
+    * from row-group footer statistics — the profile question ("null
+    * rate? range?") answered over 100 TB in footer-read time. Same
+    * driver-pool / distributed-job split as [[rowCount]]. Columns whose
+    * stats are missing, truncated-typed (strings/binary), or written
+    * without null counts surface as null min/max / −1 nulls rather
+    * than a wrong answer; exactness vs the scan profile is spec'd in
+    * ParquetMetaSpec. Output: (column_name, n_rows, n_nulls, num_min,
+    * num_max), one row per requested column. */
+  def columnStats(spark: SparkSession, path: String, cols: Seq[String],
+      maxDriverFiles: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "no columns given")
+    val files = listDataFiles(spark, path)
+    val merged =
+      if (files.lengthCompare(maxDriverFiles) <= 0) {
+        val conf = spark.sessionState.newHadoopConf()
+        files.asJava.parallelStream()
+          .map[ColStats](f => footerColumnStats(conf, f, cols))
+          .reduce(mergeStats(cols)(_, _))
+          .orElseThrow(() => new IllegalArgumentException(s"no files under $path"))
+      } else {
+        val names = files.map(_.toString)
+        val slices = math.min(names.size,
+          spark.sparkContext.defaultParallelism * 4)
+        spark.sparkContext.parallelize(names, slices)
+          .map(s => footerColumnStats(new Configuration(), new Path(s), cols))
+          .reduce(mergeStats(cols)(_, _))
+      }
+    import spark.implicits._
+    cols.map { c =>
+      val s = merged.cols(c)
+      (c, merged.rows, s.nulls, s.min, s.max)
+    }.toDF("column_name", "n_rows", "n_nulls", "num_min", "num_max")
+  }
 }

@@ -9,6 +9,7 @@ import graft.sources.ParquetMeta
   * on every table (single-file and directory layouts), the distributed
   * path forced, and the q01 metadata form vs its scan twin. */
 class ParquetMetaSpec extends SparkTestBase {
+  import spark.implicits._
 
   test("rowCount equals the scan count for every sf0.001 table") {
     for (t <- Tables.allTables) {
@@ -52,6 +53,64 @@ class ParquetMetaSpec extends SparkTestBase {
     val meta = Stats.rowCounts(spark, sf0001).collect().toSeq
     val scan = Stats.rowCountsScan(spark, sf0001).collect().toSeq
     assert(meta == scan)
+  }
+
+  test("columnStats: footer null counts and numeric min/max equal the scan") {
+    import org.apache.spark.sql.functions._
+    for ((table, cs) <- Seq(
+        "lineitem" -> Seq("l_orderkey", "l_quantity", "l_extendedprice"),
+        "events" -> Seq("event_id", "user_id", "value"))) {
+      val meta = ParquetMeta.columnStats(spark, s"$sf001/$table.parquet", cs)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val df = Tables.load(spark, sf001, table)
+      val n = df.count()
+      for (c <- cs) {
+        val row = df.agg(
+          coalesce(sum(when(col(c).isNull, 1L)), lit(0L)),
+          min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+        val m = meta(c)
+        assert(m.getLong(1) == n, s"$table.$c rows")
+        assert(m.getLong(2) == row.getLong(0), s"$table.$c nulls")
+        assert(m.getDouble(3) == row.getDouble(1), s"$table.$c min")
+        assert(m.getDouble(4) == row.getDouble(2), s"$table.$c max")
+      }
+    }
+  }
+
+  test("columnStats: strings get exact nulls but never footer extremes; all-null columns don't veto") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("pqstats").toFile
+    try {
+      // two files: one where `v` is all null, one with real values —
+      // the all-null chunk must contribute nothing, not poison the merge
+      Seq((1L, Option.empty[Double], Option("b")), (2L, None, Some("a")))
+        .toDF("id", "v", "s").coalesce(1)
+        .write.mode("append").parquet(tmp.getPath)
+      Seq((3L, Some(7.5), Option.empty[String]))
+        .toDF("id", "v", "s").coalesce(1)
+        .write.mode("append").parquet(tmp.getPath)
+      val out = ParquetMeta.columnStats(spark, tmp.getPath, Seq("id", "v", "s"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(out("id").getLong(2) == 0 && out("id").getDouble(3) == 1.0 &&
+        out("id").getDouble(4) == 3.0)
+      assert(out("v").getLong(2) == 2 && out("v").getDouble(3) == 7.5 &&
+        out("v").getDouble(4) == 7.5)
+      assert(out("s").getLong(2) == 1 &&
+        out("s").isNullAt(3) && out("s").isNullAt(4)) // binary: no extremes
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("columnStats distributed path agrees with the driver pool") {
+    val a = ParquetMeta.columnStats(spark, s"$sf001/lineitem.parquet",
+      Seq("l_orderkey", "l_quantity")).collect().toSeq
+    val b = ParquetMeta.columnStats(spark, s"$sf001/lineitem.parquet",
+      Seq("l_orderkey", "l_quantity"), maxDriverFiles = 0).collect().toSeq
+    assert(a == b)
   }
 
   test("footerRowCount on a single file matches its scan") {
