@@ -350,8 +350,73 @@ object Scratch {
         .explain("formatted")
     }
 
+    // ---- q85 decomposition: where do 2.5 s at x10 go? The profile is
+    // pass1 (counts + 6 exact distincts via Expand + numeric/ts extremes)
+    // crossJoined with pass2 (string extremes, second scan).
+    def q85ev = Tables.loadEvents(spark, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts", "props")
+    val q85cols = Seq("event_id", "user_id", "event_type", "value", "ts", "props")
+    val q85distonly = () => noop(q85ev.agg(count(lit(1)).as("__n"),
+      q85cols.map(c => count_distinct(col(c)).as(s"__${c}_d")): _*))
+    val q85hashdist = () => noop(q85ev.agg(count(lit(1)).as("__n"),
+      q85cols.map(c => count_distinct(xxhash64(col(c))).as(s"__${c}_d")): _*))
+    val q85nodist = () => noop(q85ev.agg(count(lit(1)).as("__n"),
+      (q85cols.flatMap(c => Seq(
+        coalesce(sum(when(col(c).isNull, 1L)), lit(0L)).as(s"__${c}_nulls"))) ++
+       Seq(min(col("event_id")).cast("double"), max(col("event_id")).cast("double"),
+         min(col("user_id")).cast("double"), max(col("user_id")).cast("double"),
+         min(col("value")).cast("double"), max(col("value")).cast("double"),
+         min(unix_micros(col("ts").cast("timestamp"))),
+         max(unix_micros(col("ts").cast("timestamp"))))): _*))
+    val q85p2only = () => noop(q85ev.agg(
+      min(col("event_type")).cast("string"), max(col("event_type")).cast("string"),
+      min(col("props")).cast("string"), max(col("props")).cast("string")))
+
+    // candidate A: 3 independent one-row frames crossJoined — the
+    // multi-distinct agg no longer drags the non-distinct buffers
+    // through its Expand pipeline
+    val q85sep3 = () => {
+      val d = q85ev.agg(count(lit(1)).as("__n"),
+        q85cols.map(c => count_distinct(col(c)).as(s"__${c}_d")): _*)
+      val nd = q85ev.agg(count(lit(1)).as("__n2"),
+        (q85cols.map(c =>
+          coalesce(sum(when(col(c).isNull, 1L)), lit(0L)).as(s"__${c}_nulls")) ++
+         Seq(min(col("event_id")).cast("double").as("eid_min"),
+           max(col("event_id")).cast("double").as("eid_max"),
+           min(col("user_id")).cast("double").as("uid_min"),
+           max(col("user_id")).cast("double").as("uid_max"),
+           min(col("value")).cast("double").as("v_min"),
+           max(col("value")).cast("double").as("v_max"),
+           min(unix_micros(col("ts").cast("timestamp"))).as("ts_min"),
+           max(unix_micros(col("ts").cast("timestamp"))).as("ts_max"))): _*)
+      val p2 = q85ev.agg(
+        min(col("event_type")).cast("string").as("et_min"),
+        max(col("event_type")).cast("string").as("et_max"),
+        min(col("props")).cast("string").as("p_min"),
+        max(col("props")).cast("string").as("p_max"))
+      noop(d.crossJoin(nd).crossJoin(p2))
+    }
+    // candidate B: additionally split the 6 distincts into per-column
+    // single-distinct aggs (no Expand at all; 6 independent stage chains
+    // run concurrently inside one job)
+    val q85sep8 = () => {
+      val ds = q85cols.map(c => q85ev.select(col(c))
+        .agg(count_distinct(col(c)).as(s"__${c}_d")))
+      val nd = q85ev.agg(count(lit(1)).as("__n2"),
+        q85cols.map(c =>
+          coalesce(sum(when(col(c).isNull, 1L)), lit(0L)).as(s"__${c}_nulls")): _*)
+      val p2 = q85ev.agg(
+        min(col("event_type")).cast("string").as("et_min"),
+        max(col("event_type")).cast("string").as("et_max"),
+        min(col("props")).cast("string").as("p_min"),
+        max(col("props")).cast("string").as("p_max"))
+      noop((ds :+ nd :+ p2).reduce(_ crossJoin _))
+    }
+
     val slots: Seq[(String, () => Unit)] = Seq(
-      "q85real" -> q85real)
+      "q85real" -> q85real,
+      "q85sep3" -> q85sep3,
+      "q85sep8" -> q85sep8)
     q85explain()
     val best = scala.collection.mutable.Map[String, Double]()
       .withDefaultValue(Double.MaxValue)

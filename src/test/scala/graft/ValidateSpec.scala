@@ -123,16 +123,19 @@ class ValidateSpec extends SparkTestBase {
     // n×-multiplied rows (measured 2.8 s vs 0.8 s at sf0.1). The pass
     // split keeps the Expand side in HashAggregate; the string pass
     // may plan SortAggregate but with no grouping keys it requires no
-    // ordering — so the ONLY Sort in the plan is the final orderBy.
+    // ordering — so every SortAggregate must be keyless, and the ONLY
+    // Sort in the plan is the final orderBy.
     val df = Seq((1L, 2.0, "x")).toDF("id", "v", "s")
     val plan = Validate.profile(df, Seq("id", "v", "s"))
       .queryExecution.executedPlan.toString
     val sorts = plan.linesIterator.count(_.trim.matches("^[+:]?-* *Sort .*"))
     assert(sorts == 1, s"expected only the output orderBy Sort, got $sorts:\n$plan")
-    assert(plan.contains("Expand"))
-    val expandSide = plan.substring(0, plan.indexOf("Expand"))
-    assert(!expandSide.contains("SortAggregate"),
-      "Expand pipeline demoted to SortAggregate")
+    assert(plan.contains("Expand"), "exact multi-distinct should plan an Expand")
+    val keyedSortAggs = plan.linesIterator
+      .filter(_.contains("SortAggregate")).filterNot(_.contains("key=[]"))
+      .toSeq
+    assert(keyedSortAggs.isEmpty,
+      s"keyed SortAggregate (requires a data sort) in plan:\n${keyedSortAggs.mkString("\n")}")
   }
 
   test("whole gate is one aggregate job (single scan)") {
