@@ -99,14 +99,58 @@ object QualityQueries {
     Validate.profile(t(s, dir, "events"),
       Seq("event_id", "user_id", "event_type", "value", "ts", "props"))
 
+  /** New-in-r11 — ZERO-SCAN numeric profile from parquet footer
+    * statistics ([[graft.sources.ParquetMeta.columnStats]]): exact
+    * per-column null counts and numeric min/max merged across
+    * row-group footers — no column data read at all, the same
+    * metadata-only discipline as q01's footer row counts (the
+    * reference answers its count checks from sys.partitions metadata;
+    * đếm số dòng mỗi bảng.sql). The oracle recomputes the identical
+    * numbers by scanning, so the gate proves the footer path EXACT,
+    * not just plausible: over 100 TB this is the difference between a
+    * profile in footer-read time and a full-corpus scan. String
+    * columns get exact null counts but never footer extremes (writers
+    * may truncate binary stats). */
+  def q86FooterStats(s: SparkSession, dir: String): DataFrame =
+    graft.sources.ParquetMeta.columnStats(s, s"$dir/lineitem.parquet",
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_discount", "l_returnflag"))
+      .orderBy("column_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_quality_gate" -> (q39QualityGate _),
     "q40_fk_integrity" -> (q40FkIntegrity _),
     "q63_drift_report" -> (q63DriftReport _),
-    "q85_profile" -> (q85Profile _)
+    "q85_profile" -> (q85Profile _),
+    "q86_footer_stats" -> (q86FooterStats _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q86_footer_stats" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 END), 0) AS BIGINT) AS ok_nulls,
+        |  CAST(min(l_orderkey) AS DOUBLE) AS ok_min, CAST(max(l_orderkey) AS DOUBLE) AS ok_max,
+        |  CAST(coalesce(sum(CASE WHEN l_linenumber IS NULL THEN 1 END), 0) AS BIGINT) AS ln_nulls,
+        |  CAST(min(l_linenumber) AS DOUBLE) AS ln_min, CAST(max(l_linenumber) AS DOUBLE) AS ln_max,
+        |  CAST(coalesce(sum(CASE WHEN l_quantity IS NULL THEN 1 END), 0) AS BIGINT) AS q_nulls,
+        |  CAST(min(l_quantity) AS DOUBLE) AS q_min, CAST(max(l_quantity) AS DOUBLE) AS q_max,
+        |  CAST(coalesce(sum(CASE WHEN l_extendedprice IS NULL THEN 1 END), 0) AS BIGINT) AS ep_nulls,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS ep_min, CAST(max(l_extendedprice) AS DOUBLE) AS ep_max,
+        |  CAST(coalesce(sum(CASE WHEN l_discount IS NULL THEN 1 END), 0) AS BIGINT) AS d_nulls,
+        |  CAST(min(l_discount) AS DOUBLE) AS d_min, CAST(max(l_discount) AS DOUBLE) AS d_max,
+        |  CAST(coalesce(sum(CASE WHEN l_returnflag IS NULL THEN 1 END), 0) AS BIGINT) AS rf_nulls
+        |FROM lineitem)
+        |SELECT column_name, n_rows, n_nulls, num_min, num_max FROM (
+        |  SELECT 'l_orderkey' AS column_name, n AS n_rows, ok_nulls AS n_nulls,
+        |    ok_min AS num_min, ok_max AS num_max FROM m
+        |  UNION ALL SELECT 'l_linenumber', n, ln_nulls, ln_min, ln_max FROM m
+        |  UNION ALL SELECT 'l_quantity', n, q_nulls, q_min, q_max FROM m
+        |  UNION ALL SELECT 'l_extendedprice', n, ep_nulls, ep_min, ep_max FROM m
+        |  UNION ALL SELECT 'l_discount', n, d_nulls, d_min, d_max FROM m
+        |  UNION ALL SELECT 'l_returnflag', n, rf_nulls,
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM m)
+        |ORDER BY column_name""".stripMargin,
+
     "q85_profile" ->
       """WITH m AS (SELECT
         |  CAST(count(*) AS BIGINT) AS n,
