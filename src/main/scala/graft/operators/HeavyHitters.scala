@@ -114,7 +114,18 @@ object HeavyHitters {
   }
 
   /** Sketch + prune + exact verify in one call (two passes over the
-    * scan, ONE shuffle over only maybe-heavy rows). */
+    * scan, ONE shuffle over only maybe-heavy rows).
+    *
+    * Bench-framing note (r11, BASELINE.md "q51 CMS-machinery
+    * decomposition"): the q51 oracle is the plain GROUP BY/HAVING, so
+    * its ratio prices this machinery as engine gap. Measured x10
+    * same-window: plain 0.43 s, sketch pass alone 0.33 s, full
+    * sketch+probe 0.91 s — the machinery costs +0.48 s on a BOUNDED
+    * key (user_id), where map-side combine already makes the plain
+    * shuffle tiny. It pays on unbounded-cardinality keys with rare
+    * heavies, where plain shuffles ~|distinct|×partitions rows and
+    * this path shuffles only maybe-heavy mass (Zipf payoff asserted
+    * in HeavyHittersSpec). */
   def heavyHitters(df: DataFrame, keys: Seq[String], minCount: Long,
       eps: Double = DefaultEps, confidence: Double = DefaultConfidence,
       seed: Int = DefaultSeed): DataFrame =

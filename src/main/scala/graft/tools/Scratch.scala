@@ -413,11 +413,26 @@ object Scratch {
       noop((ds :+ nd :+ p2).reduce(_ crossJoin _))
     }
 
+    // ---- q51 decomposition: CMS sketch pass + probe pass vs the plain
+    // groupBy-HAVING (map-side combine makes the naive form cheap at
+    // LOW key cardinality; the sketch pays only when keys don't
+    // combine). Where does 1.03 s at x10 go?
+    val q51real = () => noop(
+      graft.queries.AnalyticsQueries.queries("q51_heavy_hitters")(spark, dir))
+    val q51plain = () => noop(Tables.loadEvents(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .where(col("n_events") >= 80)
+      .orderBy("user_id"))
+    val q51sketch = () => {
+      graft.operators.HeavyHitters.keySketch(
+        Tables.loadEvents(spark, dir), Seq("user_id"))
+      ()
+    }
+
     val slots: Seq[(String, () => Unit)] = Seq(
-      "q85real" -> q85real,
-      "q85sep3" -> q85sep3,
-      "q85sep8" -> q85sep8)
-    q85explain()
+      "q51real" -> q51real,
+      "q51plain" -> q51plain,
+      "q51sketch" -> q51sketch)
     val best = scala.collection.mutable.Map[String, Double]()
       .withDefaultValue(Double.MaxValue)
     for (_ <- 1 to 8; (name, f) <- slots)
