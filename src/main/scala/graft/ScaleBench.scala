@@ -146,7 +146,7 @@ object ScaleBench {
     *     interval-join pair mass linear in F (same-time replication
     *     would square it: every copy's points fall in every copy's
     *     incident windows). */
-  private def prepare(spark: SparkSession, base: String, f: Int,
+  private[graft] def prepare(spark: SparkSession, base: String, f: Int,
       work: String, withJoins: Boolean): (String, Double) = {
     require(f >= 1, s"factor must be >= 1, got $f")
     if (f == 1) return (base, 0.0)

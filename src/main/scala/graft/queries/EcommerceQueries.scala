@@ -208,7 +208,17 @@ object EcommerceQueries {
     * pretrained IVF quantizer, a WRITE-TIME artifact — the join's
     * shuffle is paid once here, not per query; at 100 TB this is the
     * daily-join layout (SURVEY §8). Returns (ordersTable,
-    * lineitemTable) catalog names. */
+    * lineitemTable) catalog names.
+    *
+    * Bucket count self-sizes on the fact table's footer row count
+    * (the q45/q32 metadata pattern): the bucketed read schedules ONE
+    * task per bucket, so an undersized spec caps the join's
+    * parallelism — 8 buckets on the 18 M-row x30 corpus used 8 of 32
+    * cores (2.87 s); 32 buckets + the one-file-per-bucket write read
+    * sorted and land at 1.19 s. Small corpora keep 8 (more buckets
+    * than data just adds file overhead; sf0.1's 600 k rows measured
+    * flat 8 vs 32). On a real cluster the same rule scales the count
+    * to the executor-core total / target file size. */
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
@@ -225,12 +235,15 @@ object EcommerceQueries {
         s.sql(s"DROP TABLE IF EXISTS $n")
         fs.delete(new org.apache.hadoop.fs.Path(wh, n), true)
       }
+      val liRows = graft.sources.ParquetMeta.rowCount(
+        s, s"$dir/lineitem.parquet")
+      val nBuckets = if (liRows <= 2000000L) 8 else 32
       ParquetSink.writeBucketedTable(
         t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        oT, "o_orderkey", 8)
+        oT, "o_orderkey", nBuckets)
       ParquetSink.writeBucketedTable(
         t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
-        lT, "l_orderkey", 8)
+        lT, "l_orderkey", nBuckets)
       (oT, lT)
     })
 

@@ -21,6 +21,14 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // rebuild amplified corpora on demand (/tmp is cleared between
+    // sessions; prepare is idempotent per table)
+    sys.env.get("SPARK_GRAFT_BUILD_X").foreach { fs =>
+      fs.split(",").map(_.trim.toInt).foreach { f =>
+        graft.ScaleBench.prepare(spark, "/root/testdata/sf0.1", f,
+          "/tmp/graft_scale", withJoins = true)
+      }
+    }
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -429,10 +437,85 @@ object Scratch {
       ()
     }
 
+    // ---- r11 q41 at the amplified tier: the committed layout uses 8
+    // buckets, which caps the bucketed read/SMJ parallelism at 8 of 32
+    // cores once the fact side is 18 M rows (x30: 2.56 s vs DuckDB's
+    // 0.38 s plain hash join). Measure bucket-count scaling against
+    // the plain exchange join on identical projections.
+    def q41li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    def q41o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    def q41agg(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    val bktCache = scala.collection.mutable.Map[Int, (String, String)]()
+    def mkBkt(n: Int): (String, String) = bktCache.getOrElseUpdate(n, {
+      val (oT, lT) = (s"graft_scr_o_$n", s"graft_scr_l_$n")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(oT, lT).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+      }
+      graft.sources.ParquetSink.writeBucketedTable(q41o, oT, "o_orderkey", n)
+      graft.sources.ParquetSink.writeBucketedTable(q41li, lT, "l_orderkey", n)
+      (oT, lT)
+    })
+    def q41bkt(n: Int) = () => {
+      val (oT, lT) = mkBkt(n)
+      noop(q41agg(spark.table(lT).hint("merge")
+        .join(spark.table(oT), col("l_orderkey") === col("o_orderkey"))))
+    }
+    val q41plainSmj = () => noop(q41agg(q41li.hint("merge")
+      .join(q41o, col("l_orderkey") === col("o_orderkey"))))
+    val q41plainShj = () => noop(q41agg(q41li
+      .join(q41o.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))))
+    val q41bcast = () => noop(q41agg(q41li
+      .join(broadcast(q41o), col("l_orderkey") === col("o_orderkey"))))
+
+    // one file per bucket: pre-repartition on the bucket key (same
+    // Murmur3 hash as the bucketing spec) so each write task holds
+    // exactly one bucket — the scan then reports per-bucket sort order
+    // and the SMJ's read-side Sort is elided entirely
+    def mkBktOne(n: Int): (String, String) = bktCache.getOrElseUpdate(-n, {
+      val (oT, lT) = (s"graft_scr1_o_$n", s"graft_scr1_l_$n")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(oT, lT).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+      }
+      graft.sources.ParquetSink.writeBucketedTable(
+        q41o.repartition(n, col("o_orderkey")), oT, "o_orderkey", n)
+      graft.sources.ParquetSink.writeBucketedTable(
+        q41li.repartition(n, col("l_orderkey")), lT, "l_orderkey", n)
+      (oT, lT)
+    })
+    def q41bktOne(n: Int) = () => {
+      val (oT, lT) = mkBktOne(n)
+      noop(q41agg(spark.table(lT).hint("merge")
+        .join(spark.table(oT), col("l_orderkey") === col("o_orderkey"))))
+    }
+    def q41bktOneShj(n: Int) = () => {
+      val (oT, lT) = mkBktOne(n)
+      noop(q41agg(spark.table(lT)
+        .join(spark.table(oT).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))))
+    }
+
+    val q41real = () => noop(
+      graft.queries.EcommerceQueries.queries("q41_colocated_join")(spark, dir))
     val slots: Seq[(String, () => Unit)] = Seq(
-      "q51real" -> q51real,
-      "q51plain" -> q51plain,
-      "q51sketch" -> q51sketch)
+      "q41real" -> q41real,
+      "q41one8" -> q41bktOne(8),
+      "q41one32" -> q41bktOne(32))
     val best = scala.collection.mutable.Map[String, Double]()
       .withDefaultValue(Double.MaxValue)
     for (_ <- 1 to 8; (name, f) <- slots)
