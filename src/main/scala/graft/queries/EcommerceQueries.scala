@@ -185,8 +185,33 @@ object EcommerceQueries {
     // agg (2.21: the 1.5 M-row broadcast build plus an orderkey-
     // granular hash agg over 15 M joined rows cost more than the
     // pre-shrunk exchange), and its count_distinct/Expand form
-    // (2.27). The plan below is the measured optimum at both tiers.
-    val liAgg = li.groupBy(col("l_orderkey"), col("l_returnflag"))
+    // (2.27). The pre-agg plan is the measured optimum at both of
+    // those tiers.
+    // r11 x100 re-re-derivation: the x10 verdict is the MIDDLE of a
+    // non-monotonic curve. repartition(l_orderkey) FIRST pays ONE raw
+    // exchange whose subset partitioning satisfies both the agg's
+    // clustering and the SMJ's distribution; the pre-agg form pays
+    // TWO fact-scale exchanges (partial-agg hash(orderkey, flag),
+    // then a re-shuffle to hash(orderkey) for the join) but moves
+    // pre-shrunk partials. Measured min-of-8, one window (pre-agg /
+    // repart): sf0.1 1.50 / 0.96 — at floor-dominated sizes the
+    // extra exchange STAGE is the cost, volume is irrelevant; x10
+    // 1.92 / 2.27 (reproduces r11's earlier 1.67 / 1.98) — here the
+    // 2× shrink covers the extra stage while the raw exchange moves
+    // 6 M wide rows; x30 3.61 / 2.99 and x100 13.30 / 9.34 — above
+    // ~2 rows/group the shrink never pays back the doubled exchange
+    // + doubled hash-agg build, and the repart form even beats the
+    // r11 floor twin (12.01 at x100: the twin modeled the
+    // two-exchange shape). bc2/bcd (broadcast orders) measured
+    // 25.8/27.8 at x100 — broadcasting a fact never pays. Tier rule
+    // from the fact's footer row count: pre-agg only in the
+    // mid-size band where its shrink wins.
+    val liRows = graft.sources.ParquetMeta.rowCount(
+      s, s"$dir/lineitem.parquet")
+    val liKeyed =
+      if (liRows > 2000000L && liRows <= 10000000L) li
+      else li.repartition(col("l_orderkey"))
+    val liAgg = liKeyed.groupBy(col("l_orderkey"), col("l_returnflag"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(18,4)")).as("rev"))
     liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
