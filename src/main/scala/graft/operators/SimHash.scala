@@ -378,7 +378,18 @@ object SimHash {
     // a repartition(tbl, tkey) so both self-join sides read the cache
     // pre-clustered measured 1.03 s → 1.20 s on q19 — the explicit
     // exchange ahead of the cache costs more than the join-side
-    // exchanges it saves at this bucket cardinality
+    // exchanges it saves at this bucket cardinality.
+    // NOT a groupBy(tbl, tkey) + collect_list + in-bucket HOF pair
+    // generation either (r11 x100 measurement): the one-exchange form
+    // looks cheaper on paper (the self-join passes the exploded frame
+    // through two exchanges and a 9 GB cache; x100 decomposition:
+    // fingerprints 1.8 s, candidates 9.2 s of the query's 9.5 s), but
+    // collect_list over the 225 M-row explode is an ObjectHashAggregate
+    // whose buffers spill to sort-based with per-row object
+    // serialization, and the quadratic pair HOFs run interpreted — the
+    // prototype had not finished at 8× the full query's runtime and
+    // was killed. Codegen'd shuffle + SMJ beats object aggregation at
+    // this volume; the exploded self-join stays.
     val bucketed = CacheRegistry.persist( // fingerprints not recomputed per join side
       fps.select(col("doc"), col("fp_hi"), col("fp_lo"),
           explode(array(tables: _*)).as("tk"))

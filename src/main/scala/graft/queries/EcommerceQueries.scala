@@ -262,7 +262,13 @@ object EcommerceQueries {
       }
       val liRows = graft.sources.ParquetMeta.rowCount(
         s, s"$dir/lineitem.parquet")
-      val nBuckets = if (liRows <= 2000000L) 8 else 32
+      // ~1 M rows/bucket in core-multiple steps: 8 / 32 / 64 measured
+      // flat / best / best at sf0.1 / x30 / x100 (0.29 vs 0.28;
+      // 1.19 vs 1.28 for 64; 3.42 vs 4.43 for 32)
+      val nBuckets =
+        if (liRows <= 2000000L) 8
+        else if (liRows <= 30000000L) 32
+        else 64
       ParquetSink.writeBucketedTable(
         t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
         oT, "o_orderkey", nBuckets)

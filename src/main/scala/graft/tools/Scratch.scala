@@ -533,9 +533,51 @@ object Scratch {
       SimHash.chunkCandidates(q19fps, maxHamming = 8, comboSize = 2)
         .where(col("hamming") <= 8))
 
+    // grouped-bucket candidate generation: ONE exchange of the
+    // 45-keys/doc explode (no cache, no self-join double pass) —
+    // pairs + Hamming verify generated in-bucket via HOFs
+    val q19grp = () => {
+      val nChunks = 10
+      val spans = SimHash.chunkSpans(nChunks, 128)
+      val combos = spans.indices.combinations(2).toSeq
+      val tables = combos.zipWithIndex.map { case (cs, ti) =>
+        val key = cs.foldLeft(lit(0L)) { (acc, j) =>
+          val (off, w) = spans(j)
+          shiftleft(acc, w).bitwiseOR(
+            SimHash.extract128(col("fp_hi"), col("fp_lo"), off, w))
+        }
+        struct(lit(ti).as("tbl"), key.as("tkey"))
+      }
+      val buckets = q19fps
+        .select(col("doc"), col("fp_hi"), col("fp_lo"),
+          explode(array(tables: _*)).as("tk"))
+        .groupBy(col("tk.tbl").as("tbl"), col("tk.tkey").as("tkey"))
+        .agg(array_sort(collect_list(
+          struct(col("doc"), col("fp_hi"), col("fp_lo")))).as("ds"))
+        .where(size(col("ds")) > 1)
+      def ham(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (bit_count(a.getField("fp_hi").bitwiseXOR(b.getField("fp_hi"))) +
+          bit_count(a.getField("fp_lo").bitwiseXOR(b.getField("fp_lo"))))
+          .cast("int")
+      val n = size(col("ds"))
+      val pairs = filter(
+        flatten(transform(sequence(lit(2), n), i =>
+          transform(sequence(lit(1), i - 1), j =>
+            struct(element_at(col("ds"), j).as("a"),
+              element_at(col("ds"), i).as("b"))))),
+        p => ham(p.getField("a"), p.getField("b")) <= 8)
+      noop(buckets.select(explode(pairs).as("p"))
+        .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+          ham(col("p.a"), col("p.b")).as("hamming"))
+        .distinct()
+        .withColumn("hamming", col("hamming").cast("bigint"))
+        .orderBy("doc_a", "doc_b"))
+    }
+
     val slots: Seq[(String, () => Unit)] = Seq(
-      "q10real" -> q10real,
-      "q10repart" -> q10repart)
+      "q41real" -> q41real,
+      "q41one64" -> q41bktOne(64))
     val best = scala.collection.mutable.Map[String, Double]()
       .withDefaultValue(Double.MaxValue)
     for (_ <- 1 to 8; (name, f) <- slots) {
