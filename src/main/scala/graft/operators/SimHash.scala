@@ -390,6 +390,12 @@ object SimHash {
     // prototype had not finished at 8× the full query's runtime and
     // was killed. Codegen'd shuffle + SMJ beats object aggregation at
     // this volume; the exploded self-join stays.
+    // NOT a narrow (doc, tbl, tkey) shuffle + fingerprint join-back
+    // either (r11 x100, third candidate): 24 B/row vs 40 B through the
+    // two self-join exchanges, but the candidate-pair distinct plus
+    // TWO joins back against the fingerprint frame for the verify
+    // measured 13.9 s vs the committed 10.1 s in one window — the
+    // verify must stay map-side on data already in flight.
     val bucketed = CacheRegistry.persist( // fingerprints not recomputed per join side
       fps.select(col("doc"), col("fp_hi"), col("fp_lo"),
           explode(array(tables: _*)).as("tk"))

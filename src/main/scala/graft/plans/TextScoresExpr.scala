@@ -80,9 +80,10 @@ object TextScores {
     java.math.BigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
   /** (lang_pred, quality[unrounded], t2[unrounded], n_tokens,
-    * punct_ratio, stop_ratio) — the last two feed `text_full_stats`
-    * (they are computed on the way to quality/lang anyway). */
-  def computeRaw(text: UTF8String): (String, Double, Double, Int, Double, Double) = {
+    * punct_ratio, stop_ratio, est_bpe) — the last three feed
+    * `text_full_stats` (punct/stop fall out of the quality/lang
+    * loops; est_bpe rides the punct code-point walk). */
+  def computeRaw(text: UTF8String): (String, Double, Double, Int, Double, Double, Long) = {
     val orig = text.toString
     val trimmed = text.trim()
     val trimmedEmpty = trimmed.numBytes() == 0
@@ -125,9 +126,19 @@ object TextScores {
         if (vi) "vi" else if (de) "de" else "other"
       }
 
-    // punct ratio over code points of the ORIGINAL text
+    // punct ratio over code points of the ORIGINAL text; the same
+    // walk counts BPE-ish tokens — regexp_count(text,
+    // " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+") equals the number of
+    // maximal same-class runs (ASCII alpha / ASCII digit / other)
+    // over non-space chars, because each greedy match consumes
+    // exactly one maximal run (the optional leading space attaches
+    // to a token without creating or merging matches, and only the
+    // literal ' ' — not \s — is a separator in that pattern).
+    // Equivalence vs regexp_count is spec'd in GraftExtensionsSpec.
     var punct = 0
     var total = 0
+    var bpe = 0L
+    var prevCls = 0 // 0 = space/boundary, 1 = alpha, 2 = digit, 3 = other
     var j = 0
     val ol = orig.length
     while (j < ol) {
@@ -135,6 +146,13 @@ object TextScores {
       total += 1
       if ((cp >= '!' && cp <= '/') || (cp >= ':' && cp <= '@') ||
           (cp >= '[' && cp <= '`') || (cp >= '{' && cp <= '~')) punct += 1
+      val cls =
+        if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) 1
+        else if (cp >= '0' && cp <= '9') 2
+        else if (cp == ' ') 0
+        else 3
+      if (cls != 0 && cls != prevCls) bpe += 1
+      prevCls = cls
       j += Character.charCount(cp)
     }
     val punctRatio = punct.toDouble / math.max(total, 1).toDouble
@@ -149,11 +167,11 @@ object TextScores {
       if (trimmedEmpty) 0.0
       else maxGram.toDouble / math.max(gramCount, 1).toDouble
 
-    (lang, quality, t2, nTokens, punctRatio, langRatio)
+    (lang, quality, t2, nTokens, punctRatio, langRatio, bpe)
   }
 
   def compute(text: UTF8String): InternalRow = {
-    val (lang, quality, t2, nTokens, _, _) = computeRaw(text)
+    val (lang, quality, t2, nTokens, _, _, _) = computeRaw(text)
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(lang), quality, t2, nTokens.toLong))
   }
@@ -161,16 +179,17 @@ object TextScores {
   /** The full q23 stat row: (n_tokens, punct_ratio, stop_ratio,
     * lang_pred, quality) — same pass, wider output. */
   def computeFull(text: UTF8String): InternalRow = {
-    val (lang, quality, _, nTokens, punctRatio, stopRatio) = computeRaw(text)
+    val (lang, quality, _, nTokens, punctRatio, stopRatio, bpe) =
+      computeRaw(text)
     new GenericInternalRow(Array[Any](
       nTokens.toLong, punctRatio, stopRatio,
-      UTF8String.fromString(lang), quality))
+      UTF8String.fromString(lang), quality, bpe))
   }
 
   /** The q61 gate in one call: en + round6(quality) ≥ minQ +
     * round6(t2) ≤ maxT2 — identical to filtering the rounded columns. */
   def gate(text: UTF8String, minQuality: Double, maxT2: Double): Boolean = {
-    val (lang, quality, t2, _, _, _) = computeRaw(text)
+    val (lang, quality, t2, _, _, _, _) = computeRaw(text)
     lang == "en" && round6(quality) >= minQuality && round6(t2) <= maxT2
   }
 
@@ -185,7 +204,8 @@ object TextScores {
     StructField("punct_ratio", DoubleType, nullable = false),
     StructField("stop_ratio", DoubleType, nullable = false),
     StructField("lang_pred", StringType, nullable = false),
-    StructField("quality", DoubleType, nullable = false)))
+    StructField("quality", DoubleType, nullable = false),
+    StructField("est_bpe_tokens", LongType, nullable = false)))
 }
 
 /** `text_scores(text)` → struct<lang_pred, quality, t2, n_tokens>. */

@@ -265,15 +265,17 @@ object LlmQueries {
     * stopword density, language heuristic, quality score. */
   def q23TextStats(s: SparkSession, dir: String): DataFrame = {
     // native: one text_full_stats pass — the HOF columns each
-    // re-normalize and re-tokenize; est_bpe stays a regexp_count
-    // (pattern scan, already codegen'd)
+    // re-normalize and re-tokenize; r11 folds est_bpe into the same
+    // kernel walk (it was a second full-text regexp_count pass —
+    // java.util.regex over every byte; the run-count equivalence is
+    // documented in TextScores.computeRaw and spec'd vs regexp_count)
     val base =
       if (graft.plans.GraftExtensions.nativeAvailable)
         byDocId(t(s, dir, "documents"))
           .withColumn("__st", call_function("text_full_stats", col("text")))
           .select(col("doc_id"),
             col("__st.n_tokens").as("n_tokens"),
-            TextFunctions.bpeishTokenCount(col("text")).as("est_bpe_tokens"),
+            col("__st.est_bpe_tokens").as("est_bpe_tokens"),
             col("__st.punct_ratio").as("punct_ratio"),
             col("__st.stop_ratio").as("stop_ratio"),
             col("__st.lang_pred").as("lang_pred"),

@@ -575,9 +575,51 @@ object Scratch {
         .orderBy("doc_a", "doc_b"))
     }
 
+    // narrow-shuffle candidates: explode only (doc, tbl, tkey) into
+    // the self-join (24 B/row vs 40 B with the fingerprints), dedup
+    // candidate pairs, then join the 5 M-row fingerprint frame back
+    // twice for the Hamming verify
+    val q19narrow = () => {
+      val nChunks = 10
+      val spans = SimHash.chunkSpans(nChunks, 128)
+      val combos = spans.indices.combinations(2).toSeq
+      val tables = combos.zipWithIndex.map { case (cs, ti) =>
+        val key = cs.foldLeft(lit(0L)) { (acc, j) =>
+          val (off, w) = spans(j)
+          shiftleft(acc, w).bitwiseOR(
+            SimHash.extract128(col("fp_hi"), col("fp_lo"), off, w))
+        }
+        struct(lit(ti).as("tbl"), key.as("tkey"))
+      }
+      val fps = graft.operators.CacheRegistry.persist(q19fps)
+      val keys = fps.select(col("doc"),
+        explode(array(tables: _*)).as("tk"))
+        .select(col("doc"), col("tk.tbl"), col("tk.tkey"))
+      val cand = keys.as("a")
+        .join(keys.as("b"),
+          col("a.tbl") === col("b.tbl") &&
+            col("a.tkey") === col("b.tkey") &&
+            col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .distinct()
+      val fa = fps.select(col("doc").as("doc_a"),
+        col("fp_hi").as("ah"), col("fp_lo").as("al"))
+      val fb = fps.select(col("doc").as("doc_b"),
+        col("fp_hi").as("bh"), col("fp_lo").as("bl"))
+      noop(cand.join(fa, "doc_a").join(fb, "doc_b")
+        .withColumn("hamming",
+          (bit_count(col("ah").bitwiseXOR(col("bh"))) +
+            bit_count(col("al").bitwiseXOR(col("bl")))).cast("int"))
+        .where(col("hamming") <= 8)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("bigint").as("hamming"))
+        .orderBy("doc_a", "doc_b"))
+    }
+
+    val q23real = () => noop(
+      graft.queries.LlmQueries.queries("q23_text_stats")(spark, dir))
     val slots: Seq[(String, () => Unit)] = Seq(
-      "q41real" -> q41real,
-      "q41one64" -> q41bktOne(64))
+      "q23real" -> q23real)
     val best = scala.collection.mutable.Map[String, Double]()
       .withDefaultValue(Double.MaxValue)
     for (_ <- 1 to 8; (name, f) <- slots) {

@@ -281,12 +281,15 @@ class GraftExtensionsSpec extends SparkTestBase {
         TextFunctions.punctRatio(col("text")).as("punct_hof"),
         TextFunctions.stopwordRatio(col("text")).as("stop_hof"),
         TextFunctions.langId(col("text")).as("lang_hof"),
-        TextFunctions.qualityScore(col("text")).as("q_hof"))
+        TextFunctions.qualityScore(col("text")).as("q_hof"),
+        TextFunctions.bpeishTokenCount(col("text")).as("bpe_hof"))
       .where(col("n.n_tokens") =!= col("nt_hof") ||
         col("n.punct_ratio") =!= col("punct_hof") ||
         col("n.stop_ratio") =!= col("stop_hof") ||
         col("n.lang_pred") =!= col("lang_hof") ||
-        col("n.quality") =!= col("q_hof")).count()
+        col("n.quality") =!= col("q_hof") ||
+        // the kernel's run-count vs the regexp_count reference
+        col("n.est_bpe_tokens") =!= col("bpe_hof")).count()
     assert(diff == 0, s"$diff rows diverge between native and HOF full stats")
   }
 

@@ -398,6 +398,30 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("est_bpe run-count equals java-regex regexp_count on adversarial strings") {
+    // the kernel's single-walk claim (TextScores.computeRaw): count of
+    // maximal same-class runs == regexp_count(text, BpeishPattern).
+    // Generator mixes ASCII alpha/digit runs, punctuation, the literal
+    // space vs other whitespace (only ' ' separates in that pattern),
+    // multi-byte letters and surrogate-pair emoji.
+    val pieces = Gen.oneOf("a", "Bc", "7", "42", " ", "  ", "\t", "\n",
+      ".", "?!", ",,,", "ß", "à", "😀", "界", "a1", " x ", "\r\f")
+    val strGen = Gen.listOf(pieces).map(_.mkString)
+    val p = java.util.regex.Pattern.compile(
+      graft.functions.TextFunctions.BpeishPattern)
+    def rx(s: String): Long = {
+      val m = p.matcher(s); var c = 0L; while (m.find()) c += 1; c
+    }
+    val strs = samples(strGen, 400) ++ Seq("", " ", "\t", "😀😀a😀",
+      " a", "a ", "  .7x  ")
+    strs.foreach { s =>
+      val got = graft.plans.TextScores.computeRaw(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))._7
+      assert(got == rx(s), s"est_bpe mismatch on ${s.map(_.toInt)}: " +
+        s"kernel $got vs regex ${rx(s)}")
+    }
+  }
+
   test("deleteInsert preserves non-delta rows exactly") {
     samples(rowsGen.flatMap(a => rowsGen.map(b => (a, b))), 6).foreach { case (baseRows, deltaRows) =>
       val base = baseRows.toDF("k", "seq", "v")
