@@ -19,6 +19,28 @@ object EcommerceQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** q10 tier band: pre-aggregate lineitem before the star join ONLY
+    * when the fact is in this mid-size window. Measured on 32 cores
+    * (local[32], BASELINE.md q10 tables): below the band the extra
+    * exchange STAGE dominates (floor-bound); above it the ~2×-shrink
+    * never repays the doubled exchange + hash-agg build (x30 3.61 vs
+    * 2.99 s, x100 13.30 vs 9.34 s). On a different machine the band
+    * EDGES move (they scale roughly with per-core throughput ×
+    * parallelism), but the shape — pre-agg pays only mid-band — is
+    * structural; re-derive the edges from a tier sweep when porting. */
+  private[graft] val Q10_PREAGG_MIN_ROWS = 2000000L
+  private[graft] val Q10_PREAGG_MAX_ROWS = 10000000L
+
+  /** Bucketed-layout sizing: target ~this many fact rows per bucket,
+    * stepping the bucket count in core-multiple tiers (8 / cores /
+    * 2×cores). Measured on local[32]: 8 flat at sf0.1, 32 best at
+    * x30 (1.19 vs 2.87 s for 8), 64 best at x100 (3.42 vs 4.43 s for
+    * 32). The bucketed read schedules ONE task per bucket, so the
+    * count must be ≥ available cores once the data outgrows the
+    * floor; on a cluster derive the same tiers from executor-core
+    * totals instead of this machine's 32. */
+  private[graft] val BUCKET_TARGET_ROWS = 1000000L
+
   /** §2 #1/#15 — per-table row counts (query/đếm số dòng mỗi bảng.sql). */
   def q01Rowcounts(s: SparkSession, dir: String): DataFrame =
     Stats.rowCounts(s, dir)
@@ -209,7 +231,7 @@ object EcommerceQueries {
     val liRows = graft.sources.ParquetMeta.rowCount(
       s, s"$dir/lineitem.parquet")
     val liKeyed =
-      if (liRows > 2000000L && liRows <= 10000000L) li
+      if (liRows > Q10_PREAGG_MIN_ROWS && liRows <= Q10_PREAGG_MAX_ROWS) li
       else li.repartition(col("l_orderkey"))
     val liAgg = liKeyed.groupBy(col("l_orderkey"), col("l_returnflag"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -246,9 +268,15 @@ object EcommerceQueries {
     * to the executor-core total / target file size. */
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
-    bucketedCache.computeIfAbsent(dir, _ => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    // keyed on (dir, footer row count) so a corpus REGENERATED at a
+    // different scale under the same path rebuilds the layout instead
+    // of silently reusing a mis-sized (and stale-contented) one
+    val liRows = graft.sources.ParquetMeta.rowCount(
+      s, s"$dir/lineitem.parquet")
+    bucketedCache.computeIfAbsent(s"$dir@$liRows", _ => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode) +
+        java.lang.Long.toHexString(liRows)
       val oT = s"graft_bkt_orders_$tag"
       val lT = s"graft_bkt_lineitem_$tag"
       // a previous JVM may have left the managed dirs without catalog
@@ -260,15 +288,18 @@ object EcommerceQueries {
         s.sql(s"DROP TABLE IF EXISTS $n")
         fs.delete(new org.apache.hadoop.fs.Path(wh, n), true)
       }
-      val liRows = graft.sources.ParquetMeta.rowCount(
-        s, s"$dir/lineitem.parquet")
-      // ~1 M rows/bucket in core-multiple steps: 8 / 32 / 64 measured
-      // flat / best / best at sf0.1 / x30 / x100 (0.29 vs 0.28;
-      // 1.19 vs 1.28 for 64; 3.42 vs 4.43 for 32)
+      // ~BUCKET_TARGET_ROWS rows/bucket, rounded up to a multiple of
+      // the available parallelism (a bucketed read is one task per
+      // bucket); tiny corpora keep 8 (more buckets than data is pure
+      // file overhead — sf0.1 measured flat 8 vs 32). Reproduces the
+      // measured 8/32/64 tiers at sf0.1/x10–x30/x100 on local[32].
+      val cores = s.sparkContext.defaultParallelism.toLong.max(1L)
       val nBuckets =
-        if (liRows <= 2000000L) 8
-        else if (liRows <= 30000000L) 32
-        else 64
+        if (liRows <= 2L * BUCKET_TARGET_ROWS) 8
+        else {
+          val want = (liRows + BUCKET_TARGET_ROWS - 1) / BUCKET_TARGET_ROWS
+          (((want + cores - 1) / cores) * cores).toInt
+        }
       ParquetSink.writeBucketedTable(
         t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
         oT, "o_orderkey", nBuckets)
@@ -277,6 +308,7 @@ object EcommerceQueries {
         lT, "l_orderkey", nBuckets)
       (oT, lT)
     })
+  }
 
   /** New-in-r5 — the co-located join the bucketed layout buys: both
     * sides read pre-clustered on the join key, so the merge hint

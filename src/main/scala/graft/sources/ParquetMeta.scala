@@ -143,10 +143,17 @@ object ParquetMeta {
   private def anyToDouble(v: Any): Option[Double] = v match {
     case n: java.lang.Integer => Some(n.doubleValue)
     case n: java.lang.Long => Some(n.doubleValue)
-    case n: java.lang.Float => Some(n.doubleValue)
-    case n: java.lang.Double => Some(n.doubleValue)
+    case n: java.lang.Float => Some(canonZero(n.doubleValue))
+    case n: java.lang.Double => Some(canonZero(n.doubleValue))
     case _ => None
   }
+
+  /** parquet-mr writes the CONSERVATIVE FP bounds into row-group stats:
+    * a data min of +0.0 is recorded as -0.0 (and a max of -0.0 as
+    * +0.0), so the footer double is bit-different from the scan's even
+    * though ±0 compare equal. Canonicalize to +0.0 — numerically exact
+    * (±0.0 == 0.0), only the sign bit is dropped. */
+  private def canonZero(d: Double): Double = if (d == 0.0d) 0.0d else d
 
   case class ColStat(rows: Long, nulls: Long,
       min: Option[Double], max: Option[Double])

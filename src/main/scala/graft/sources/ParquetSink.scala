@@ -168,10 +168,21 @@ object ParquetSink {
     * multi-file bucket loses its sort metadata on read, so the SMJ
     * re-sorts both sides. One-file buckets read back sorted → the
     * join's Sort is elided: q41 at the x30 tier 2.87 s (8-bucket,
-    * multi-file) → 1.19 s. */
+    * multi-file) → 1.19 s.
+    *
+    * Tradeoff: the pre-repartition caps WRITE parallelism at
+    * `nBuckets` and makes each task sort an entire bucket, so a
+    * small-bucket-count write of a large table serializes and risks
+    * per-task sort spill. Size `nBuckets` to ≥ the core count (or a
+    * multiple) when the table is big — the q41 self-sizing tiers do
+    * exactly that (~1 M rows/bucket in core-multiple steps). Callers
+    * that prefer write parallelism over read-side sort elision can
+    * pass `oneFilePerBucket = false` to keep tasks × buckets files. */
   def writeBucketedTable(df: DataFrame, table: String, key: String,
-      nBuckets: Int): Unit =
-    df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))
+      nBuckets: Int, oneFilePerBucket: Boolean = true): Unit =
+    (if (oneFilePerBucket)
+       df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))
+     else df)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, key)
       .sortBy(key)

@@ -105,6 +105,28 @@ class ParquetMetaSpec extends SparkTestBase {
     }
   }
 
+  test("columnStats canonicalizes the footer's conservative -0.0 FP min to +0.0") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqzero").toFile
+    try {
+      // data min is exactly +0.0; parquet-mr records the CONSERVATIVE
+      // bound -0.0 in the row-group stats. The emitted min must be the
+      // canonical +0.0 (sign bit clear) so it hashes like the scan's.
+      Seq(0.0d, 0.25d, 3.5d).toDF("v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      val r = ParquetMeta.columnStats(spark, tmp.getPath, Seq("v")).head()
+      val mn = r.getDouble(3)
+      assert(mn == 0.0d &&
+        java.lang.Double.doubleToRawLongBits(mn) == 0L,
+        s"footer min bits ${java.lang.Double.doubleToRawLongBits(mn)}")
+      assert(r.getDouble(4) == 3.5d)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("columnStats distributed path agrees with the driver pool") {
     val a = ParquetMeta.columnStats(spark, s"$sf001/lineitem.parquet",
       Seq("l_orderkey", "l_quantity")).collect().toSeq
