@@ -557,7 +557,9 @@ object Multimodal {
     rows.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          batch.map { id =>
+          val defl = new java.util.zip.Deflater(
+            java.util.zip.Deflater.BEST_SPEED)
+          try batch.map { id =>
             val bos = new ByteArrayOutputStream()
             bos.write(GdvMagic)
             val nFrames = (6 + id % 5).toInt
@@ -568,7 +570,7 @@ object Multimodal {
               val cur = rgbBytes(img)
               val (tpe, payload) =
                 if (f % gop == 0) ('I'.toByte, FastPng.encode(img))
-                else ('P'.toByte, deflate(deltaBytes(prev, cur)))
+                else ('P'.toByte, deflate(defl, deltaBytes(prev, cur)))
               bos.write(tpe)
               bos.write((payload.length >>> 24) & 0xff)
               bos.write((payload.length >>> 16) & 0xff)
@@ -579,7 +581,7 @@ object Multimodal {
               f += 1
             }
             EncodedImage(id, bos.toByteArray)
-          }
+          } finally defl.end()
         }
       }
   }
@@ -615,19 +617,24 @@ object Multimodal {
     out
   }
 
-  private def deflate(bytes: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
-    try {
-      d.setInput(bytes); d.finish()
-      val bos = new ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-      bos.toByteArray
-    } finally d.end()
+  // Deflater/Inflater wrap NATIVE zlib streams — allocating one per
+  // frame (40 M+ at the x100 tier: ~5 M videos × ~8 frames) pays a
+  // native init/end round-trip and a finalizer-registered object per
+  // frame. Callers allocate ONE per batch (the withDecoder lifecycle)
+  // and these helpers reset() it per frame instead.
+  private def deflate(d: java.util.zip.Deflater,
+      bytes: Array[Byte]): Array[Byte] = {
+    d.reset()
+    d.setInput(bytes); d.finish()
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    bos.toByteArray
   }
 
-  private def inflate(bytes: Array[Byte], expected: Int): Array[Byte] = {
-    val inf = new java.util.zip.Inflater()
+  private def inflate(inf: java.util.zip.Inflater,
+      bytes: Array[Byte], expected: Int): Array[Byte] = {
+    inf.reset()
     try {
       inf.setInput(bytes)
       val out = new Array[Byte](expected)
@@ -639,7 +646,6 @@ object Multimodal {
       }
       if (off == expected && inf.getRemaining == 0) out else null
     } catch { case _: java.util.zip.DataFormatException => null }
-    finally inf.end()
   }
 
   /** INTER-frame sampling: emit every `stride`-th frame's statistics —
@@ -666,7 +672,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           withDecoder { dec =>
-            batch.flatMap { case (id, bytes) =>
+            val infl = new java.util.zip.Inflater()
+            try batch.flatMap { case (id, bytes) =>
               val out = scala.collection.mutable.ArrayBuffer.empty[InterFrame]
               var ok = bytes.length >= 4 &&
                 bytes(0) == 'G' && bytes(1) == 'D' &&
@@ -701,7 +708,7 @@ object Multimodal {
                       case 'P' =>
                         if (prev == null) ok = false
                         else {
-                          val delta = inflate(payload, w * h * 3)
+                          val delta = inflate(infl, payload, w * h * 3)
                           if (delta == null) ok = false
                           else {
                             var i = 0
@@ -732,7 +739,7 @@ object Multimodal {
                 }
               }
               out
-            }
+            } finally infl.end()
           }
         }
       }

@@ -51,11 +51,22 @@ object Stats {
   /** Per-day batch stats over an event feed: rows, distinct actors,
     * exact-decimal value total (cross-engine stable). */
   def batchStats(events: DataFrame): DataFrame =
-    events.groupBy(to_date(col("ts")).as("batch_date"))
+    // two-phase distinct: partial-dedup on (date, user) BEFORE the
+    // exchange replaces the count_distinct Expand — the partial agg
+    // ships one row per (date, user) instead of 2× every event row,
+    // and the second agg is distinct-pair-sized. Exact: n_events and
+    // total_value re-aggregate from the per-user partials; n_users
+    // counts non-null user groups (count_distinct's null contract).
+    // Measured x100 (100 M events): 2.03 → 1.76 s (BASELINE.md r12).
+    events.groupBy(to_date(col("ts")).as("batch_date"), col("user_id"))
       .agg(
-        count(lit(1)).as("n_events"),
-        count_distinct(col("user_id")).as("n_users"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        count(lit(1)).as("__n"),
+        sum(col("value").cast("decimal(18,2)")).as("__v"))
+      .groupBy("batch_date")
+      .agg(
+        sum(col("__n")).as("n_events"),
+        count(col("user_id")).as("n_users"),
+        sum(col("__v")).cast("double").as("total_value"))
       .orderBy("batch_date")
 
   /** Batch-run audit rows: one per source with run window + volume +

@@ -241,7 +241,14 @@ object Validate {
     // strings 0.22, the independent stage chains overlap); sf0.1
     // 1.98 → 1.05 s. Shuffle payload width is NOT the cost
     // (count_distinct over xxhash64'd values timed identical), so the
-    // split, not value narrowing, is the right lever. The HLL path
+    // split, not value narrowing, is the right lever. r12: a manual
+    // explode + two-phase dedup replacement for PASS 3 (posexplode of
+    // xxhash64'd values -> groupBy(col, value) partial dedup ->
+    // per-col count) measured 2.88 s vs the planner's multi-distinct
+    // Expand at 2.81 s (x100) — REJECTED: Spark's 4-stage distinct
+    // plan already partial-dedups (gid, value) before its exchange,
+    // so the rewrite re-implements the same volume with one more
+    // exchange. The HLL path
     // (exactDistinct=false) has mergeable fixed-size buffers and no
     // Expand, so it stays fused in pass 1 — one scan total. The
     // one-row frames cross-join for free.

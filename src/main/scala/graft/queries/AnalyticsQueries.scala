@@ -66,6 +66,10 @@ object AnalyticsQueries {
   /** §2 #24 — top-3 customers by order revenue per nation
     * (WindowGroupLimit keeps per-partition data at n·|groups|). */
   def q29TopnPerGroup(s: SparkSession, dir: String): DataFrame = {
+    // r12 x100 reading: 1.27 s for a 15 M-row scan + 15 k-group
+    // combine + broadcast joins + WindowGroupLimit — the scan and job
+    // floor are the whole cost (same shape as the q60/q45 floor
+    // adjudications); no exchange moves more than 15 k rows.
     val rev = t(s, dir, "orders").groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d"))
     val cust = broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey"))
@@ -83,23 +87,41 @@ object AnalyticsQueries {
     * with subtotal + grand-total rows. One shuffle; Spark plans the
     * grouping-set Expand before the partial aggregate, so map-side
     * combine still applies. */
-  def q30Rollup(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .rollup(col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  def q30Rollup(s: SparkSession, dir: String): DataFrame = {
+    // leaf re-agg (r12): ONE plain (priority, status) aggregate scans
+    // the fact with ordinary map-side combine — no Expand — then the
+    // rollup's grouping-set machinery runs over the ~|priorities×
+    // statuses| leaf rows. Exact because count and sum re-aggregate;
+    // rollup-null vs data-null conflation is identical to the direct
+    // form (rollup cannot distinguish them either way). Measured x100
+    // (15 M orders): 1.79 -> 1.03 s (BASELINE.md round-12); at 100 TB
+    // the Expand tax is 3x the scan, the leaf is always tiny.
+    val leaf = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("__rev"))
+    leaf.rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(sum(col("__n")).as("n_orders"),
+        sum(col("__rev")).cast("double").as("revenue"))
       .orderBy(col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
+  }
 
   /** §2 #25 — pivot: per-day value totals, one column per event type.
     * The value list is explicit, so no discovery pass and a fixed
     * output schema (the 100 TB rule for pivot: never let Spark scan to
     * infer pivot columns). */
   def q31Pivot(s: SparkSession, dir: String): DataFrame =
+    // group on the DATE (integer day math), render the string per
+    // OUTPUT row after the agg — date_format's formatter otherwise
+    // runs per input row (measured x100, 100 M events: 1.29 -> 1.08 s)
     t(s, dir, "events")
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .groupBy(to_date(col("ts")).as("__d"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .select(date_format(col("__d"), "yyyy-MM-dd").as("d"),
+        col("click"), col("error"), col("purchase"), col("signup"),
+        col("view"))
       .orderBy("d")
 
   /** §2 #26 — exact interpolated percentiles per group, value-count
@@ -171,7 +193,10 @@ object AnalyticsQueries {
   }
 
   /** §2 #29 — tumbling 6-hour windows per event type (batch form of
-    * the streaming windowed aggregate; epoch-aligned so engine-portable). */
+    * the streaming windowed aggregate; epoch-aligned so engine-portable).
+    * r12: a floor-divide arithmetic bucketing rewrite (no window()
+    * struct) measured 1.55 vs 1.56 s at x100 — a wash; window() is
+    * already integer math under codegen, so the idiomatic form stays. */
   def q35Tumbling(s: SparkSession, dir: String): DataFrame =
     Stats.tumblingStats(t(s, dir, "events"), "6 hours", "event_type")
       .orderBy("window_start", "event_type")
@@ -214,6 +239,13 @@ object AnalyticsQueries {
     * plain GROUP BY / HAVING; the pruning payoff on a skewed feed is
     * asserted separately on a Zipf corpus in HeavyHittersSpec. */
   def q51HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    // machinery price at x100 (r12, BASELINE.md): CMS path 1.97 s vs
+    // plain groupBy-HAVING 1.08 s — +0.9 s on this BOUNDED key
+    // (user_id tops out at ~1.5 M even amplified, so map-side combine
+    // already wins and the sketch pass is pure overhead). The CMS
+    // pays on unbounded-cardinality keys where per-key state explodes
+    // (Zipf payoff in HeavyHittersSpec); the gate keeps exercising the
+    // sketch path because that IS the operator under test.
     HeavyHitters.heavyHitters(t(s, dir, "events"), Seq("user_id"),
         minCount = 80L)
       .withColumnRenamed("n_rows", "n_events")

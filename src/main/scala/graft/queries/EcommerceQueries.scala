@@ -19,17 +19,18 @@ object EcommerceQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** q10 tier band: pre-aggregate lineitem before the star join ONLY
-    * when the fact is in this mid-size window. Measured on 32 cores
-    * (local[32], BASELINE.md q10 tables): below the band the extra
-    * exchange STAGE dominates (floor-bound); above it the ~2×-shrink
-    * never repays the doubled exchange + hash-agg build (x30 3.61 vs
-    * 2.99 s, x100 13.30 vs 9.34 s). On a different machine the band
-    * EDGES move (they scale roughly with per-core throughput ×
-    * parallelism), but the shape — pre-agg pays only mid-band — is
-    * structural; re-derive the edges from a tier sweep when porting. */
-  private[graft] val Q10_PREAGG_MIN_ROWS = 2000000L
-  private[graft] val Q10_PREAGG_MAX_ROWS = 10000000L
+  /** Above this fact size q10 switches to the co-bucketed layout;
+    * below it the single-exchange repartition form wins (the layout
+    * write + 8-task bucketed read cost more than the one floor-sized
+    * exchange they replace). Measured r12 on local[32], min-of-8,
+    * repart/bucketed: x10 1.88 / 0.86 s, x30 3.94 / 2.10 s, x100
+    * 9.97 / 5.84 s — bucketed wins at every amplified tier; sf0.1
+    * keeps the repart form (0.96 s, floor-bound per the r11 twin).
+    * On a different machine the EDGE moves with per-core throughput ×
+    * parallelism, but the shape — write-time co-location beats any
+    * per-query exchange once the fact outgrows the job floor — is
+    * structural (BASELINE.md round-12). */
+  private[graft] val Q10_BUCKETED_MIN_ROWS = 2000000L
 
   /** Bucketed-layout sizing: target ~this many fact rows per bucket,
     * stepping the bucket count in core-multiple tiers (8 / cores /
@@ -209,31 +210,30 @@ object EcommerceQueries {
     // pre-shrunk exchange), and its count_distinct/Expand form
     // (2.27). The pre-agg plan is the measured optimum at both of
     // those tiers.
-    // r11 x100 re-re-derivation: the x10 verdict is the MIDDLE of a
-    // non-monotonic curve. repartition(l_orderkey) FIRST pays ONE raw
-    // exchange whose subset partitioning satisfies both the agg's
-    // clustering and the SMJ's distribution; the pre-agg form pays
-    // TWO fact-scale exchanges (partial-agg hash(orderkey, flag),
-    // then a re-shuffle to hash(orderkey) for the join) but moves
-    // pre-shrunk partials. Measured min-of-8, one window (pre-agg /
-    // repart): sf0.1 1.50 / 0.96 — at floor-dominated sizes the
-    // extra exchange STAGE is the cost, volume is irrelevant; x10
-    // 1.92 / 2.27 (reproduces r11's earlier 1.67 / 1.98) — here the
-    // 2× shrink covers the extra stage while the raw exchange moves
-    // 6 M wide rows; x30 3.61 / 2.99 and x100 13.30 / 9.34 — above
-    // ~2 rows/group the shrink never pays back the doubled exchange
-    // + doubled hash-agg build, and the repart form even beats the
-    // r11 floor twin (12.01 at x100: the twin modeled the
-    // two-exchange shape). bc2/bcd (broadcast orders) measured
-    // 25.8/27.8 at x100 — broadcasting a fact never pays. Tier rule
-    // from the fact's footer row count: pre-agg only in the
-    // mid-size band where its shrink wins.
+    // r11 x100 re-re-derivation: the x10 verdict was the MIDDLE of a
+    // non-monotonic curve — repartition(l_orderkey) FIRST (one raw
+    // exchange serving both the agg's clustering and the SMJ) beat
+    // the pre-agg form below AND above a (2 M, 10 M] band (sf0.1
+    // 0.96 vs 1.50; x30 2.99 vs 3.61; x100 9.34 vs 13.30; broadcast
+    // forms 25.8/27.8 at x100 — broadcasting a fact never pays).
+    // r12 superseded the whole exchange-paying family above 2 M rows
+    // with the co-bucketed tier below, so only the floor-tier repart
+    // form remains here.
+    // r12: above the band, the CO-BUCKETED layout (q41's machinery,
+    // extended with q10's columns) replaces the repartition form — the
+    // bucket partitioning satisfies the agg's clustering AND the join's
+    // distribution, so BOTH fact exchanges disappear; what remains is
+    // the per-bucket hash agg + a sort of the agg output into the SMJ.
+    // Measured x100 min-of-8: repart 9.97 s → bucketed 5.84 s (SHJ
+    // 6.08, join-first-no-agg 7.18 — the raw 64 M-row merge costs more
+    // than the agg-first sort it saves). Like q41, the layout is a
+    // once-per-corpus write-time artifact — at 100 TB this is the
+    // daily-join layout, not a per-query cost.
     val liRows = graft.sources.ParquetMeta.rowCount(
       s, s"$dir/lineitem.parquet")
-    val liKeyed =
-      if (liRows > Q10_PREAGG_MIN_ROWS && liRows <= Q10_PREAGG_MAX_ROWS) li
-      else li.repartition(col("l_orderkey"))
-    val liAgg = liKeyed.groupBy(col("l_orderkey"), col("l_returnflag"))
+    if (liRows > Q10_BUCKETED_MIN_ROWS) return q10BucketedForm(s, dir)
+    val liAgg = li.repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_returnflag"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(18,4)")).as("rev"))
     liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -300,14 +300,40 @@ object EcommerceQueries {
           val want = (liRows + BUCKET_TARGET_ROWS - 1) / BUCKET_TARGET_ROWS
           (((want + cores - 1) / cores) * cores).toInt
         }
+      // columns cover BOTH bucketed-layout consumers (q41's rollup and
+      // q10's star join at its bucketed tier); each query's scan prunes
+      // to its own subset, so the wider layout costs only file bytes
       ParquetSink.writeBucketedTable(
-        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_custkey"),
         oT, "o_orderkey", nBuckets)
       ParquetSink.writeBucketedTable(
-        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        t(s, dir, "lineitem").select(
+          "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"),
         lT, "l_orderkey", nBuckets)
       (oT, lT)
     })
+  }
+
+  /** q10's bucketed tier as its own entry so the plan (zero exchanges
+    * below the fact⋈fact SMJ, agg clustering satisfied by the bucket
+    * partitioning) and result-equality vs the repartition form are
+    * spec-checkable at any corpus size (PlanAuditSpec). */
+  private[graft] def q10BucketedForm(s: SparkSession, dir: String): DataFrame = {
+    val (oT, lT) = bucketedTables(s, dir)
+    val liAgg = s.table(lT)
+      .groupBy(col("l_orderkey"), col("l_returnflag"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+    liAgg.hint("merge")
+      .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("l_returnflag"))
+      .agg(
+        sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "l_returnflag")
   }
 
   /** New-in-r5 — the co-located join the bucketed layout buys: both
@@ -468,9 +494,17 @@ object EcommerceQueries {
     // otherwise tax every run of an unchanged corpus.
     val expected: Long = deltaEstimateCache.computeIfAbsent(dir,
       _ => java.lang.Long.valueOf(math.max(li.count() / 13L, 1000L)))
+    // ONE range exchange serves both the aggregation's clustering and
+    // the global sort (the q44 upsertOrdered trick): the r12 x100
+    // decomposition showed the trailing agg+sort was 10.9 s of the
+    // 19.0 s total — hash-exchange of the 64 M-row union + range
+    // exchange of the 16.5 M-group result; range-partitioning FIRST
+    // collapses them (agg+sort alone 10.9 → 6.1 s, full query
+    // 20.5 → 13.9 s same-window; BASELINE.md round-12).
     BloomPrune.prunedDeleteInsert(li, delta,
         Seq("l_orderkey", "l_linenumber"),
         expectedItems = expected, fpp = 0.01)
+      .repartitionByRange(col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
@@ -558,8 +592,16 @@ object EcommerceQueries {
     * decomposition"): the DuckDB oracle runs the PLAIN join, so its
     * ratio prices the salting machinery as if it were engine gap.
     * Measured same-window: Spark plain 0.60 s, salted 0.83 s —
-    * the machinery under test costs +0.23 s (+38 %) at sf0.1 and
-    * pays only at amplified scale (q65 sub-linear 3.3× at 30×). */
+    * the machinery under test costs +0.23 s (+38 %) at sf0.1.
+    *
+    * r12 x100 REVERSAL (the payoff, measured): Spark plain join
+    * 13.51 s vs salted 6.04 s — at 60 M fact rows the seeded hot key
+    * (1/3 of the fact on one reducer) dominates the plain join and
+    * the salting machinery is a 2.2× WIN, exactly the skew it exists
+    * to fix. DuckDB's 0.34 s is a single-node hash join with no
+    * partition skew to pay, so the oracle ratio prices a problem
+    * Spark-as-a-cluster has and DuckDB-as-a-process doesn't; the
+    * plain-vs-salted split above is the honest engine comparison. */
   def q65SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val dim = t(s, dir, "part")
       .select(col("p_partkey").cast("long").as("pk"), col("p_brand"))

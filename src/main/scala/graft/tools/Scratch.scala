@@ -604,8 +604,273 @@ object Scratch {
 
     val q23real = () => noop(
       graft.queries.LlmQueries.queries("q23_text_stats")(spark, dir))
-    val slots: Seq[(String, () => Unit)] = Seq(
-      "q23real" -> q23real)
+
+    // ---- r12 q45 decomposition at x100 (verdict #2): 19.4 s / 2.40×
+    // is the engine's largest absolute query; split bloom build /
+    // kept-branch probe scan / maybe-branch anti join so the dominant
+    // term is known before acting.
+    import graft.operators.BloomPrune
+    def q45parts = {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val delta = li.where(col("l_orderkey") % 13 === 0)
+        .withColumn("l_quantity", lit(0.0))
+      (li, delta)
+    }
+    // bloom built once per JVM so the probe slots time probing only
+    lazy val q45bloom: Array[Byte] = {
+      val (_, delta) = q45parts
+      BloomPrune.keyBloom(delta, Seq("l_orderkey", "l_linenumber"),
+        expectedItems = math.max(Tables.load(spark, dir, "lineitem")
+          .count() / 13L, 1000L), fpp = 0.01)
+    }
+    val q45bloomBuild = () => {
+      val (_, delta) = q45parts
+      BloomPrune.keyBloom(delta, Seq("l_orderkey", "l_linenumber"),
+        expectedItems = 4600000L, fpp = 0.01)
+      ()
+    }
+    val q45keptScan = () => { // bloom-negative branch alone
+      val (li, _) = q45parts
+      noop(li.where(!BloomPrune.mightContainKeys(q45bloom,
+        Seq(col("l_orderkey"), col("l_linenumber")))))
+    }
+    val q45maybeAnti = () => { // bloom-positive branch + anti join
+      val (li, delta) = q45parts
+      noop(li.where(BloomPrune.mightContainKeys(q45bloom,
+          Seq(col("l_orderkey"), col("l_linenumber"))))
+        .join(delta.select("l_orderkey", "l_linenumber"),
+          Seq("l_orderkey", "l_linenumber"), "left_anti"))
+    }
+    val q45aggSort = () => { // trailing agg+sort over a raw union
+      val (li, delta) = q45parts
+      noop(li.unionByName(delta).groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"))
+        .orderBy("l_orderkey"))
+    }
+
+    // ---- r12 q10 on the bucketed layout (verdict #3): the q41
+    // machinery should eliminate both fact-scale exchanges — the agg's
+    // ClusteredDistribution(orderkey, flag) and the SMJ/SHJ are both
+    // satisfied by the bucket partitioning.
+    def mkQ10Bkt(n: Int): (String, String) = bktCache.getOrElseUpdate(1000 + n, {
+      val (oT, lT) = (s"graft_scr10_o_$n", s"graft_scr10_l_$n")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(oT, lT).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+      }
+      graft.sources.ParquetSink.writeBucketedTable(
+        Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        oT, "o_orderkey", n)
+      graft.sources.ParquetSink.writeBucketedTable(
+        Tables.load(spark, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"),
+        lT, "l_orderkey", n)
+      (oT, lT)
+    })
+    def q10bktAgg(lT: String) = spark.table(lT)
+      .groupBy(col("l_orderkey"), col("l_returnflag"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+    def q10bkt(n: Int) = () => {
+      val (oT, lT) = mkQ10Bkt(n)
+      noop(q10finish(q10bktAgg(lT).hint("merge"),
+        spark.table(oT),
+        broadcast(Tables.load(spark, dir, "customer")),
+        broadcast(Tables.load(spark, dir, "nation")),
+        broadcast(Tables.load(spark, dir, "region"))))
+    }
+    def q10bktShj(n: Int) = () => {
+      val (oT, lT) = mkQ10Bkt(n)
+      noop(q10finish(q10bktAgg(lT),
+        spark.table(oT).hint("shuffle_hash"),
+        broadcast(Tables.load(spark, dir, "customer")),
+        broadcast(Tables.load(spark, dir, "nation")),
+        broadcast(Tables.load(spark, dir, "region"))))
+    }
+
+    // r12 second window: act on the first window's decomposition.
+    // q45: the trailing agg+sort is 10.9 s of 19.0 — collapse its two
+    // fact-scale exchanges (hash agg + range sort) into ONE range
+    // exchange that satisfies both the grouping and the global order
+    // (the q44 upsertOrdered trick).
+    val q45rangeAgg = () => {
+      val (li, delta) = q45parts
+      val merged = graft.operators.BloomPrune.prunedDeleteInsert(
+        li, delta, Seq("l_orderkey", "l_linenumber"),
+        expectedItems = 4600000L, fpp = 0.01)
+      noop(merged.repartitionByRange(col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"))
+        .orderBy("l_orderkey"))
+    }
+    val q45rangeAggOnly = () => { // the agg+sort alone, range form
+      val (li, delta) = q45parts
+      noop(li.unionByName(delta).repartitionByRange(col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"))
+        .orderBy("l_orderkey"))
+    }
+    // q10: join-first on the bucketed layout — both sides read
+    // bucket-sorted so the SMJ needs NO sort at all (the agg-first
+    // form re-sorts the 16 M-group agg output), and the post-join agg
+    // at (r_name, flag, orderkey) is still exchange-free (orderkey
+    // partitioning satisfies the clustering), so only the tiny final
+    // agg shuffles.
+    def q10bktJoinFirst(n: Int) = () => {
+      val (oT, lT) = mkQ10Bkt(n)
+      val joined = spark.table(lT).hint("merge")
+        .join(spark.table(oT), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(spark, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(spark, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+      val byOrder = joined
+        .groupBy(col("r_name"), col("l_returnflag"), col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+      noop(byOrder.groupBy(col("r_name"), col("l_returnflag"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "l_returnflag"))
+    }
+
+    // ---- r12 rollup/report family at x100 (verdict #6) + q85 exact-
+    // distinct alternative (verdict #7) + machinery pricing (verdict #5)
+    val q15real = () => noop(
+      graft.queries.EcommerceQueries.queries("q15_batch_stats")(spark, dir))
+    // two-phase distinct: partial-dedup (date, user) BEFORE the
+    // exchange replaces the count_distinct Expand (the q53/q85 trick)
+    val q15two = () => {
+      val ev = Tables.loadEvents(spark, dir)
+      val byUser = ev.groupBy(to_date(col("ts")).as("batch_date"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("v"))
+      noop(byUser.groupBy("batch_date")
+        .agg(sum(col("n")).as("n_events"),
+          count(lit(1)).as("n_users"),
+          sum(col("v")).cast("double").as("total_value"))
+        .withColumn("batch_date", date_format(col("batch_date"), "yyyy-MM-dd"))
+        .orderBy("batch_date"))
+    }
+    val q29real = () => noop(
+      graft.queries.AnalyticsQueries.queries("q29_topn_per_group")(spark, dir))
+    val q30real = () => noop(
+      graft.queries.AnalyticsQueries.queries("q30_rollup")(spark, dir))
+    // leaf re-agg: ONE plain (priority, status) aggregate (map-side
+    // combined, no Expand), then the rollup runs over the ~15-row leaf
+    val q30leaf = () => {
+      val leaf = Tables.load(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      noop(leaf.rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first))
+    }
+    val q31real = () => noop(
+      graft.queries.AnalyticsQueries.queries("q31_pivot")(spark, dir))
+    // group on the DATE (int math), render the string after the agg —
+    // date_format runs per OUTPUT row instead of per input row
+    val q31date = () => {
+      noop(Tables.loadEvents(spark, dir)
+        .groupBy(to_date(col("ts")).as("d0"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+        .withColumn("d", date_format(col("d0"), "yyyy-MM-dd"))
+        .drop("d0")
+        .select(col("d"), col("click"), col("error"), col("purchase"),
+          col("signup"), col("view"))
+        .orderBy("d"))
+    }
+    val q35real = () => noop(
+      graft.queries.AnalyticsQueries.queries("q35_tumbling")(spark, dir))
+    // arithmetic bucketing: floor-divide epoch micros instead of the
+    // window() struct machinery
+    val q35arith = () => {
+      val w = 21600000000L // 6h in micros
+      noop(Tables.loadEvents(spark, dir)
+        .groupBy((floor(unix_micros(col("ts")) / w) * w).as("wus"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .select(date_format(timestamp_micros(col("wus")),
+            "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("window_start", "event_type"))
+    }
+    // q85 PASS-3 alternative: manual explode + two-phase dedup instead
+    // of the planner's multi-distinct Expand (2 agg exchanges, but the
+    // first one ships PRE-DEDUPED (col, value) pairs)
+    val q85explode = () => {
+      val ev = Tables.loadEvents(spark, dir)
+      val cols = Seq("event_id", "user_id", "event_type", "value",
+        "ts", "props")
+      val pairs = ev.select(posexplode(array(
+        cols.map(c => xxhash64(col(c))): _*)).as(Seq("cid", "vh")))
+      noop(pairs.where(col("vh").isNotNull)
+        .groupBy("cid", "vh").agg(count(lit(1)))
+        .groupBy("cid").agg(count(lit(1)).as("n_distinct"))
+        .orderBy("cid"))
+    }
+    // the committed PASS-3 shape alone, for the same columns
+    val q85pass3 = () => {
+      val ev = Tables.loadEvents(spark, dir)
+      val cols = Seq("event_id", "user_id", "event_type", "value",
+        "ts", "props")
+      noop(ev.agg(count_distinct(col(cols.head)).as("d0"),
+        cols.tail.zipWithIndex.map { case (c, i) =>
+          count_distinct(col(c)).as(s"d${i + 1}") }: _*))
+    }
+
+    val allSlots: Map[String, () => Unit] = Map(
+      "q15real" -> q15real, "q15two" -> q15two,
+      "q29real" -> q29real,
+      "q30real" -> q30real, "q30leaf" -> q30leaf,
+      "q31real" -> q31real, "q31date" -> q31date,
+      "q35real" -> q35real, "q35arith" -> q35arith,
+      "q85real" -> q85real, "q85explode" -> q85explode,
+      "q85pass3" -> q85pass3,
+      "q65real" -> q65real, "q65plain" -> q65plain,
+      "q51real" -> q51real, "q51plain" -> q51plain,
+      "q45real" -> q45real,
+      "q45twin" -> q45twin,
+      "q45bloomBuild" -> q45bloomBuild,
+      "q45keptScan" -> q45keptScan,
+      "q45maybeAnti" -> q45maybeAnti,
+      "q45aggSort" -> q45aggSort,
+      "q45rangeAgg" -> q45rangeAgg,
+      "q45rangeAggOnly" -> q45rangeAggOnly,
+      "q10real" -> q10real,
+      "q10bkt32" -> q10bkt(32),
+      "q10bkt64" -> q10bkt(64),
+      "q10bktJoinFirst64" -> q10bktJoinFirst(64),
+      "q23real" -> q23real,
+      "q83real" -> (() => noop(graft.queries.LlmQueries
+        .queries("q83_inter_video")(spark, dir))),
+      "q70real" -> (() => noop(graft.queries.LlmQueries
+        .queries("q70_audio_decode")(spark, dir))))
+    // pick slots by env (comma-separated), so one compile serves
+    // several measurement windows
+    val picked = sys.env.getOrElse("SPARK_GRAFT_SLOTS", "q45real")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val slots: Seq[(String, () => Unit)] =
+      picked.map(n => n -> allSlots(n))
     val best = scala.collection.mutable.Map[String, Double]()
       .withDefaultValue(Double.MaxValue)
     for (_ <- 1 to 8; (name, f) <- slots) {

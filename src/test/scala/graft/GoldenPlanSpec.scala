@@ -136,6 +136,9 @@ class GoldenPlanSpec extends SparkTestBase {
     BloomPrune.splitDeleteInsert(li, delta,
         Seq("l_orderkey", "l_linenumber"), expectedItems = 500000L,
         fpp = 0.01)
+      // r12: the real query range-partitions BEFORE the agg so one
+      // exchange serves grouping + global sort (BASELINE.md round-12)
+      .repartitionByRange(col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_items"),
         org.apache.spark.sql.functions.sum(

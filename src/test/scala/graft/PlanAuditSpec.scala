@@ -74,6 +74,26 @@ class PlanAuditSpec extends SparkTestBase {
       s"watermark not pushed:\n$plan")
   }
 
+  test("q10 bucketed tier: fact agg + fact⋈fact join ride the bucket layout with zero exchanges") {
+    val df = EcommerceQueries.q10BucketedForm(spark, sf0001)
+    val plan = executed(df)
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // every exchange must sit ABOVE the join (the final 10-row agg +
+    // output sort): both the (orderkey, flag) agg's clustering and the
+    // join's distribution are satisfied by the write-time buckets
+    // dims still ride BroadcastExchange; only SHUFFLE exchanges are
+    // banned below the join
+    val joinSub = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinSub.contains("Exchange hashpartitioning") &&
+      !joinSub.contains("Exchange rangepartitioning"),
+      s"bucketed q10 must not shuffle fact data:\n$plan")
+    // tier forms are interchangeable: same rows as the repart form
+    val repart = EcommerceQueries.queries("q10_star_join")(spark, sf0001)
+      .collect().toSeq
+    assert(df.collect().toSeq == repart,
+      "bucketed and repartition forms must return identical rows")
+  }
+
   test("co-located join: bucketed reads feed the SMJ with zero exchanges below it") {
     val df = EcommerceQueries.q41ColocatedJoin(spark, sf0001)
     val plan = executed(df)
