@@ -231,6 +231,53 @@ object AnalyticsQueries {
       .orderBy("event_type", "batch_date")
   }
 
+  /** New-in-r12 — q49's PORTABLE twin (the q18→q37 discipline): the
+    * SAME day-over-day retention numbers via plain per-day distinct
+    * user sets + join set algebra a DuckDB oracle replays exactly —
+    * |day|, |day ∩ prev-present-day|, |day \ prev|, |prev \ day|,
+    * "prev" being the key's previous PRESENT day (the lag the sketch
+    * path takes over its artifact rows). Theta sketches below 2^lgK
+    * run in exact mode, so q49 ≡ q87 row-for-row at test scale
+    * (asserted in AnalyticsSpec) — this gate upgrades the sketch
+    * path's correctness story from rows-only to transitively oracled.
+    * Scale posture: the distinct frame is one shuffle on (day, key,
+    * user); the retained join ships only per-day distinct users. The
+    * SKETCH path stays the 100 TB artifact answer (no raw-user
+    * re-join across batches); this twin is its checkable shadow. */
+  def q87RetentionPortable(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("batch_date")
+    val du = t(s, dir, "events")
+      .select(to_date(col("ts")).as("batch_date"), col("event_type"),
+        col("user_id")).distinct()
+    val act = du.groupBy("batch_date", "event_type")
+      .agg(count(lit(1)).as("n_active"))
+      .withColumn("__pd", lag(col("batch_date"), 1).over(w))
+      .withColumn("__pn", lag(col("n_active"), 1).over(w))
+    val retained = du
+      .join(act.select(col("batch_date"), col("event_type"), col("__pd")),
+        Seq("batch_date", "event_type"))
+      .join(du.select(col("batch_date").as("__pd"),
+          col("event_type"), col("user_id")),
+        Seq("__pd", "event_type", "user_id"))
+      .groupBy("batch_date", "event_type")
+      .agg(count(lit(1)).as("__ret"))
+    act.join(retained, Seq("batch_date", "event_type"), "left")
+      .select(
+        date_format(col("batch_date"), "yyyy-MM-dd").as("batch_date"),
+        col("event_type"),
+        col("n_active"),
+        when(col("__pd").isNull, lit(null).cast("bigint"))
+          .otherwise(coalesce(col("__ret"), lit(0L))).as("n_retained"),
+        when(col("__pd").isNull, lit(null).cast("bigint"))
+          .otherwise(col("n_active") - coalesce(col("__ret"), lit(0L)))
+          .as("n_new"),
+        when(col("__pd").isNull, lit(null).cast("bigint"))
+          .otherwise(col("__pn") - coalesce(col("__ret"), lit(0L)))
+          .as("n_churned"))
+      .orderBy("event_type", "batch_date")
+  }
+
   /** New-in-r6 — §2 #41: exact heavy hitters (users with ≥ 80 events)
     * via the count-min pre-filter: one tree-aggregated sketch pass,
     * then only maybe-heavy rows shuffle into the exact count that
@@ -310,10 +357,26 @@ object AnalyticsQueries {
     "q29_topn_per_group" -> (q29TopnPerGroup _),
     "q30_rollup" -> (q30Rollup _),
     "q31_pivot" -> (q31Pivot _),
-    "q32_percentile" -> (q32Percentile _)
+    "q32_percentile" -> (q32Percentile _),
+    "q87_retention_portable" -> (q87RetentionPortable _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q87_retention_portable" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, event_type, user_id FROM events),
+        |act AS (SELECT d, event_type, CAST(count(*) AS BIGINT) AS n_active FROM du GROUP BY 1, 2),
+        |act2 AS (SELECT *, lag(d) OVER (PARTITION BY event_type ORDER BY d) AS pd,
+        |                lag(n_active) OVER (PARTITION BY event_type ORDER BY d) AS pn FROM act),
+        |ret AS (SELECT a.d, a.event_type, CAST(count(*) AS BIGINT) AS n_ret
+        |        FROM du a JOIN act2 x ON a.d = x.d AND a.event_type = x.event_type
+        |        JOIN du b ON b.event_type = a.event_type AND b.d = x.pd AND b.user_id = a.user_id
+        |        GROUP BY 1, 2)
+        |SELECT strftime(act2.d, '%Y-%m-%d') AS batch_date, act2.event_type, act2.n_active,
+        |  CASE WHEN act2.pd IS NULL THEN NULL ELSE coalesce(ret.n_ret, 0) END AS n_retained,
+        |  CASE WHEN act2.pd IS NULL THEN NULL ELSE act2.n_active - coalesce(ret.n_ret, 0) END AS n_new,
+        |  CASE WHEN act2.pd IS NULL THEN NULL ELSE act2.pn - coalesce(ret.n_ret, 0) END AS n_churned
+        |FROM act2 LEFT JOIN ret ON act2.d = ret.d AND act2.event_type = ret.event_type
+        |ORDER BY act2.event_type, batch_date""".stripMargin,
     "q27_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value, ts, epoch_us(ts) AS us FROM events),
         |m AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) <= 1800000000

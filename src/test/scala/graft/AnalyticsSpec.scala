@@ -315,6 +315,18 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q87 portable twin ≡ q49 theta retention row-for-row (exact mode)") {
+    // theta sketches below 2^lgK are exact, so the set-algebra twin
+    // must reproduce the sketch path bit-for-bit — this is what lets
+    // the oracled q87 gate stand in for the engine-specific q49
+    val sk = graft.queries.AnalyticsQueries.q49Retention(spark, sf001)
+      .collect().toSeq
+    val tw = graft.queries.AnalyticsQueries
+      .q87RetentionPortable(spark, sf001).collect().toSeq
+    assert(sk.map(_.toSeq) == tw.map(_.toSeq),
+      s"sketch vs twin drift: ${sk.take(2)} vs ${tw.take(2)}")
+  }
+
   test("chunkDedup: first occurrence of a repeated span survives, later copies drop, unique text intact") {
     val banner = "b01 b02 b03 b04 b05 b06 b07 b08 b09 b10" // exactly one 10-token chunk
     val docs = Seq(
