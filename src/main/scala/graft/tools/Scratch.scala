@@ -838,7 +838,25 @@ object Scratch {
           count_distinct(col(c)).as(s"d${i + 1}") }: _*))
     }
 
+    // r12 residual decompositions: q10's bucketed-tier remaining cost
+    // (is it the 16 M-group hash agg?) and q15's floor (scan + plain
+    // agg with NO distinct machinery)
+    val q10bktAggOnly = () => {
+      val (_, lT) = mkQ10Bkt(64)
+      noop(q10bktAgg(lT))
+    }
+    val q15floor = () => {
+      noop(Tables.loadEvents(spark, dir)
+        .groupBy(to_date(col("ts")).as("batch_date"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy("batch_date"))
+    }
+
     val allSlots: Map[String, () => Unit] = Map(
+      "q10bktAggOnly" -> q10bktAggOnly,
+      "q15floor" -> q15floor,
       "q15real" -> q15real, "q15two" -> q15two,
       "q29real" -> q29real,
       "q30real" -> q30real, "q30leaf" -> q30leaf,
