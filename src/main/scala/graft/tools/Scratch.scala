@@ -854,7 +854,19 @@ object Scratch {
         .orderBy("batch_date"))
     }
 
+    // q29 pieces: the 15 M-row orders scan+combine alone, then +joins
+    val q29agg = () => {
+      noop(Tables.load(spark, dir, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d")))
+    }
+    val q29aggDouble = () => { // is the decimal cast the cost?
+      noop(Tables.load(spark, dir, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice")).as("rev_d")))
+    }
+
     val allSlots: Map[String, () => Unit] = Map(
+      "q29agg" -> q29agg,
+      "q29aggDouble" -> q29aggDouble,
       "q10bktAggOnly" -> q10bktAggOnly,
       "q15floor" -> q15floor,
       "q15real" -> q15real, "q15two" -> q15two,
