@@ -606,12 +606,21 @@ object EcommerceQueries {
     * to fix. DuckDB's 0.34 s is a single-node hash join with no
     * partition skew to pay, so the oracle ratio prices a problem
     * Spark-as-a-cluster has and DuckDB-as-a-process doesn't; the
-    * plain-vs-salted split above is the honest engine comparison. */
+    * plain-vs-salted split above is the honest engine comparison.
+    *
+    * Salt factor self-sizes from the available parallelism (r12 ADVICE
+    * follow-through): factor 8 was tuned at sf0.1, but at x100 the hot
+    * key's ~20 M rows / 8 salts still pin 2.5 M rows per reducer —
+    * measured sweep f8/f16/f32/f64 = 7.00 / 5.14 / 5.19 / 5.11 s, flat
+    * from 16 up. max(8, cores/2) spreads the hot mass across half the
+    * cores (the other half serve the non-hot partitions) at a dim
+    * replication cost of only (factor−1)·|hot| rows. */
   def q65SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val dim = t(s, dir, "part")
       .select(col("p_partkey").cast("long").as("pk"), col("p_brand"))
       .hint("shuffle_hash")
-    Skew.partialSaltedJoin(q65Fact(s, dir), dim, "pk", factor = 8,
+    val factor = math.max(8, s.sparkContext.defaultParallelism / 2)
+    Skew.partialSaltedJoin(q65Fact(s, dir), dim, "pk", factor = factor,
         saltSource = Seq("l_orderkey", "l_linenumber"),
         hot = hotPartKeys(s, dir))
       .groupBy("p_brand")

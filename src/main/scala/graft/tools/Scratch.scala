@@ -864,7 +864,37 @@ object Scratch {
         .agg(sum(col("o_totalprice")).as("rev_d")))
     }
 
+    // q65 salt-factor sweep at x100: factor 8 was tuned at sf0.1; the
+    // hot key carries ~20 M rows at x100, so 8 salts still leave
+    // 2.5 M rows per reducer — size the factor from the hot mass
+    def q65factor(f: Int) = () => {
+      val fact = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .withColumn("pk",
+          when(col("l_orderkey") % 3 === 0, lit(1L))
+            .otherwise(col("l_partkey").cast("long")))
+      val dim = Tables.load(spark, dir, "part")
+        .select(col("p_partkey").cast("long").as("pk"), col("p_brand"))
+        .hint("shuffle_hash")
+      val hot = graft.operators.Skew.hotKeys(fact, "pk",
+          rowIdCols = Seq("l_orderkey", "l_linenumber"),
+          minShare = 0.05, sampleMod = 10)
+        .collect().map(_.get(0)).toSeq
+      noop(graft.operators.Skew.partialSaltedJoin(fact, dim, "pk",
+          factor = f, saltSource = Seq("l_orderkey", "l_linenumber"),
+          hot = hot)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"))
+        .orderBy("p_brand"))
+    }
+
     val allSlots: Map[String, () => Unit] = Map(
+      "q65f8" -> q65factor(8),
+      "q65f16" -> q65factor(16),
+      "q65f32" -> q65factor(32),
+      "q65f64" -> q65factor(64),
       "q29agg" -> q29agg,
       "q29aggDouble" -> q29aggDouble,
       "q10bktAggOnly" -> q10bktAggOnly,
