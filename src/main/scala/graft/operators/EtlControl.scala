@@ -423,14 +423,19 @@ object EtlControl {
     * FAILURE rows in place. */
   def retryingRun[A](spark: SparkSession, failureDir: String,
       sourceId: String, batchId: String, stage: String, retries: Int,
-      delayMs: Long = 0L)(body: => A): A = {
+      delayMs: Long = 0L,
+      retryOn: Throwable => Boolean = _ => true)(body: => A): A = {
     require(retries >= 0, s"retries must be >= 0, got $retries")
     var attempt = 0
     while (true) {
       val stamped = if (attempt == 0) stage else s"$stage#retry$attempt"
       try return loggedRun(spark, failureDir, sourceId, batchId, stamped)(body)
       catch {
+        // a non-retryable failure still gets its FAILURE row (loggedRun
+        // appended it before rethrowing) — it just surfaces immediately
+        // instead of re-running a deterministic failure `retries` times
         case scala.util.control.NonFatal(e) =>
+          if (!retryOn(e)) throw e
           attempt += 1
           if (attempt > retries) throw e
           if (delayMs > 0) Thread.sleep(delayMs)

@@ -61,19 +61,38 @@ object FastPng {
     u32(crc.getValue.toInt)
   }
 
+  /** The packed-int pixel array of a plain TYPE_INT_RGB image (offset
+    * 0, scanline stride == width), or null when the layout is anything
+    * else — callers fall back to the per-pixel accessor. */
+  private[graft] def directIntRgb(img: BufferedImage): Array[Int] =
+    img.getRaster.getSampleModel match {
+      case sm: java.awt.image.SinglePixelPackedSampleModel
+        if img.getType == BufferedImage.TYPE_INT_RGB &&
+          sm.getScanlineStride == img.getWidth &&
+          img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferInt] &&
+          img.getRaster.getDataBuffer.getOffset == 0 =>
+        img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+      case _ => null
+    }
+
   /** Encode an RGB image as a real PNG (8-bit truecolor, filter 0). */
   def encode(img: BufferedImage): Array[Byte] = {
     val w = img.getWidth
     val h = img.getHeight
-    // raw scanlines: per row one filter byte (0) + RGB triples
+    // raw scanlines: per row one filter byte (0) + RGB triples; read
+    // the packed int buffer directly when the image is the TYPE_INT_RGB
+    // layout our synthetic frames use — getRGB pays a per-pixel color
+    // model dispatch that dominates 50-pixel frames
     val raw = new Array[Byte](h * (1 + 3 * w))
+    val direct: Array[Int] = directIntRgb(img)
     var p = 0
     var y = 0
     while (y < h) {
       raw(p) = 0; p += 1
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = if (direct != null) direct(y * w + x) else img.getRGB(x, y)
         raw(p) = ((rgb >> 16) & 0xff).toByte
         raw(p + 1) = ((rgb >> 8) & 0xff).toByte
         raw(p + 2) = (rgb & 0xff).toByte

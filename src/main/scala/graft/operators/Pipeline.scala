@@ -99,6 +99,12 @@ object Pipeline {
     require(asked.nonEmpty && asked.distinct == asked &&
       asked.forall(known), s"stages must name distinct configured " +
       s"sources; got $asked of $known")
+    // fail BEFORE the lease and before any source loads — a stage id
+    // with no runner must not surface mid-run after earlier groups
+    // already replaced their targets
+    require(asked.forall(runners.contains),
+      s"every staged source needs a runner; missing: " +
+        asked.filterNot(runners.contains).mkString(", "))
     EtlControl.withRunLease(spark, cfg.controlDir, "full_load_pipeline",
         holderId, ttlMs = leaseTtlMs) {
       stages.flatMap(_.map { id =>
@@ -119,7 +125,10 @@ object Pipeline {
     val ((pages, landed, wm, loaded), sec) =
       EtlControl.timedRun(spark, s"$workDir/durations", src.id, batchId) {
         EtlControl.retryingRun(spark, failureDir, src.id, batchId, "cycle",
-            retries = cfg.schedule.retries) {
+            retries = cfg.schedule.retries,
+            // a failed expectation is deterministic — retrying it would
+            // re-hit the external API and re-transform for nothing
+            retryOn = !_.isInstanceOf[ValidationException]) {
           // extract — the source's own page/retry caps
           val (p, landedRows) = PagedRestSource.fetchToLandingAuthed(spark,
             runner.fetch, runner.provider, landingDir,

@@ -74,6 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextRepScoresExpr].getName, "text_rep_scores"),
       (args: Seq[Expression]) => TextRepScoresExpr(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("token_count"),
+      new ExpressionInfo(classOf[TokenCountExpr].getName, "token_count"),
+      (args: Seq[Expression]) => TokenCountExpr(args.head)))
+    ext.injectFunction((
       FunctionIdentifier("fingerprint_md5"),
       new ExpressionInfo(classOf[FingerprintMd5Expr].getName, "fingerprint_md5"),
       (args: Seq[Expression]) => FingerprintMd5Expr(args.head)))

@@ -72,6 +72,37 @@ object TextKernels {
     StructField("top2", DoubleType, nullable = false),
     StructField("top3", DoubleType, nullable = false)))
 
+  /** [[graft.functions.TextFunctions.tokenCount]] as one byte scan —
+    * no lower/regexp_replace/split, no token array. The Column form is
+    * `when(length(trim(c)) = 0, 0) otherwise size(split(regexp_replace(
+    * lower(trim(c)), "\s+", " "), " "))`; after space-trimming a
+    * non-empty string, the collapsed form's split size is exactly
+    * 1 + (number of maximal Java-`\s` runs) — including the leading/
+    * trailing empty strings a tab-padded string produces, so the
+    * equivalence is EXACT, not just for tidy input. Java `\s` is
+    * {0x09..0x0D, 0x20}, all ASCII, and UTF-8 continuation bytes have
+    * the high bit set — a byte scan cannot misread multi-byte chars. */
+  def tokenCount(text: UTF8String): Long = {
+    val b = text.getBytes
+    var lo = 0
+    var hi = b.length - 1
+    // the Column form trims SPACES only (Spark trim), not all \s
+    while (lo <= hi && b(lo) == 0x20) lo += 1
+    while (hi >= lo && b(hi) == 0x20) hi -= 1
+    if (lo > hi) return 0L
+    var runs = 0L
+    var inWs = false
+    var i = lo
+    while (i <= hi) {
+      val c = b(i)
+      val ws = c == 0x20 || (c >= 0x09 && c <= 0x0d)
+      if (ws && !inWs) runs += 1
+      inWs = ws
+      i += 1
+    }
+    runs + 1
+  }
+
   /** conv(substring(md5(token),1,8),16,10) — the first four MD5 bytes
     * of the token's UTF-8 form as an unsigned 32-bit value, without
     * the hex-string round-trip. */
@@ -904,6 +935,23 @@ case class TextRepScoresExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.TextKernels.repScores($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `token_count(text)` → bigint, ≡
+  * `TextFunctions.tokenCount(text).cast("long")`. */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_count"
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.tokenCount(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextKernels.tokenCount($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -284,14 +284,21 @@ object EcommerceQueries {
         java.lang.Long.toHexString(liRows)
       val oT = s"graft_bkt_orders_$tag"
       val lT = s"graft_bkt_lineitem_$tag"
-      // a previous JVM may have left the managed dirs without catalog
-      // entries — clear both so saveAsTable recreates cleanly
+      // clear EVERY layout for this dir (any prior row-count tag, plus
+      // managed dirs a previous JVM left without catalog entries) — a
+      // corpus regenerated at a different scale under the same path
+      // must not leak the old tag's tables/dirs across regenerations
+      val dirHex = java.lang.Integer.toHexString(dir.hashCode)
       val wh = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq(oT, lT).foreach { n =>
-        s.sql(s"DROP TABLE IF EXISTS $n")
-        fs.delete(new org.apache.hadoop.fs.Path(wh, n), true)
+      Seq("orders", "lineitem").foreach { base =>
+        val prefix = s"graft_bkt_${base}_$dirHex"
+        s.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith(prefix))
+          .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(wh, prefix + "*")))
+          .toSeq.flatten.foreach(st => fs.delete(st.getPath, true))
       }
       // ~BUCKET_TARGET_ROWS rows/bucket, rounded up to a multiple of
       // the available parallelism (a bucketed read is one task per

@@ -510,16 +510,29 @@ object LlmQueries {
       .orderBy("doc_id")
 
   /** New-in-r6 — token-budget shard packing over the hash split:
-    * greedy 2000-token shards per split, one exchange+sort per group;
-    * reported as per-shard doc/token totals. */
+    * greedy 2000-token shards per split via the distributed prefix sum
+    * ([[Sampling.packByBudget]]), reported as per-shard doc/token
+    * totals. r13: token counting is the native one-pass `token_count`
+    * kernel (the tokenize expression was 0.7 s of the 1.0 s scan floor
+    * at x100, paid twice by the two-pass prefix sum) and the packing
+    * input is pruned to the three columns the report needs. */
   def q58TokenPack(s: SparkSession, dir: String): DataFrame = {
     val sp = Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
-      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("n_tokens", nTokensCol)
+      .select("doc_id", "split", "n_tokens")
     Sampling.packByBudget(sp, Seq("split"), "doc_id", "n_tokens", 2000L)
       .groupBy("split", "shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
       .orderBy("split", "shard")
   }
+
+  /** `token_count(text)` as bigint — native one-byte-scan kernel when
+    * the session has graft's extensions, the Column HOF form
+    * otherwise (value-identical; pinned in GraftExtensionsSpec). */
+  private def nTokensCol: org.apache.spark.sql.Column =
+    if (graft.plans.GraftExtensions.nativeAvailable)
+      call_function("token_count", col("text"))
+    else TextFunctions.tokenCount(col("text")).cast("long")
 
   /** New-in-r6 — Gopher/MassiveText repetition filters: duplicate-token
     * fraction and top-2/3-gram share, plus the combined flag. Pure

@@ -19,7 +19,7 @@ object QualityQueries {
     * out-of-set statuses, negative totals, uncastable codes and
     * duplicated keys — so the quality report has known pass AND fail
     * rows the oracle recomputes. */
-  private def seededOrders(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def seededOrders(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     o.unionByName(o.where(col("o_orderkey") % 499 === 0))
       .withColumn("o_custkey",

@@ -484,6 +484,31 @@ object Scratch {
     // same layout as mkBkt — kept as an alias for the measurement code
     // below that still references it.
     def mkBktOne(n: Int): (String, String) = mkBkt(n)
+    // true MULTI-file-per-bucket layout (oneFilePerBucket = false):
+    // keeps the historical one-file-vs-multi-file comparison (the
+    // 2.87 → 1.19 s table in ParquetSink's doc) reproducible
+    val bktMultiCache = scala.collection.mutable.Map[Int, (String, String)]()
+    def mkBktMulti(n: Int): (String, String) =
+      bktMultiCache.getOrElseUpdate(n, {
+        val (oT, lT) = (s"graft_scr_om_$n", s"graft_scr_lm_$n")
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq(oT, lT).foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+        }
+        graft.sources.ParquetSink.writeBucketedTable(
+          q41o, oT, "o_orderkey", n, oneFilePerBucket = false)
+        graft.sources.ParquetSink.writeBucketedTable(
+          q41li, lT, "l_orderkey", n, oneFilePerBucket = false)
+        (oT, lT)
+      })
+    def q41bktMulti(n: Int) = () => {
+      val (oT, lT) = mkBktMulti(n)
+      noop(q41agg(spark.table(lT).hint("merge")
+        .join(spark.table(oT), col("l_orderkey") === col("o_orderkey"))))
+    }
     def q41bktOne(n: Int) = () => {
       val (oT, lT) = mkBktOne(n)
       noop(q41agg(spark.table(lT).hint("merge")
@@ -890,7 +915,108 @@ object Scratch {
         .orderBy("p_brand"))
     }
 
+    // ---- r13 q58 decomposition at x100 (verdict #1): 2.64 s / 3.5×,
+    // flat 3.5–4.3× at every tier, never decomposed. Suspects: the
+    // window partitions by `split` ALONE (3 values — one task sorts
+    // the 4 M-row train group), plus the md5-order projection.
+    import graft.operators.Sampling
+    import graft.functions.TextFunctions
+    def q58base = Sampling.hashSplit(
+        Tables.load(spark, dir, "documents").select("doc_id", "text"), "doc_id")
+      .withColumn("n_tokens",
+        TextFunctions.tokenCount(col("text")).cast("long"))
+      .select("doc_id", "split", "n_tokens")
+    val q58real = () => noop(
+      graft.queries.LlmQueries.queries("q58_token_pack")(spark, dir))
+    // floor: scan + split + tokenize + trailing agg/sort, NO window
+    val q58floor = () => noop(q58base
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("split"))
+    // + the per-split exchange and md5 sort the window pays, no window fn
+    val q58sort = () => noop(q58base
+      .repartition(col("split"))
+      .sortWithinPartitions(md5(col("doc_id").cast("string")), col("doc_id")))
+    // floor with n_tokens = length (no normalize/split): isolates the
+    // tokenize expression's share of the scan pass
+    val q58floorLen = () => noop(Sampling.hashSplit(
+        Tables.load(spark, dir, "documents").select("doc_id", "text"), "doc_id")
+      .withColumn("n_tokens", length(col("text")).cast("long"))
+      .select("doc_id", "split", "n_tokens")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("split"))
+    // candidate: distributed prefix sum (16^2 bucket-parallel sort+scan)
+    val q58bucketed = () => noop(
+      Sampling.packByBudgetBucketed(q58base, Seq("split"), "doc_id",
+          "n_tokens", 2000L)
+        .groupBy("split", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("split", "shard"))
+
+    // ---- r13 q39 decomposition at x100 (verdict #2): 1.73 s / 2.7×.
+    // The check SHOULD be one scan, but count_distinct (Unique) makes
+    // Catalyst plan an Expand that doubles every row ahead of the
+    // partial aggregate. Split: seeded scan / no-Unique agg / Expand
+    // form / grouped rewrite.
+    import graft.operators.Validate
+    import graft.operators.Validate._
+    def q39seed = graft.queries.QualityQueries.seededOrders(spark, dir)
+    def q39exp(withUnique: Boolean): Seq[Validate.Expectation] = Seq(
+      NotNull("o_custkey", maxNullRate = 0.005),
+      NotNull("o_orderkey"),
+      InSet("o_orderstatus", Seq("O", "F", "P"), maxBadRate = 0.02),
+      InRange("o_totalprice", min = Some(0.0), max = None, maxBadRate = 0.005),
+      TypeConforms("ship_code", "bigint", maxBadRate = 0.02),
+      RowCountBetween(1000L, 100000000L)) ++
+      (if (withUnique) Seq(Unique("o_orderkey")) else Nil)
+    val q39real = () => noop(
+      graft.queries.QualityQueries.queries("q39_quality_gate")(spark, dir))
+    val q39scan = () => noop(q39seed.agg(count(lit(1)).as("n")))
+    val q39noUnique = () => noop(
+      Validate.check(q39seed, q39exp(withUnique = false))
+        .withColumn("passed", col("passed").cast("string")))
+    // the pre-r13 Expand form: two Uniques defeats the grouped rewrite
+    // only for the plan — time the SAME 7 expectations via the old path
+    // by asking for the o_orderkey distinct twice (identical aggregates)
+    val q39expand = () => noop(
+      Validate.check(q39seed, q39exp(withUnique = true) :+
+          Unique("o_orderkey", maxDupRate = 1.0))
+        .withColumn("passed", col("passed").cast("string")))
+
+    // ---- r13 q71 decomposition at x100 (verdict #3): 5.44 s / 2.2×;
+    // the oracle replays closed-form frames, Spark pays a real codec.
+    // Split encode / +demux / +decode so the codec-vs-floor share is
+    // known (the q83 precedent found 40 M stray native allocs).
+    import graft.operators.Multimodal
+    def q71ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val q71real = () => noop(
+      graft.queries.LlmQueries.queries("q71_video_frames")(spark, dir))
+    val q71enc = () => noop(
+      Multimodal.encodeVideo(spark, q71ids.toDF(), "doc_id").toDF()
+        .select(col("id"), length(col("payload")).as("n_bytes")))
+    val q71demux = () => {
+      val vid = Multimodal.encodeVideo(spark, q71ids.toDF(), "doc_id").toDF()
+      noop(Multimodal.frameSample(spark, vid, "id", "payload", stride = 2)
+        .toDF().select(col("id"), col("frameIdx"),
+          length(col("frame")).as("n_bytes")))
+    }
+    val q71dec = () => {
+      val vid = Multimodal.encodeVideo(spark, q71ids.toDF(), "doc_id").toDF()
+      val fr = Multimodal.frameSample(spark, vid, "id", "payload", stride = 2)
+      noop(Multimodal.decodeFrames(spark, fr).toDF())
+    }
+
     val allSlots: Map[String, () => Unit] = Map(
+      "q58real" -> q58real, "q58floor" -> q58floor,
+      "q58floorLen" -> q58floorLen,
+      "q58sort" -> q58sort, "q58bucketed" -> q58bucketed,
+      "q39real" -> q39real, "q39scan" -> q39scan,
+      "q39noUnique" -> q39noUnique, "q39expand" -> q39expand,
+      "q71real" -> q71real, "q71enc" -> q71enc,
+      "q71demux" -> q71demux, "q71dec" -> q71dec,
+      "q41bktMulti32" -> q41bktMulti(32),
       "q65f8" -> q65factor(8),
       "q65f16" -> q65factor(16),
       "q65f32" -> q65factor(32),

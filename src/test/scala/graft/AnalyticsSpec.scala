@@ -223,6 +223,23 @@ class AnalyticsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     packed.select("doc_id", "shard").collect()
       .foreach(r => assert(repacked(r.getLong(0)) === r.getLong(1)))
+    // the distributed prefix-sum form (the public packByBudget path)
+    // assigns the IDENTICAL shard to every doc as the one-window form
+    // (bucket-major md5 order == plain md5 order), at every prefix
+    // width including one that splits this corpus finely
+    val windowed = Sampling.packByBudgetWindowed(docs, Seq("source"),
+        "doc_id", "n_tokens", 500L)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1, 2, 3).foreach { pl =>
+      val bucketed = Sampling.packByBudgetBucketed(docs, Seq("source"),
+          "doc_id", "n_tokens", 500L, prefixLen = pl)
+      assert(bucketed.columns.sorted === packed.columns.sorted,
+        s"prefixLen=$pl leaked helper columns")
+      bucketed.select("doc_id", "shard").collect()
+        .foreach(r => assert(windowed(r.getLong(0)) === r.getLong(1),
+          s"prefixLen=$pl shard mismatch for doc ${r.getLong(0)}"))
+    }
   }
 
   test("decontaminate: planted leaks flagged, clean docs zero, bench broadcasts") {

@@ -293,6 +293,19 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(diff == 0, s"$diff rows diverge between native and HOF full stats")
   }
 
+  test("native token_count ≡ Column tokenCount, bit-equal incl. edges") {
+    import graft.functions.TextFunctions
+    val diff = kernelDocs.select(
+        call_function("token_count", col("text")).as("tc_n"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tc_hof"))
+      .where(col("tc_n") =!= col("tc_hof")).count()
+    assert(diff == 0, s"$diff rows diverge between native and HOF token_count")
+    // null propagates
+    val n = spark.sql("SELECT token_count(CAST(NULL AS STRING)) AS v")
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("native fingerprint_md5 / classifier_milli ≡ portable Column folds") {
     import graft.functions.TextFunctions
     val diff = kernelDocs.select(
