@@ -113,7 +113,12 @@ object StreamBench {
     //   - a UNIQUE-text control (every token salted per doc copy →
     //     no candidate pairs survive banding) — its sec/batch is the
     //     store round-trip alone, the real-text delta is pair work.
-    val dedupSizes = Seq(250, 1000, 4000)
+    // overridable so the x10 corpus can drive bigger unique-doc
+    // batches (the r13 store-growth check): the intercept of the fit
+    // below is only meaningful over sizes the feed can supply uniquely
+    val dedupSizes = sys.env.get("SPARK_GRAFT_STREAM_DEDUP_SIZES")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(250, 1000, 4000))
     def dedupRate(bs: Int, unique: Boolean): (Int, Double) = {
       val input = MemoryStream[(Long, String)]
       val root = tmp("sb-cd")

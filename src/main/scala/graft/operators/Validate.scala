@@ -91,53 +91,27 @@ object Validate {
   /** Run every expectation in one aggregate pass; returns the
     * violations report ordered by (expectation, column).
     *
-    * When exactly one [[Unique]] expectation is present (the typical
-    * PK-uniqueness gate), the distinct count is computed by a
-    * two-level aggregation keyed on that column instead of
-    * `count_distinct`: Catalyst plans a distinct aggregate alongside
-    * plain sums via an Expand that DOUBLES every input row before the
-    * partial aggregate and shuffles both replicas. The grouped form
-    * shuffles each key once (every other expectation is a sum of
-    * row-local indicators, so it distributes over the key grouping
-    * unchanged), halving the pre-shuffle row count and the shuffle
-    * itself on a wide batch. Results are bit-identical. */
+    * Scale note (r13, x100 = 15 M seeded orders): with a [[Unique]]
+    * expectation present, Catalyst plans the one-distinct case WITHOUT
+    * any Expand (partial aggregate keyed on the unique column -> one
+    * exchange -> merge), so the 2.7x residual vs DuckDB is the key
+    * exchange itself, not plan shape. Two rewrites were measured and
+    * rejected: an explicit two-level groupBy(key) aggregation timed
+    * identical (same plan family; 1.99 vs 1.80 s window noise), and
+    * splitting the distinct into its own bare-key branch read 1.69 vs
+    * 1.99 s but breaks the gate's single-scan contract for ~0.3 s.
+    * Same-window DuckDB twins of the two halves: distinct sub-agg
+    * alone 0.40 s vs Spark 1.36; row-local sums alone 0.29 vs 0.82 —
+    * a UNIFORM ~3x vectorized-vs-codegen agg-throughput constant on
+    * both halves (not a distinct-specific defect), the same
+    * engine-constant class as the adjudicated q10/q29 residuals
+    * (twin figures in BASELINE.md r13). */
   def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     require(expectations.nonEmpty, "no expectations given")
-    val uniques = expectations.collect { case u: Unique => u }
-    val agged =
-      if (uniques.size == 1) groupedAgg(df, expectations, uniques.head.column)
-      else {
-        val aggs = expectations.zipWithIndex.map { case (e, i) =>
-          badCount(e).as(s"__bad$i")
-        }
-        df.agg(count(lit(1)).as("__n"), aggs: _*)
-      }
-    report(agged, expectations)
-  }
-
-  /** The one-Unique aggregate without Expand: level 1 groups by the
-    * unique column (map-side combined — duplicates collapse before the
-    * shuffle), level 2 folds the per-key partials and reads the
-    * distinct count off the group count. */
-  private def groupedAgg(df: DataFrame, expectations: Seq[Expectation],
-      uniqueCol: String): DataFrame = {
-    val aggs1 = expectations.zipWithIndex.collect {
-      case (e, i) if !e.isInstanceOf[Unique] => badCount(e).as(s"__bad$i")
+    val aggs = expectations.zipWithIndex.map { case (e, i) =>
+      badCount(e).as(s"__bad$i")
     }
-    val level1 = df.groupBy(col(uniqueCol).as("__ukey"))
-      .agg(count(lit(1)).as("__ucnt"), aggs1: _*)
-    val aggs2 = expectations.zipWithIndex.map { case (e, i) =>
-      (e match {
-        // n_bad = count(non-null values) − count(distinct non-null):
-        // per non-null key the group holds __ucnt values of it, and
-        // count(__ukey) counts exactly the non-null groups
-        case Unique(_, _) =>
-          coalesce(sum(when(col("__ukey").isNotNull, col("__ucnt"))), lit(0L)) -
-            count(col("__ukey"))
-        case _ => coalesce(sum(col(s"__bad$i")), lit(0L))
-      }).as(s"__bad$i")
-    }
-    level1.agg(coalesce(sum(col("__ucnt")), lit(0L)).as("__n"), aggs2: _*)
+    report(df.agg(count(lit(1)).as("__n"), aggs: _*), expectations)
   }
 
   /** Explode the one-row aggregate into the per-expectation report. */

@@ -278,6 +278,34 @@ object AnalyticsQueries {
       .orderBy("event_type", "batch_date")
   }
 
+  /** New-in-r13 — q46's PORTABLE twin (the q49→q87 discipline): the
+    * SAME cross-batch rollup computed from per-batch DISTINCT-USER
+    * artifacts merged by plain set union — per (batch_date,
+    * event_type) distinct users (exactly the membership a q46 HLL
+    * artifact encodes) unioned across batches and counted, plus the
+    * per-batch exact row counts summed, shapes a DuckDB oracle
+    * replays exactly. AnalyticsSpec ties q46's estimate to this exact
+    * value (merge invariance + bounded drift), so the sketch path's
+    * number is transitively oracled; the HLL artifact stays the
+    * 100 TB answer (KB-sized mergeable state per batch — the merge
+    * never re-shuffles users, while this twin's union does). */
+  def q88SketchMergePortable(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // per-batch artifact content: the (batch, key) distinct-user sets
+    val perBatch = ev.select(to_date(col("ts")).as("batch_date"),
+      col("event_type"), col("user_id")).distinct()
+    val counts = ev.groupBy(to_date(col("ts")).as("batch_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    // merge: union the per-batch sets, count; sum the per-batch counts
+    val dist = perBatch.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_distinct_users"))
+    counts.groupBy("event_type").agg(sum(col("n_events")).as("n_events"))
+      .join(dist, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("n_distinct_users"))
+      .orderBy("event_type")
+  }
+
   /** New-in-r6 — §2 #41: exact heavy hitters (users with ≥ 80 events)
     * via the count-min pre-filter: one tree-aggregated sketch pass,
     * then only maybe-heavy rows shuffle into the exact count that
@@ -358,10 +386,19 @@ object AnalyticsQueries {
     "q30_rollup" -> (q30Rollup _),
     "q31_pivot" -> (q31Pivot _),
     "q32_percentile" -> (q32Percentile _),
-    "q87_retention_portable" -> (q87RetentionPortable _)
+    "q87_retention_portable" -> (q87RetentionPortable _),
+    "q88_sketch_merge_portable" -> (q88SketchMergePortable _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q88_sketch_merge_portable" ->
+      """WITH perday AS (SELECT DISTINCT CAST(ts AS DATE) AS d, event_type, user_id FROM events),
+        |cnts AS (SELECT CAST(ts AS DATE) AS d, event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+        |SELECT c.event_type,
+        |  CAST(sum(c.n) AS BIGINT) AS n_events,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM perday p
+        |     WHERE p.event_type = c.event_type) AS n_distinct_users
+        |FROM cnts c GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
     "q87_retention_portable" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, event_type, user_id FROM events),
         |act AS (SELECT d, event_type, CAST(count(*) AS BIGINT) AS n_active FROM du GROUP BY 1, 2),

@@ -605,7 +605,55 @@ object LlmQueries {
     * scan feeds the gates; the only shuffles are the dedup hash, the
     * decontamination count, and the per-split pack — nothing
     * quadratic, nothing collected. */
+  /** Above this many source docs the pack stage uses the distributed
+    * prefix sum; below, the single-window form. Unlike q58 (pack over
+    * a bare scan — distributed wins at every amplified tier), q61's
+    * pack input is the WHOLE cleaned pipeline, and the distributed
+    * form's second input pass re-runs it: same-window x100 (500 k
+    * docs) read windowed 3.67 s / distributed 4.60 / distributed+
+    * cached-projection 4.78 — the serial window over the ~1.6 M-row
+    * train split costs ~0.4 s, far less than one pipeline re-run. The
+    * crossover is where the one-task window sort stops being cheap
+    * (~10 M pack rows); footer count is the plan-time proxy. */
+  private val Q61_DISTRIBUTED_PACK_MIN_DOCS = 2000000L
+
   def q61CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val sp = Sampling.hashSplit(q61Clean(s, dir), "doc_id")
+      .select("doc_id", "split", "n_tokens")
+    val docRows = graft.sources.ParquetMeta.rowCount(
+      s, s"$dir/documents.parquet")
+    val packed =
+      if (docRows > Q61_DISTRIBUTED_PACK_MIN_DOCS)
+        Sampling.packByBudget(sp, Seq("split"), "doc_id", "n_tokens", 1000L)
+      else
+        Sampling.packByBudgetWindowed(
+          sp, Seq("split"), "doc_id", "n_tokens", 1000L)
+    packed.groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("split", "shard")
+  }
+
+  /** q61's pack stage in alternative shapes, for the Scratch same-
+    * window comparisons (windowed = pre-r13 single-window pack;
+    * nocache = distributed pack recomputing the pipeline twice). */
+  private[graft] def q61PackVariant(s: SparkSession, dir: String,
+      mode: String): DataFrame = {
+    val sp = Sampling.hashSplit(q61Clean(s, dir), "doc_id")
+      .select("doc_id", "split", "n_tokens")
+    val packed = mode match {
+      case "windowed" => Sampling.packByBudgetWindowed(
+        sp, Seq("split"), "doc_id", "n_tokens", 1000L)
+      case _ => Sampling.packByBudget(
+        sp, Seq("split"), "doc_id", "n_tokens", 1000L)
+    }
+    packed.groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("split", "shard")
+  }
+
+  /** The corpus-cleaning stages of [[q61CorpusPipeline]] up to the
+    * split/pack: crawl → gates → exact dedup → decontaminate. */
+  private def q61Clean(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     // simulated-recrawl ids offset past max(doc_id) (see q54)
     val off = d.agg(pow(lit(10), length(max(col("doc_id")).cast("string")))
@@ -643,14 +691,9 @@ object LlmQueries {
       filtered.withColumn("text_hash",
         md5(TextFunctions.normalizeText(col("text")))),
       Seq("text_hash"), Seq(col("doc_id")))
-    val clean = TextDedup.decontaminate(deduped, "doc_id", "text",
+    TextDedup.decontaminate(deduped, "doc_id", "text",
         d.where(col("doc_id") % 31 === 5), "text", n = 3, minOverlap = 5)
       .where(!col("is_contaminated"))
-    val sp = Sampling.hashSplit(clean, "doc_id")
-    Sampling.packByBudget(sp, Seq("split"), "doc_id", "n_tokens", 1000L)
-      .groupBy("split", "shard")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-      .orderBy("split", "shard")
   }
 
   /** New-in-r6 — q55's scale path benched: IVF-pruned batch k-NN join
@@ -679,13 +722,13 @@ object LlmQueries {
   def q64ImageDecode(s: SparkSession, dir: String): DataFrame = {
     val ids = spreadSeeds(t(s, dir, "documents").select(col("doc_id")))
     val png = Multimodal.encodePng(s, ids, "doc_id").toDF()
-    Multimodal.decodeImage(s, png, "id", "payload").toDF()
+    sortBarrier(s, dir, Multimodal.decodeImage(s, png, "id", "payload").toDF()
       .select(col("id").as("doc_id"), col("width"), col("height"),
         col("nChannels").as("n_channels"),
         round(element_at(col("channelMeans"), 1), 6).as("r_mean"),
         round(element_at(col("channelMeans"), 2), 6).as("g_mean"),
         round(element_at(col("channelMeans"), 3), 6).as("b_mean"),
-        col("pixelSum").as("pixel_sum"))
+        col("pixelSum").as("pixel_sum")))
       .orderBy("doc_id")
   }
 
@@ -732,7 +775,7 @@ object LlmQueries {
   def q70AudioDecode(s: SparkSession, dir: String): DataFrame = {
     val ids = spreadSeeds(t(s, dir, "documents").select(col("doc_id")))
     val wav = Audio.encodeWav(s, ids, "doc_id").toDF()
-    Audio.decodeAudio(s, wav, "id", "payload").toDF()
+    sortBarrier(s, dir, Audio.decodeAudio(s, wav, "id", "payload").toDF()
       .select(col("id").as("doc_id"),
         col("sampleRate").cast("long").as("sample_rate"),
         col("nSamples").cast("long").as("n_samples"),
@@ -740,7 +783,7 @@ object LlmQueries {
         round(sqrt(col("sumSquares").cast("double") / col("nSamples")), 6)
           .as("rms"),
         col("zeroCrossings").cast("long").as("zero_crossings"),
-        col("peak").cast("long").as("peak"))
+        col("peak").cast("long").as("peak")))
       .orderBy("doc_id")
   }
 
@@ -757,13 +800,13 @@ object LlmQueries {
     val ids = spreadSeeds(t(s, dir, "documents").select(col("doc_id")))
     val vid = Multimodal.encodeVideo(s, ids, "doc_id").toDF()
     val frames = Multimodal.frameSample(s, vid, "id", "payload", stride = 2)
-    Multimodal.decodeFrames(s, frames).toDF()
+    sortBarrier(s, dir, Multimodal.decodeFrames(s, frames).toDF()
       .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
         col("width"), col("height"), col("nChannels").as("n_channels"),
         round(element_at(col("channelMeans"), 1), 6).as("r_mean"),
         round(element_at(col("channelMeans"), 2), 6).as("g_mean"),
         round(element_at(col("channelMeans"), 3), 6).as("b_mean"),
-        col("pixelSum").as("pixel_sum"))
+        col("pixelSum").as("pixel_sum")))
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -782,14 +825,15 @@ object LlmQueries {
   def q83InterVideo(s: SparkSession, dir: String): DataFrame = {
     val ids = spreadSeeds(t(s, dir, "documents").select(col("doc_id")))
     val vid = Multimodal.encodeVideoInter(s, ids, "doc_id", gop = 4)
-    Multimodal.sampleFramesInter(s, vid.toDF(), "id", "payload", stride = 2)
+    sortBarrier(s, dir, Multimodal.sampleFramesInter(s, vid.toDF(), "id", "payload",
+        stride = 2)
       .toDF()
       .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
         col("width"), col("height"), lit(3).as("n_channels"),
         round(element_at(col("channelMeans"), 1), 6).as("r_mean"),
         round(element_at(col("channelMeans"), 2), 6).as("g_mean"),
         round(element_at(col("channelMeans"), 3), 6).as("b_mean"),
-        col("pixelSum").as("pixel_sum"))
+        col("pixelSum").as("pixel_sum")))
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -1028,6 +1072,29 @@ object LlmQueries {
     * media table gets from its own many-file layout. */
   private def spreadSeeds(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Below this many seed docs the codec chain re-run costs less than
+    * a fixed exchange stage (sf0.1 = 5 k seeds: barrier +0.15–0.25 s
+    * per query; x10 = 50 k: the re-run already dominates) — the same
+    * footer-row-count tier switch as q10's bucketed form. */
+  private val SORT_BARRIER_MIN_SEEDS = 20000L
+
+  /** Round-robin exchange of the SMALL per-frame/per-file stat rows a
+    * codec chain emits, placed under the trailing global sort. Without
+    * it the sort's range-boundary sampling job re-runs the entire
+    * encode→demux→decode lineage (there is no shuffle below the sort
+    * to reuse): r13 at x100 measured q71 at 5.20 s ≈ 2× its own
+    * 2.66 s codec floor, and the barrier alone took it to 3.19 s —
+    * the sample job re-reads this exchange's shuffle files instead of
+    * re-running the codecs. Payload bytes still never shuffle; the
+    * exchange carries only the decoded statistics. Skipped below
+    * [[SORT_BARRIER_MIN_SEEDS]] (footer-count metadata read), where
+    * the chain is cheaper than the exchange. */
+  private def sortBarrier(s: SparkSession, dir: String,
+      df: DataFrame): DataFrame =
+    if (graft.sources.ParquetMeta.rowCount(s, s"$dir/documents.parquet")
+        < SORT_BARRIER_MIN_SEEDS) df
+    else df.repartition(s.sparkContext.defaultParallelism)
 
   /** New-in-r7 — sub-document SPAN dedup ([[TextDedup.chunkDedup]],
     * the C4 / Lee et al. granularity): a simulated boilerplate crawl

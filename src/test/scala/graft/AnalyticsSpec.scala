@@ -305,6 +305,17 @@ class AnalyticsSpec extends SparkTestBase {
       assert(math.abs(merged(k) - ex).toDouble / ex < 0.05,
         s"$k: sketch ${merged(k)} vs exact $ex")
     }
+    // the q88 portable twin (oracled gate) computes the same rollup
+    // from per-batch distinct-set artifacts: its n_distinct_users IS
+    // the exact value above, and its n_events matches q46's — the
+    // sketch gate's numbers are transitively oracled through it
+    val twin = graft.queries.AnalyticsQueries
+      .q88SketchMergePortable(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val q46 = graft.queries.AnalyticsQueries.q46SketchMerge(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twin.view.mapValues(_._2).toMap === exact)
+    assert(twin.view.mapValues(_._1).toMap === q46)
   }
 
   test("theta retention: estimates equal exact counts in exact mode") {

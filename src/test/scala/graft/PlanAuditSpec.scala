@@ -94,6 +94,29 @@ class PlanAuditSpec extends SparkTestBase {
       "bucketed and repartition forms must return identical rows")
   }
 
+  test("q05 bucketed tier: flatten join + multiplicity window ride the buckets, zero fact shuffles") {
+    val df = EcommerceQueries.q05BucketedForm(spark, sf0001)
+    val plan = executed(df)
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // join AND window cluster on the same bucket key: no shuffle may
+    // sit below the join (the only exchange is the trailing output
+    // sort's range partitioning)
+    val joinSub = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinSub.contains("Exchange hashpartitioning") &&
+      !joinSub.contains("Exchange rangepartitioning"),
+      s"bucketed q05 must not shuffle fact data:\n$plan")
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 0,
+      s"window must reuse the bucket clustering:\n$plan")
+    // tier forms are interchangeable: same row MULTISET as the plain
+    // form (the declared sort keys (order_key, item_linenumber) are
+    // not unique, so tie order legitimately differs between plans —
+    // the driver gate compares sorted rows the same way)
+    val plain = EcommerceQueries.queries("q05_flatten_prefix")(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(df.collect().map(_.toString).sorted.toSeq == plain,
+      "bucketed and plain q05 forms must return identical rows")
+  }
+
   test("co-located join: bucketed reads feed the SMJ with zero exchanges below it") {
     val df = EcommerceQueries.q41ColocatedJoin(spark, sf0001)
     val plan = executed(df)
