@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators._
 
 /** SURVEY.md §2 rows 17–21: LLM-data-pipeline operators over the
@@ -310,12 +310,35 @@ object LlmQueries {
       .orderBy("doc_id")
 
   /** §2 #18/#19 — embedding-cosine near-dup pairs, IVF-cell-blocked
-    * (no all-pairs). Rows-only; soundness + recall in AnnSpec. */
+    * (no all-pairs). Rows-only; soundness + recall in AnnSpec;
+    * oracled portable twin [[q89CosinePortable]]. */
   def q26EmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, nClusters = 8)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
       .orderBy("id_a", "id_b")
+
+  /** New-in-r13 — q26's PORTABLE twin (the q18→q37 discipline): the
+    * same near-dup pair semantics with the IVF blocking removed —
+    * brute-force all-pairs cosine, identical per-pair arithmetic
+    * (index-ordered double fold, q21's oracle pattern), so the DuckDB
+    * oracle replays the full pair truth bit-for-bit. Correctness
+    * artifact, not a production path (all-pairs is O(n²); production
+    * q26 blocks by IVF cell) — Bench skips `*_portable` keys. AnnSpec
+    * ties the two: every q26 pair appears here with the same cos_sim. */
+  def q89CosinePortable(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__n", VectorFunctions.norm(col("embedding")))
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim",
+        VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.__n") * col("b.__n")))
+      .where(col("cos_sim") >= 0.35)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
 
   /** §2 #30 — deterministic hash train/val/test split over the corpus:
     * per-split and per-source counts (split assignment is md5-derived,
@@ -1193,6 +1216,7 @@ object LlmQueries {
     "q43_simhash_idf_portable" -> (q43SimhashIdfPortable _),
     "q36_hash_split" -> (q36HashSplit _),
     "q26_embed_neardup" -> (q26EmbedNearDup _),
+    "q89_cosine_portable" -> (q89CosinePortable _),
     "q17_exact_dedup" -> (q17ExactDedup _),
     "q18_minhash_pairs" -> (q18MinhashPairs _),
     "q19_simhash" -> (q19Simhash _),
@@ -1422,6 +1446,17 @@ object LlmQueries {
         |ORDER BY query_id, round(cs, 6) DESC, vec_id""".stripMargin,
 
     "q37_minhash_portable" -> minhashPortableSql,
+
+    "q89_cosine_portable" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 6) AS cos_sim
+        |FROM p WHERE c >= 0.35 ORDER BY id_a, id_b""".stripMargin,
 
     "q77_split_leakage_portable" ->
       s"""WITH pairs AS ($minhashPortableSql),

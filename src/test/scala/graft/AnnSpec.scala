@@ -263,6 +263,28 @@ class AnnSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("q26's IVF-blocked pairs are a subset of the q89 brute truth, same cos_sim") {
+    // q89 is q26's oracled portable twin: identical per-pair
+    // arithmetic with the IVF blocking removed. Every pair the
+    // blocked path reports must appear in the brute truth with a
+    // bit-identical (rounded) cosine — a cell-blocking bug that
+    // invents or perturbs a pair fails loudly here, and recall of
+    // the blocking itself stays measured (nonzero, reported on
+    // failure) rather than silently collapsing to 0.
+    val brute = SparkEntry.queries("q89_cosine_portable")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val blocked = SparkEntry.queries("q26_embed_neardup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(blocked.nonEmpty, "q26 found no pairs at sf0.01")
+    blocked.foreach { case (pair, cs) =>
+      assert(brute.get(pair).contains(cs),
+        s"q26 pair $pair (cos=$cs) not in brute truth (${brute.get(pair)})")
+    }
+    val recall = blocked.length.toDouble / brute.size
+    assert(recall >= 0.2,
+      s"IVF blocking recall collapsed: ${blocked.length}/${brute.size}")
+  }
+
   test("hyperplane LSH returns a valid cosine-ordered subset") {
     val e = Tables.load(spark, sf001, "embeddings")
     val out = Ann.lshTopK(e.where(col("vec_id") =!= 7),
