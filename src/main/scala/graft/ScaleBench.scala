@@ -167,11 +167,17 @@ object ScaleBench {
         .write.mode("overwrite").parquet(s"$dir/$table.parquet")
       built = true
     }
+    // the base tables are single ~20 MB files = ONE scan partition, so
+    // a crossJoin(copies) would funnel all f× output rows through one
+    // map task (measured at f=100: a 60 M-row single-task sort-spill,
+    // 10+ min; 32-way it's ~2 min). Spread the base FIRST — the
+    // crossJoin then amplifies 32 ways in parallel. Row set unchanged.
+    def spread(df: DataFrame): DataFrame = df.repartition(32)
 
     if (need("documents")) {
       val d = spark.read.parquet(s"$base/documents.parquet")
       val s = stride(d, "doc_id")
-      write("documents", d.crossJoin(copies)
+      write("documents", spread(d).crossJoin(copies)
         .select(
           (col("doc_id") + col("__k") * s).as("doc_id"),
           when(col("__k") === 0, col("text")).otherwise(concat_ws(" ",
@@ -184,13 +190,13 @@ object ScaleBench {
       val oStride = stride(spark.read.parquet(s"$base/orders.parquet"), "o_orderkey")
       if (need("lineitem")) {
         val li = spark.read.parquet(s"$base/lineitem.parquet")
-        write("lineitem", li.crossJoin(copies)
+        write("lineitem", spread(li).crossJoin(copies)
           .withColumn("l_orderkey", col("l_orderkey") + col("__k") * oStride)
           .drop("__k").select(li.columns.map(col).toSeq: _*))
       }
       if (need("orders")) {
         val o = spark.read.parquet(s"$base/orders.parquet")
-        write("orders", o.crossJoin(copies)
+        write("orders", spread(o).crossJoin(copies)
           .withColumn("o_orderkey", col("o_orderkey") + col("__k") * oStride)
           .drop("__k").select(o.columns.map(col).toSeq: _*))
       }
@@ -202,7 +208,7 @@ object ScaleBench {
         val uStride = stride(e, "user_id")
         val spanUs = e.agg((unix_micros(max(col("ts"))) -
           unix_micros(min(col("ts"))) + 86400000000L).as("s")).head().getLong(0)
-        write("events", e.crossJoin(copies)
+        write("events", spread(e).crossJoin(copies)
           .withColumn("event_id", col("event_id") + col("__k") * eStride)
           .withColumn("user_id", col("user_id") + col("__k") * uStride)
           .withColumn("ts",
