@@ -119,6 +119,15 @@ object StreamBench {
     val dedupSizes = sys.env.get("SPARK_GRAFT_STREAM_DEDUP_SIZES")
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(250, 1000, 4000))
+    // r13 corpus-growth knob: pre-seed the corpus store + LSH artifact
+    // with N real-text docs in the UNTIMED priming batch, so the timed
+    // batches run against a store that is already corpus-sized — the
+    // direct check that the per-batch round-trip is watermark-pruned
+    // (batch-sized), not store-sized. Preseed ids cycle BELOW the
+    // timed range (timed ids start at 1e6): continuousDedup's
+    // incremental signing contract is monotone arrival ids, so seed
+    // docs must precede every timed doc in id order.
+    val preseed = sys.env.getOrElse("SPARK_GRAFT_STREAM_PRESEED", "0").toInt
     def dedupRate(bs: Int, unique: Boolean): (Int, Double) = {
       val input = MemoryStream[(Long, String)]
       val root = tmp("sb-cd")
@@ -130,11 +139,18 @@ object StreamBench {
             "doc_id", "text")
           .option("checkpointLocation", tmp("sb-cdckpt")).start(),
         input,
-        i => docs.take(bs).map { case (id, t) =>
-          val nid = id + i * 1000000L
-          (nid, if (!unique) t
-            else t.split(" ").map(w => s"$w§$nid").mkString(" "))
-        }.toSeq)
+        i => {
+          if (i == 0 && preseed > 0)
+            (0 until preseed).map { j =>
+              val (id, t) = docs(j % docs.length)
+              (id + 100000L * (j / docs.length), t)
+            }
+          else docs.take(bs).map { case (id, t) =>
+            val nid = id + i * 1000000L
+            (nid, if (!unique) t
+              else t.split(" ").map(w => s"$w§$nid").mkString(" "))
+          }.toSeq
+        })
       bs -> rate
     }
     val dedupRates = dedupSizes.map(dedupRate(_, unique = false))
@@ -143,9 +159,15 @@ object StreamBench {
     // store-round-trip cost the batch size amortizes
     val pts = dedupRates.map { case (b, r) => (b.toDouble, b / r) }
     val (mx, my) = (pts.map(_._1).sum / pts.size, pts.map(_._2).sum / pts.size)
-    val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
-      pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
-    val fixedSec = my - slope * mx
+    // the fit needs ≥2 distinct sizes; a single-size run (the preseed
+    // experiments) would divide 0/0 and print NaN — invalid JSON
+    val fixedSec =
+      if (pts.map(_._1).distinct.size < 2) 0.0
+      else {
+        val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+          pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+        my - slope * mx
+      }
 
     val qSizes = Seq(5000, 20000, 100000)
     val qRates = qSizes.map { bs =>
@@ -165,7 +187,7 @@ object StreamBench {
 
     def fmt(rs: Seq[(Int, Double)]): String =
       rs.map { case (b, r) => s""""$b":${math.round(r)}""" }.mkString(",")
-    println(s"""{"metric":"stream","sf":"$sfDir","n_batches":$nBatches,""" +
+    println(s"""{"metric":"stream","sf":"$sfDir","n_batches":$nBatches,"preseed":$preseed,""" +
       s""""chunk_dedup_rows_per_sec":{${fmt(chunkRates)}},""" +
       s""""substring_dedup_rows_per_sec":{${fmt(subRates)}},""" +
       s""""continuous_dedup_rows_per_sec":{${fmt(dedupRates)}},""" +
