@@ -340,6 +340,24 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** New-in-r13 — the hyperplane-LSH ANN leg's PORTABLE twin (§2 #19):
+    * [[Ann.lshTopK]] over the seeded 12×64 plane matrix, which is
+    * fully row-local and deterministic (sign bits of index-ordered
+    * double folds), so the DuckDB oracle replays bucket assignment,
+    * the ≤3-bit Hamming probe, and the cosine top-k bit-for-bit — the
+    * plane constants are embedded in the SQL as round-trip double
+    * literals. q22's IVF leg has no such twin BY DESIGN: its centroids
+    * come from Lloyd training whose float-sum order is not an
+    * engine-portable contract. Correctness artifact; Bench skips
+    * `*_portable` keys. */
+  def q90LshPortable(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.lshTopK(e.where(col("vec_id") =!= 7), e.where(col("vec_id") === 7),
+        "vec_id", "embedding", k = 10, nPlanes = 12, probe = 3)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+  }
+
   /** §2 #30 — deterministic hash train/val/test split over the corpus:
     * per-split and per-source counts (split assignment is md5-derived,
     * row-local, engine-portable — the re-run-stable split discipline
@@ -1217,6 +1235,7 @@ object LlmQueries {
     "q36_hash_split" -> (q36HashSplit _),
     "q26_embed_neardup" -> (q26EmbedNearDup _),
     "q89_cosine_portable" -> (q89CosinePortable _),
+    "q90_lsh_portable" -> (q90LshPortable _),
     "q17_exact_dedup" -> (q17ExactDedup _),
     "q18_minhash_pairs" -> (q18MinhashPairs _),
     "q19_simhash" -> (q19Simhash _),
@@ -1234,6 +1253,39 @@ object LlmQueries {
   /** Full DuckDB replay of the portable MinHash-LSH near-dup pipeline
     * (q37's oracle); q76 wraps it as a CTE to audit cross-split
     * pairs. */
+  /** q90's oracle: the seeded plane matrix as round-trip double
+    * literals (Scala Double.toString is shortest-round-trip; DuckDB
+    * parses to the nearest double = the same bits), bucket bits from
+    * the same index-ordered fold, the same ≤3-bit probe, and the
+    * top-10 selected on the UNROUNDED cosine exactly as
+    * [[Ann.lshTopK]]'s limit does. */
+  private lazy val lshPortableSql: String = {
+    val planes = graft.operators.Ann.hyperplanes(12, 64, 42L)
+    val vals = planes.zipWithIndex.map { case (p, i) =>
+      s"(${1L << i}, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n      ")
+    s"""WITH planes(bit, pv) AS (VALUES
+       |      $vals),
+       |b AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    sum(CASE WHEN CAST(list_sum(list_transform(
+       |          generate_series(1, len(e.embedding)),
+       |          i -> e.embedding[i]::DOUBLE * pv[i])) AS DOUBLE) > 0
+       |        THEN bit ELSE 0 END)::BIGINT AS bkt
+       |  FROM embeddings e CROSS JOIN planes GROUP BY e.vec_id, e.embedding),
+       |q AS (SELECT embedding AS qv, bkt AS qb FROM b WHERE vec_id = 7),
+       |cand AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+       |        i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) AS DOUBLE)
+       |    / (sqrt(CAST(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS DOUBLE))
+       |       * sqrt(CAST(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)) AS DOUBLE))) AS c
+       |  FROM b, q WHERE vec_id <> 7 AND bit_count(xor(bkt, qb)) <= 3
+       |  ORDER BY c DESC, vec_id LIMIT 10)
+       |SELECT vec_id, round(c, 6) AS cos_sim
+       |FROM cand ORDER BY cos_sim DESC, vec_id""".stripMargin
+  }
+
   private lazy val minhashPortableSql: String =
     s"""WITH perms(i, a, b) AS (VALUES $permsValues),
        |w AS (SELECT doc_id, $toksSql AS w FROM documents),
@@ -1446,6 +1498,8 @@ object LlmQueries {
         |ORDER BY query_id, round(cs, 6) DESC, vec_id""".stripMargin,
 
     "q37_minhash_portable" -> minhashPortableSql,
+
+    "q90_lsh_portable" -> lshPortableSql,
 
     "q89_cosine_portable" ->
       """WITH p AS (
