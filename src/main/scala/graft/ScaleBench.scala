@@ -162,8 +162,12 @@ object ScaleBench {
       if (java.nio.file.Files.isSymbolicLink(p)) java.nio.file.Files.delete(p)
       !java.nio.file.Files.exists(p)
     }
+    // the session's actual core count (SPARK_GRAFT_CPUS-configurable
+    // in main) — NOT a literal 32, so the spread matches the executor
+    // count on any box (r13 ADVICE)
+    val cores = spark.sparkContext.defaultParallelism
     def write(table: String, df: DataFrame): Unit = {
-      df.repartition(math.min(f * 4, 32))
+      df.repartition(math.min(f * 4, cores))
         .write.mode("overwrite").parquet(s"$dir/$table.parquet")
       built = true
     }
@@ -171,8 +175,9 @@ object ScaleBench {
     // a crossJoin(copies) would funnel all f× output rows through one
     // map task (measured at f=100: a 60 M-row single-task sort-spill,
     // 10+ min; 32-way it's ~2 min). Spread the base FIRST — the
-    // crossJoin then amplifies 32 ways in parallel. Row set unchanged.
-    def spread(df: DataFrame): DataFrame = df.repartition(32)
+    // crossJoin then amplifies core-count ways in parallel. Row set
+    // unchanged.
+    def spread(df: DataFrame): DataFrame = df.repartition(cores)
 
     if (need("documents")) {
       val d = spark.read.parquet(s"$base/documents.parquet")

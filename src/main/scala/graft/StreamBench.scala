@@ -128,6 +128,23 @@ object StreamBench {
     // incremental signing contract is monotone arrival ids, so seed
     // docs must precede every timed doc in id order.
     val preseed = sys.env.getOrElse("SPARK_GRAFT_STREAM_PRESEED", "0").toInt
+    // preseed block k occupies [k*seedStride, k*seedStride + idSpan];
+    // every block must stay strictly below the timed floor (1e6) or
+    // seed ids collide with batch ids and the dedup store silently
+    // drops timed docs as already-seen, corrupting the growth
+    // measurement (r13 ADVICE) — fail loudly instead
+    val timedIdFloor = 1000000L
+    val seedStride = 100000L
+    if (preseed > 0) {
+      val ids = docs.map(_._1)
+      val idSpan = ids.max - ids.min
+      val maxSeedId = ids.max + seedStride * ((preseed - 1) / docs.length)
+      require(idSpan < seedStride && maxSeedId < timedIdFloor,
+        s"preseed=$preseed overflows the seed id range: doc-id span " +
+          s"$idSpan (must be < $seedStride) and max seed id $maxSeedId " +
+          s"(must be < timed floor $timedIdFloor) — shrink preseed or " +
+          s"widen the timed floor")
+    }
     def dedupRate(bs: Int, unique: Boolean): (Int, Double) = {
       val input = MemoryStream[(Long, String)]
       val root = tmp("sb-cd")
@@ -143,7 +160,7 @@ object StreamBench {
           if (i == 0 && preseed > 0)
             (0 until preseed).map { j =>
               val (id, t) = docs(j % docs.length)
-              (id + 100000L * (j / docs.length), t)
+              (id + seedStride * (j / docs.length), t)
             }
           else docs.take(bs).map { case (id, t) =>
             val nid = id + i * 1000000L
@@ -160,13 +177,14 @@ object StreamBench {
     val pts = dedupRates.map { case (b, r) => (b.toDouble, b / r) }
     val (mx, my) = (pts.map(_._1).sum / pts.size, pts.map(_._2).sum / pts.size)
     // the fit needs ≥2 distinct sizes; a single-size run (the preseed
-    // experiments) would divide 0/0 and print NaN — invalid JSON
-    val fixedSec =
-      if (pts.map(_._1).distinct.size < 2) 0.0
+    // experiments) can't be fitted — emit JSON null, NOT 0.0, so
+    // consumers can tell "not fitted" from "fitted to ~0" (r13 ADVICE)
+    val fixedSec: Option[Double] =
+      if (pts.map(_._1).distinct.size < 2) None
       else {
         val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
           pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
-        my - slope * mx
+        Some(my - slope * mx)
       }
 
     val qSizes = Seq(5000, 20000, 100000)
@@ -192,7 +210,8 @@ object StreamBench {
       s""""substring_dedup_rows_per_sec":{${fmt(subRates)}},""" +
       s""""continuous_dedup_rows_per_sec":{${fmt(dedupRates)}},""" +
       s""""continuous_dedup_uniq_rows_per_sec":{${fmt(dedupUniqRates)}},""" +
-      f""""continuous_dedup_fixed_sec_per_batch":$fixedSec%.3f,""" +
+      s""""continuous_dedup_fixed_sec_per_batch":${
+        fixedSec.map(v => f"$v%.3f").getOrElse("null")},""" +
       s""""windowed_quantiles_rows_per_sec":{${fmt(qRates)}}}""")
     spark.stop()
   }
