@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object LshArtifact {
 
+  /** Largest new-side (doc, band, band_hash) row count the incremental
+    * candidate probe will broadcast (~24 B/row ⇒ ~100 MB relation);
+    * above it (a backfill-sized "batch") the probe joins shuffled. */
+  val BroadcastNewSideMaxRows: Int = 4 << 20
+
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -71,10 +76,17 @@ object LshArtifact {
     // no-op for complete docs. Parquet task commits are file-atomic,
     // so a (doc, band) row is either fully present or absent — there
     // is no sub-row tear to guard.
+    // every bb row has doc > wm, so artifact rows at or below the
+    // watermark can never match the guard — filter the guard scan to
+    // doc > wm. Appends are doc-ranged files (monotone ids), so the
+    // pushed filter zone-prunes the read to the torn replay window
+    // instead of the whole store (the r13 store-growth finding: the
+    // guard scan was the growth term, not recompute).
     val toWrite =
       if (!exists(spark, artifactDir)) bb
       else bb.join(
-        spark.read.parquet(artifactDir).select(col("doc"), col("band")).distinct(),
+        spark.read.parquet(artifactDir).where(col("doc") > wm)
+          .select(col("doc"), col("band")).distinct(),
         Seq("doc", "band"), "left_anti")
     val staged = toWrite.persist()
     try {
@@ -114,11 +126,36 @@ object LshArtifact {
       sinceId: Long = Long.MinValue): DataFrame = {
     // sinceId narrows to pairs TOUCHING a doc above it — the daily
     // batch shape: old-old pairs were folded by earlier cycles, so a
-    // growth run verifies only candidates with a new side (ids are
-    // monotone, so doc_b — the larger — catches almost all of them
-    // and the filter sits before the verify joins and the semi join)
-    val cands = candidatePairs(spark, artifactDir)
-      .where(col("doc_a") > sinceId || col("doc_b") > sinceId)
+    // growth run verifies only candidates with a new side. r14: the
+    // candidate stage is now STRUCTURALLY asymmetric instead of a
+    // filter above the full self-join — the new side is the
+    // zone-pruned `doc > sinceId` slice (appends are doc-ranged
+    // files), broadcast when batch-sized, so the store side is ONE
+    // narrow columnar scan with zero store-row shuffle, instead of
+    // scanning AND shuffling the whole artifact twice per batch.
+    // (x, y) shares a bucket with y new  ⇔  the pair touches a new
+    // doc — least/greatest + distinct restores the doc_a < doc_b
+    // normal form, so the pair set is exactly the filtered self-join's
+    // (asserted in LshArtifactSpec), with no monotone-id assumption.
+    val cands =
+      if (sinceId == Long.MinValue) candidatePairs(spark, artifactDir)
+      else {
+        val all = bandBuckets(spark, artifactDir)
+        val nw = all.where(col("doc") > sinceId)
+        // broadcast only a batch-sized new side; a backfill-sized one
+        // (e.g. the first run over a whole corpus) joins shuffled
+        val newSide =
+          if (nw.limit(BroadcastNewSideMaxRows + 1).count()
+              <= BroadcastNewSideMaxRows) broadcast(nw)
+          else nw.hint("shuffle_hash")
+        all.as("a").join(newSide.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc") =!= col("b.doc"))
+          .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+            greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+          .distinct()
+      }
     val candIds = cands.select(col("doc_a").as("doc"))
       .union(cands.select(col("doc_b").as("doc"))).distinct()
     val raw = docs.select(col(idCol).cast("long").as("doc"),
@@ -177,10 +214,16 @@ object LshArtifact {
       threshold, shingleN, stop, sinceId = wmCc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val newWm = docs.agg(max(col(idCol).cast("long"))).head() match {
-        case r if r.isNullAt(0) => wmCc
-        case r => r.getLong(0)
-      }
+      // the cluster cycle's new watermark is the corpus id high-water
+      // mark — which the signature cycle JUST committed (refresh sets
+      // it to max(delta ids), and a no-delta replay means it already
+      // covers every id). Reading it back from the control log is
+      // metadata-scale; the previous `docs.agg(max(id))` re-scanned
+      // the whole corpus id column every batch (an r13 store-growth
+      // term). Fallback to wmCc when both logs are empty (empty
+      // corpus), exactly like the old null-max case.
+      val newWm = math.max(wmCc, EtlControl.lastWatermarkMicros(
+        spark, controlDir, s"$sourceId#sig", wmCc))
       val nPairs = pairs.count()
       val (nAssign, _) = EtlControl.runDedupCycle(spark, controlDir,
         s"$sourceId#cc", pairs, "doc_a", "doc_b", assignDir, batchId,

@@ -150,11 +150,27 @@ object StreamingDedup {
       assignDir: String, sourceId: String, idCol: String, textCol: String,
       threshold: Double = 0.5, numPerm: Int = 64, bands: Int = 16,
       shingleN: Int = 3):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // per-RUN corpus id high-water mark (foreachBatch runs on the
+    // driver; one closure instance per started query): initialized
+    // with ONE corpus max scan on the run's first guarded batch, then
+    // maintained incrementally — so the steady-state append guard is
+    // O(batch), never O(store). The r13 store-growth decomposition
+    // found this full-corpus id-column anti-join scan was the growth
+    // term; under the documented monotone-arrival contract every
+    // routine batch skips it outright (batch min id > HWM ⇒ no id can
+    // already exist), and a redelivered window falls back to the
+    // anti join RANGE-FILTERED to [batch min, batch max] — appends are
+    // id-ranged files, so the pushed filter zone-prunes the read to
+    // the replayed window. The HWM only ever overshoots (max of batch
+    // maxima ≥ true corpus max), which can only force the safe
+    // fallback, never a wrong skip.
+    var corpusHwm: Option[Long] = None
+    var hwmInit = false
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, lit, max, min}
         val fs = new org.apache.hadoop.fs.Path(corpusDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val corpusExists = fs.exists(new org.apache.hadoop.fs.Path(corpusDir)) &&
@@ -165,11 +181,49 @@ object StreamingDedup {
         // duplicate corpus rows + 2x band rows per doc into the
         // artifact — dedupe the batch itself first
         val batchDistinct = batch.dropDuplicates(Seq(idCol))
+        // the id-range guard is exact only for integral ids (a cast in
+        // the corpus-side filter would defeat pushdown and, for
+        // strings, change comparison semantics) — others keep the
+        // full-scan anti join
+        val idIsIntegral = batch.schema(idCol).dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType => true
+          case _ => false
+        }
         val guarded =
           if (!corpusExists) batchDistinct
-          else batchDistinct.join(
-            spark.read.parquet(corpusDir).select(col(idCol)),
-            Seq(idCol), "left_anti")
+          else if (!idIsIntegral)
+            batchDistinct.join(
+              spark.read.parquet(corpusDir).select(col(idCol)),
+              Seq(idCol), "left_anti")
+          else {
+            if (!hwmInit) {
+              corpusHwm = spark.read.parquet(corpusDir)
+                .agg(max(col(idCol).cast("long"))).head() match {
+                  case r if r.isNullAt(0) => None
+                  case r => Some(r.getLong(0))
+                }
+              hwmInit = true
+            }
+            val mm = batchDistinct.agg(min(col(idCol).cast("long")),
+              max(col(idCol).cast("long"))).head()
+            if (mm.isNullAt(0)) batchDistinct // no non-null ids: null
+            // keys never equi-match an anti join — same rows either way
+            else {
+              val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))
+              // skip decision against the PRE-batch HWM; then raise it
+              val allNew = corpusHwm.forall(_ < bMin)
+              corpusHwm = Some(corpusHwm.fold(bMax)(math.max(_, bMax)))
+              if (allNew) batchDistinct
+              else batchDistinct.join(
+                spark.read.parquet(corpusDir)
+                  .where(col(idCol) >= lit(bMin) && col(idCol) <= lit(bMax))
+                  .select(col(idCol)),
+                Seq(idCol), "left_anti")
+            }
+          }
         val appended = !guarded.isEmpty
         if (appended)
           guarded.write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -186,6 +240,7 @@ object StreamingDedup {
             numPerm = numPerm, bands = bands, shingleN = shingleN)
         ()
     }
+  }
 
   /** CONTINUOUS sub-document (chunk) span dedup: each micro-batch's
     * documents are chunk-deduped against a persisted chunk-hash store

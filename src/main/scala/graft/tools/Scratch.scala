@@ -1131,6 +1131,90 @@ object Scratch {
       "q85pass3" -> q85pass3,
       "q65real" -> q65real, "q65plain" -> q65plain,
       "q51real" -> q51real, "q51plain" -> q51plain,
+      "q53two" -> (() => noop(
+        graft.queries.AnalyticsQueries.q53Variant(spark, dir, "two"))),
+      "q53sweep" -> (() => noop(
+        graft.queries.AnalyticsQueries.q53Variant(spark, dir, "sweep"))),
+      "q53firstocc" -> (() => noop(
+        graft.queries.AnalyticsQueries.q53Variant(spark, dir, "firstocc"))),
+      "q53eqf" -> (() => {
+        val a = graft.queries.AnalyticsQueries.q53Variant(spark, dir, "two").collect()
+        val b = graft.queries.AnalyticsQueries.q53Variant(spark, dir, "firstocc").collect()
+        val ok = a.length == b.length && a.zip(b).forall { case (x, y) => x == y }
+        println(s"EQMATCHF $dir rows=${a.length} match=$ok")
+        if (!ok) a.zip(b).filter { case (x, y) => x != y }.take(5)
+          .foreach { case (x, y) => println(s"  two=$x firstocc=$y") }
+      }),
+      // row-for-row equality of the sweep form vs the join form at the
+      // ambient SF (prints EQMATCH true/false; not a timing slot)
+      "q53eq" -> (() => {
+        val a = graft.queries.AnalyticsQueries.q53Variant(spark, dir, "two").collect()
+        val b = graft.queries.AnalyticsQueries.q53Variant(spark, dir, "sweep").collect()
+        val ok = a.length == b.length && a.zip(b).forall { case (x, y) => x == y }
+        println(s"EQMATCH $dir rows=${a.length} match=$ok")
+        if (!ok) a.zip(b).filter { case (x, y) => x != y }.take(5)
+          .foreach { case (x, y) => println(s"  two=$x sweep=$y") }
+      }),
+      // branch decomposition: A = count+sum branch alone (join once),
+      // B = distinct-users branch alone (join once), floor = both
+      // scans + bin compute + the bin exchanges + a no-join agg+sort
+      "q53branchA" -> (() => {
+        val winUs = 600000000L
+        val ev = Tables.load(spark, dir, "events")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+        val inc = ev.where(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"),
+            col("ts_us").as("s_us"), (col("ts_us") + winUs).as("e_us"))
+          .hint("shuffle_hash")
+        val joined = graft.operators.RangeJoin.binnedIntervalJoin(
+          ev.select(col("value"), col("ts_us")), "ts_us", inc,
+          "s_us", "e_us", winUs)
+        noop(joined.groupBy("incident_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total_value"))
+          .orderBy("incident_id"))
+      }),
+      "q53branchB" -> (() => {
+        val winUs = 600000000L
+        val ev = Tables.load(spark, dir, "events")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+        val inc = ev.where(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"),
+            col("ts_us").as("s_us"), (col("ts_us") + winUs).as("e_us"))
+          .hint("shuffle_hash")
+        val joined = graft.operators.RangeJoin.binnedIntervalJoin(
+          ev.select(col("user_id"), col("ts_us")), "ts_us", inc,
+          "s_us", "e_us", winUs)
+        noop(joined.select("incident_id", "user_id")
+          .where(col("user_id").isNotNull).distinct()
+          .groupBy("incident_id").agg(count(lit(1)).as("n_users"))
+          .orderBy("incident_id"))
+      }),
+      "q53floor" -> (() => {
+        val winUs = 600000000L
+        val ev = Tables.load(spark, dir, "events")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+        val inc = ev.where(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"),
+            col("ts_us").as("s_us"), (col("ts_us") + winUs).as("e_us"))
+          .withColumn("__bin", explode(sequence(
+            floor(col("s_us") / winUs), floor((col("e_us") - 1) / winUs))))
+          .repartition(col("__bin"))
+        val pts = ev.select(col("user_id"), col("value"), col("ts_us"))
+          .withColumn("__bin", floor(col("ts_us") / winUs))
+          .repartition(col("__bin"))
+        noop(inc.groupBy("incident_id")
+          .agg(count(lit(1)).as("n")).orderBy("incident_id"))
+        noop(pts.groupBy("__bin")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+          .orderBy("__bin"))
+      }),
+      "q53single" -> (() => noop(
+        graft.queries.AnalyticsQueries.q53Variant(spark, dir, "single"))),
+      "q53bcast" -> (() => noop(
+        graft.queries.AnalyticsQueries.q53Variant(spark, dir, "bcast"))),
       "q45real" -> q45real,
       "q45twin" -> q45twin,
       "q45bloomBuild" -> q45bloomBuild,

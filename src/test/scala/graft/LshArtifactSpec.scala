@@ -159,6 +159,30 @@ class LshArtifactSpec extends SparkTestBase {
       col("status") === "SUCCESS").count() == 2)
   }
 
+  test("incremental (sinceId) verified pairs equal the filtered full self-join") {
+    val control = tmp("lsh-control4")
+    val artifact = tmp("lsh-artifact4") + "/bb"
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    LshArtifact.refresh(spark, control, artifact, "docs", docs,
+      "doc_id", "text", batchId = "b1")
+    // pick a watermark that splits the corpus mid-range so candidates
+    // exist in all three classes (old-old, old-new, new-new)
+    val sinceId = 250L
+    val incremental = LshArtifact.verifiedPairs(spark, artifact, docs,
+        "doc_id", "text", threshold = 0.5, sinceId = sinceId)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the pre-r14 form: FULL self-join, then the touching-a-new-doc
+    // filter above it
+    val filtered = LshArtifact.verifiedPairs(spark, artifact, docs,
+        "doc_id", "text", threshold = 0.5)
+      .where(col("doc_a") > sinceId || col("doc_b") > sinceId)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incremental == filtered && incremental.nonEmpty)
+    // and the narrowing is real: old-old pairs are excluded
+    assert(incremental.forall { case (a, b, _) => a > sinceId || b > sinceId })
+  }
+
   test("artifact-backed verified pairs equal the in-session pipeline") {
     val control = tmp("lsh-control3")
     val artifact = tmp("lsh-artifact3") + "/bb"
