@@ -92,7 +92,12 @@ object LshArtifact {
     try {
       val written = staged.select(countDistinct(col("doc"))).head().getLong(0)
       if (written > 0)
-        staged.write.mode(SaveMode.Append).parquet(artifactDir)
+        // range-sorted by doc so the replay guard's `doc > wm` read
+        // and the incremental probe's `doc > sinceId` slice zone-prune
+        // to the new files instead of scanning the whole artifact
+        staged.repartitionByRange(col("doc"))
+          .sortWithinPartitions("doc")
+          .write.mode(SaveMode.Append).parquet(artifactDir)
       // a catch-up replay (n > 0 docs scanned, 0 written) still commits
       // SUCCESS so the watermark advances past the replayed window —
       // otherwise every later run would re-sign it forever
@@ -137,30 +142,41 @@ object LshArtifact {
     // doc — least/greatest + distinct restores the doc_a < doc_b
     // normal form, so the pair set is exactly the filtered self-join's
     // (asserted in LshArtifactSpec), with no monotone-id assumption.
-    val cands =
-      if (sinceId == Long.MinValue) candidatePairs(spark, artifactDir)
+    val (cands, batchShaped) =
+      if (sinceId == Long.MinValue) (candidatePairs(spark, artifactDir), false)
       else {
         val all = bandBuckets(spark, artifactDir)
         val nw = all.where(col("doc") > sinceId)
         // broadcast only a batch-sized new side; a backfill-sized one
         // (e.g. the first run over a whole corpus) joins shuffled
+        val nwSmall = nw.limit(BroadcastNewSideMaxRows + 1).count() <=
+          BroadcastNewSideMaxRows
         val newSide =
-          if (nw.limit(BroadcastNewSideMaxRows + 1).count()
-              <= BroadcastNewSideMaxRows) broadcast(nw)
-          else nw.hint("shuffle_hash")
-        all.as("a").join(newSide.as("b"),
+          if (nwSmall) broadcast(nw) else nw.hint("shuffle_hash")
+        (all.as("a").join(newSide.as("b"),
             col("a.band") === col("b.band") &&
               col("a.band_hash") === col("b.band_hash") &&
               col("a.doc") =!= col("b.doc"))
           .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
             greatest(col("a.doc"), col("b.doc")).as("doc_b"))
-          .distinct()
+          .distinct(), nwSmall)
       }
-    val candIds = cands.select(col("doc_a").as("doc"))
-      .union(cands.select(col("doc_b").as("doc"))).distinct()
-    val raw = docs.select(col(idCol).cast("long").as("doc"),
+    val candIdsRaw = cands.select(col("doc_a").as("__cid"))
+      .union(cands.select(col("doc_b").as("__cid"))).distinct()
+    // batch-shaped runs probe a broadcast id set (candidates are
+    // bounded by the batch's bucket occupancy, df-capped by the stop
+    // list); a full rebuild leaves the planner free to shuffle
+    val candIds = if (batchShaped) broadcast(candIdsRaw) else candIdsRaw
+    // narrow on the RAW id column FIRST, THEN shingle: a projection
+    // written before the semi join pipelines shingle computation ahead
+    // of the probe in codegen, silently re-tokenizing the WHOLE corpus
+    // every batch — the store-growth term the r14 preseed measurement
+    // isolated (the id/text scan is O(store) file IO either way; the
+    // kernel work must be candidate-sized)
+    val raw = docs
+      .join(candIds, col(idCol).cast("long") === col("__cid"), "left_semi")
+      .select(col(idCol).cast("long").as("doc"),
         MinHashLSH.shingleHashes(col(textCol), shingleN).as("sh"))
-      .join(candIds, Seq("doc"), "left_semi")
     val sh =
       if (stop == null || stop.isEmpty) raw
       else raw.select(col("doc"),

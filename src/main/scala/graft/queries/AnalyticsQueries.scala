@@ -476,8 +476,18 @@ object AnalyticsQueries {
     }
   }
 
+  /** The [[graft.operators.Sweep]] operator's own oracled gate: q53's
+    * semantics through the ZERO-JOIN sweep path (bit-equal to the
+    * adopted firstocc form — asserted in Scratch's q53eq and here by
+    * sharing q53's DuckDB oracle). `_portable` suffix = correctness
+    * artifact, Bench skips it (the sweep is the high-density scale
+    * path, documented slower on THIS corpus' ~4.6× fan-out). */
+  def q91SweepPortable(s: SparkSession, dir: String): DataFrame =
+    q53Variant(s, dir, "sweep")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_range_join" -> (q53RangeJoin _),
+    "q91_sweep_portable" -> (q91SweepPortable _),
     "q51_heavy_hitters" -> (q51HeavyHitters _),
     "q35_tumbling" -> (q35Tumbling _),
     "q46_sketch_merge" -> (q46SketchMerge _),
@@ -590,6 +600,19 @@ object AnalyticsQueries {
         |ORDER BY user_id""".stripMargin,
 
     "q53_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, value, event_type, epoch_us(ts) AS us FROM events),
+        |inc AS (SELECT event_id AS incident_id, us AS s_us, us + 600000000 AS e_us
+        |        FROM e WHERE event_type = 'error')
+        |SELECT incident_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM inc JOIN e ON e.us >= s_us AND e.us < e_us
+        |GROUP BY incident_id ORDER BY incident_id""".stripMargin,
+    // the sweep path must reproduce the identical relational answer —
+    // same oracle as q53 (one caveat: the sweep emits ALL incidents,
+    // but every incident window contains its own error event, so the
+    // inner-join row set is identical by construction)
+    "q91_sweep_portable" ->
       """WITH e AS (SELECT event_id, user_id, value, event_type, epoch_us(ts) AS us FROM events),
         |inc AS (SELECT event_id AS incident_id, us AS s_us, us + 600000000 AS e_us
         |        FROM e WHERE event_type = 'error')

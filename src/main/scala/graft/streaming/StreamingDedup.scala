@@ -226,7 +226,15 @@ object StreamingDedup {
           }
         val appended = !guarded.isEmpty
         if (appended)
-          guarded.write.mode(org.apache.spark.sql.SaveMode.Append)
+          // range-sorted append: each written file carries a tight,
+          // disjoint id range (AQE coalesces small batches to few
+          // files), so every later `id > wm` / `id BETWEEN` read of
+          // this store zone-prunes at the footer instead of scanning
+          // every file — the lever that keeps the per-batch store
+          // touches batch-sized as the corpus grows to lake scale
+          guarded.repartitionByRange(col(idCol))
+            .sortWithinPartitions(idCol)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(corpusDir)
         // an EMPTY first batch (routine under ProcessingTime triggers
         // and restarts) leaves corpusDir nonexistent — there is nothing
