@@ -138,12 +138,24 @@ object StreamBench {
     if (preseed > 0) {
       val ids = docs.map(_._1)
       val idSpan = ids.max - ids.min
-      val maxSeedId = ids.max + seedStride * ((preseed - 1) / docs.length)
-      require(idSpan < seedStride && maxSeedId < timedIdFloor,
+      val lastBlock = (preseed - 1) / docs.length
+      // the final block may be partial: it only uses doc indices
+      // 0..(preseed-1) % docs.length, so compute its max from the ids
+      // it actually emits, not the whole feed's max
+      val lastBlockMax =
+        ids.take(((preseed - 1) % docs.length) + 1).max + seedStride * lastBlock
+      val maxSeedId =
+        if (lastBlock >= 1)
+          math.max(ids.max + seedStride * (lastBlock - 1), lastBlockMax)
+        else lastBlockMax
+      // the span constraint only bites when stride offsets are applied
+      // (≥2 blocks); a single-block preseed never shifts ids, so a
+      // wide doc-id span is fine as long as the floor holds
+      require((lastBlock == 0 || idSpan < seedStride) && maxSeedId < timedIdFloor,
         s"preseed=$preseed overflows the seed id range: doc-id span " +
-          s"$idSpan (must be < $seedStride) and max seed id $maxSeedId " +
-          s"(must be < timed floor $timedIdFloor) — shrink preseed or " +
-          s"widen the timed floor")
+          s"$idSpan (must be < $seedStride when ≥2 blocks) and max seed " +
+          s"id $maxSeedId (must be < timed floor $timedIdFloor) — shrink " +
+          s"preseed or widen the timed floor")
     }
     def dedupRate(bs: Int, unique: Boolean): (Int, Double) = {
       val input = MemoryStream[(Long, String)]

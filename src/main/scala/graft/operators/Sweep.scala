@@ -65,7 +65,9 @@ object Sweep {
 
   /** Per-incident (n_events, n_users, total_value) over the fixed
     * window [s, s+winUs). Output columns: `idCol`, n_events (long),
-    * n_users (long), total_value (decimal(18,2) — cast downstream),
+    * n_users (long), total_value (wide decimal — cast downstream;
+    * per-event deltas are decimal(18,2) but cross-bucket offsets ride
+    * at decimal(38,2) so cumulative offsets can't overflow-null),
     * one row per incident with a non-null start, UNORDERED (callers
     * add their own sort). */
   def fixedWindowStats(events: DataFrame, tsCol: String, userCol: String,
@@ -152,9 +154,15 @@ object Sweep {
         }.toSeq
         val spark = events.sparkSession
         import spark.implicits._
+        // offsets stay WIDE (decimal(38,2)) through the join: a
+        // cumulative cross-bucket offset can exceed 16 integer digits
+        // long before any single in-window sum does, and a non-ANSI
+        // narrow cast would null it (then coalesce would zero it,
+        // silently corrupting total_value). Only per-event deltas are
+        // (18,2); the final per-incident sum is narrowed by callers.
         val offDf = broadcast(offsets.toDF("__b", "__on", "__onv", "__ov", "__ou")
           .select(col("__b"), col("__on"), col("__onv"),
-            col("__ov").cast(dec).as("__ov"), col("__ou")))
+            col("__ov").cast("decimal(38,2)").as("__ov"), col("__ou")))
         val w = Window.partitionBy("__b").orderBy(col("__pos"), col("__k"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         withB

@@ -362,6 +362,10 @@ object AnalyticsQueries {
     *                density makes the fan-out explode (see Sweep's
     *                scaladoc for the crossover argument). */
   def q53Variant(s: SparkSession, dir: String, mode: String): DataFrame = {
+    // a typo'd mode must fail loudly, not silently measure the
+    // trailing-else "single" plan in a Scratch slot
+    require(Set("firstocc", "two", "single", "bcast", "sweep").contains(mode),
+      s"unknown q53 mode '$mode'")
     val winUs = 600000000L // 10 minutes
     val ev = eventsUs(s, dir)
     // shuffle_hash on the interval side: the bin join's inputs are

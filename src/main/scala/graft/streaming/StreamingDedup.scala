@@ -164,7 +164,15 @@ object StreamingDedup {
     // id-ranged files, so the pushed filter zone-prunes the read to
     // the replayed window. The HWM only ever overshoots (max of batch
     // maxima ≥ true corpus max), which can only force the safe
-    // fallback, never a wrong skip.
+    // fallback, never a wrong skip — PROVIDED this query is the
+    // corpusDir's ONLY writer while it runs. SINGLE-WRITER CONTRACT:
+    // an external append (a batch dailyDedupRun, a second streaming
+    // query on the same store) can land ids above this run's cached
+    // HWM, and a later batch reusing those ids would skip the
+    // anti-join and append duplicates. Exclusive ownership of
+    // corpusDir for the lifetime of the query is part of the
+    // monotone-arrival contract (acquireRunLease in EtlControl is the
+    // repo's mutual-exclusion primitive for enforcing it).
     var corpusHwm: Option[Long] = None
     var hwmInit = false
     docs.writeStream.outputMode("append").foreachBatch {
