@@ -199,6 +199,16 @@ object SimHash {
   def fingerprints128Weighted(docs: DataFrame, idCol: String, textCol: String,
       hot: Array[(Long, Int)], portable: Boolean = false,
       shingleN: Int = 3): DataFrame = {
+    // an EMPTY hot list means every feature weighs DefaultWeight —
+    // uniform positive scaling never flips a vote-sum sign, so the
+    // fingerprint is bit-identical to the unweighted one (spec-pinned
+    // in MinHashLSHSpec's uniform-weights test): take the fused
+    // simhash128 kernel and skip the per-row weight-array projection.
+    // This is the salted amplified corpora's ACTUAL regime (r15 x100
+    // measurement: no shingle reaches df > n/128, hot is empty) —
+    // the weighted kernel path only pays when weighting can matter.
+    if (hot.isEmpty)
+      return fingerprints128(docs, idCol, textCol, portable, shingleN)
     val wmap = typedLit(hot.toMap)
     def wts(lo: Column): Column = transform(lo,
       h => coalesce(element_at(wmap, h), lit(DefaultWeight)).cast("long"))

@@ -918,6 +918,59 @@ object LlmQueries {
       col("merged"), col("freq")).orderBy("rank")
   }
 
+  /** q74's chained-CTE portable twin (new-in-r15, closing the r13/r14
+    * verdict item): the SAME Spark training loop — the merge table is
+    * pure integer/string arithmetic with no engine-specific hashing,
+    * so the production path itself is replayable — oracled by a DuckDB
+    * query that replays all 8 argmax rounds as chained MATERIALIZED
+    * CTEs (non-materialized CTEs inline exponentially: round k
+    * references round k-1 three times, and the un-materialized form
+    * did not finish in minutes where the materialized one runs in
+    * seconds). Round k's dict is round k-1's dict with the chosen pair
+    * merged via the q75 double-separator string replace (greedy
+    * leftmost non-overlapping — exactly [[Bpe.applyMerge]]'s fold
+    * semantics), and the argmax tiebreak (freq DESC, left, right)
+    * compares identically on both engines: Spark's UTF8String and
+    * DuckDB's default collation are both binary UTF-8 byte order. */
+  def q92BpeMergesPortable(s: SparkSession, dir: String): DataFrame =
+    q74BpeMerges(s, dir)
+
+  /** DuckDB replay of `k` BPE merge rounds for [[q92BpeMergesPortable]]
+    * — see its scaladoc for why each round's CTEs are MATERIALIZED. */
+  private def bpeMergesSql(k: Int): String = {
+    val S = "chr(1)" // symbol separator (doubled at each boundary)
+    val SS = s"$S || $S"
+    val rounds = (0 until k).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, sum(freq) AS f
+         |  FROM (SELECT freq, unnest([{'l': sy[i], 'r': sy[i+1]}
+         |      for i in generate_series(1, len(sy) - 1)]) AS pr
+         |    FROM (SELECT list_slice(string_split(j, $SS), 2, -2) AS sy, freq FROM d$r))
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT l, r, f FROM p$r WHERE f > 1
+         |  ORDER BY f DESC, l, r LIMIT 1),
+         |d${r + 1} AS MATERIALIZED (SELECT replace(j,
+         |    coalesce((SELECT $S || l || $S || $S || r || $S FROM m$r), chr(2)),
+         |    coalesce((SELECT $S || l || r || $S FROM m$r), chr(2))) AS j, freq
+         |  FROM d$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until k).map { r =>
+      s"SELECT $r AS rk, l, r, l || r AS merged, f FROM m$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT $toksSql AS ws FROM documents),
+       |words AS (SELECT unnest(ws) AS word FROM t),
+       |dict AS (SELECT word, count(*) AS freq FROM words
+       |  WHERE len(word) > 0 GROUP BY word),
+       |d0 AS MATERIALIZED (SELECT $SS || array_to_string(
+       |    [substr(word, i, 1) || CASE WHEN i = len(word) THEN '</w>' ELSE '' END
+       |     for i in generate_series(1, len(word))], $SS) || $SS AS j, freq
+       |  FROM dict),
+       |$rounds
+       |SELECT CAST(rk AS INTEGER) AS "rank", l AS "left", r AS "right",
+       |  merged, CAST(f AS BIGINT) AS freq
+       |FROM ($unions)
+       |ORDER BY "rank"""".stripMargin
+  }
+
   /** The fixed merge-table prefix q75 tokenizes under: a deterministic
     * high-frequency-English stand-in (production uses [[Bpe.train]]'s
     * output; the APPLY path is what q75 oracle-checks). */
@@ -1205,6 +1258,7 @@ object LlmQueries {
     "q72_classifier_gate" -> (q72ClassifierGate _),
     "q73_bpe_pairs" -> (q73BpePairs _),
     "q74_bpe_merges" -> (q74BpeMerges _),
+    "q92_bpe_merges_portable" -> (q92BpeMergesPortable _),
     "q75_subword_count" -> (q75SubwordCount _),
     "q76_split_leakage" -> (q76SplitLeakage _),
     "q77_split_leakage_portable" -> (q77SplitLeakagePortable _),
@@ -1734,6 +1788,8 @@ object LlmQueries {
          |  FROM pairs GROUP BY 1, 2)
          |SELECT "left", "right", CAST(pair_freq AS BIGINT) AS pair_freq
          |FROM agg ORDER BY pair_freq DESC, "left", "right" LIMIT 20""".stripMargin,
+
+    "q92_bpe_merges_portable" -> bpeMergesSql(8),
 
     "q75_subword_count" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),

@@ -627,6 +627,43 @@ object Scratch {
         .orderBy("doc_a", "doc_b"))
     }
 
+    // ---- r15 q42 decomposition at x100 (r14 verdict #2): 13.3 s is
+    // the suite's largest rows-only absolute. Split: shingle hashes
+    // alone (floor) → + idf-weight map projection (isolates the
+    // element_at-on-literal-map lookup) → + weighted simhash kernel
+    // (q42fp) → + combo candidate join (q42cand) → + Hamming verify +
+    // distinct (q42ver ≈ real minus sort).
+    lazy val q42hot = SimHash.idfFeatureWeights(
+      q19docs, "text", shingleN = 3, portable = false)
+    def q42fps = SimHash.fingerprints128Weighted(
+      q19docs, "doc_id", "text", hot = q42hot, portable = false,
+      shingleN = 3)
+    val q42real = () => noop(
+      graft.queries.LlmQueries.queries("q42_simhash_idf")(spark, dir))
+    val q42fp = () => noop(q42fps)
+    val q42shingle = () => noop(q19docs.select(col("doc_id"),
+      aggregate(
+        graft.operators.TextDedup.shingleHashes64(col("text"), 3),
+        lit(0L), (a, v) => a.bitwiseXOR(v)).as("hsum")))
+    val q42wproj = () => {
+      val wmap = typedLit(q42hot.toMap)
+      noop(q19docs.select(col("doc_id"),
+        aggregate(
+          transform(
+            graft.operators.TextDedup.shingleHashes64(col("text"), 3),
+            h => coalesce(element_at(wmap, h),
+              lit(SimHash.DefaultWeight)).cast("long")),
+          lit(0L), (a, v) => a + v).as("wsum")))
+    }
+    val q42cand = () => noop(
+      SimHash.chunkCandidates(q42fps, maxHamming = 8, comboSize = 2))
+    val q42ver = () => noop(
+      SimHash.chunkCandidates(q42fps, maxHamming = 8, comboSize = 2)
+        .where(col("hamming") <= 8).distinct())
+    val q42hotsize = () => println(s"Q42HOT $dir n=${q42hot.length} " +
+      s"weights=${q42hot.map(_._2).groupBy(identity)
+        .map { case (w, a) => s"$w:${a.length}" }.toSeq.sorted.mkString(",")}")
+
     val q23real = () => noop(
       graft.queries.LlmQueries.queries("q23_text_stats")(spark, dir))
 
@@ -953,6 +990,20 @@ object Scratch {
         .groupBy("split", "shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy("split", "shard"))
+    // r15 tier-switch check: the single-window pack on the SAME native
+    // token_count base the real query uses — is the windowed form
+    // cheaper below the q61-style footer-count threshold?
+    def q58nat = Sampling.hashSplit(
+        Tables.load(spark, dir, "documents").select("doc_id", "text"),
+        "doc_id")
+      .withColumn("n_tokens", call_function("token_count", col("text")))
+      .select("doc_id", "split", "n_tokens")
+    val q58win = () => noop(
+      Sampling.packByBudgetWindowed(q58nat, Seq("split"), "doc_id",
+          "n_tokens", 2000L)
+        .groupBy("split", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("split", "shard"))
 
     // ---- r13 q39 decomposition at x100 (verdict #2): 1.73 s / 2.7×.
     // The check SHOULD be one scan, but count_distinct (Unique) makes
@@ -1102,6 +1153,9 @@ object Scratch {
       "q58real" -> q58real, "q58floor" -> q58floor,
       "q58floorLen" -> q58floorLen,
       "q58sort" -> q58sort, "q58bucketed" -> q58bucketed,
+      "q58win" -> q58win,
+      "q66real" -> (() => noop(graft.queries.LlmQueries
+        .queries("q66_lsh_artifact")(spark, dir))),
       "q39real" -> q39real, "q39scan" -> q39scan,
       "q39noUnique" -> q39noUnique, "q39expand" -> q39expand,
       "q39split" -> q39split,
@@ -1215,6 +1269,12 @@ object Scratch {
         graft.queries.AnalyticsQueries.q53Variant(spark, dir, "single"))),
       "q53bcast" -> (() => noop(
         graft.queries.AnalyticsQueries.q53Variant(spark, dir, "bcast"))),
+      "q42real" -> q42real, "q42fp" -> q42fp,
+      "q42shingle" -> q42shingle, "q42wproj" -> q42wproj,
+      "q42cand" -> q42cand, "q42ver" -> q42ver,
+      "q42hotsize" -> q42hotsize,
+      "q19real" -> q19real, "q19fp" -> q19fp,
+      "q19cand" -> q19cand, "q19ver" -> q19ver,
       "q45real" -> q45real,
       "q45twin" -> q45twin,
       "q45bloomBuild" -> q45bloomBuild,

@@ -216,13 +216,22 @@ class MinHashLSHSpec extends SparkTestBase {
     assert(SimHash.bandWeight(4, 500) == 7)   // df*128 > n, df*64 <= n
     assert(SimHash.bandWeight(3, 500) == 8)   // rare -> DefaultWeight
     // all-default weights == the unweighted fingerprint: positive
-    // scaling never flips a vote-sum sign
+    // scaling never flips a vote-sum sign. The hot list is NON-empty
+    // uniform here so the WEIGHTED kernel path is what's compared —
+    // an empty hot list now short-circuits to the unweighted kernel
+    // (r15), which would make this assertion tautological.
     val docs = Tables.load(spark, sf001, "documents")
     val plain = SimHash.fingerprints128(docs, "doc_id", "text")
     val uniform = SimHash.fingerprints128Weighted(docs, "doc_id", "text",
-      hot = Array.empty)
+      hot = Array(123456789L -> SimHash.DefaultWeight,
+        -42L -> SimHash.DefaultWeight))
     assert(plain.except(uniform).count() == 0 &&
       uniform.except(plain).count() == 0)
+    // and the empty-hot short-circuit itself stays bit-identical
+    val shortCircuit = SimHash.fingerprints128Weighted(docs, "doc_id",
+      "text", hot = Array.empty)
+    assert(plain.except(shortCircuit).count() == 0 &&
+      shortCircuit.except(plain).count() == 0)
 
     // boilerplate corpus: the ~10 ubiquitous trigrams drop to weight 1
     // while per-doc content keeps weight 8, so non-dup fingerprints
