@@ -561,11 +561,36 @@ object LlmQueries {
     val sp = Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
       .withColumn("n_tokens", nTokensCol)
       .select("doc_id", "split", "n_tokens")
-    Sampling.packByBudget(sp, Seq("split"), "doc_id", "n_tokens", 2000L)
+    // r15 tier switch (the q61 footer-count precedent, closing the r13
+    // question): the distributed prefix sum's second input pass re-pays
+    // the scan+tokenize, which the single-window form does once — below
+    // the crossover the serial per-split window sort is cheaper than
+    // that extra pass. Same-window min-of-8 (r15):
+    //   sf0.1 (5 k docs)  distributed 0.75 s / windowed 0.56
+    //   x10   (50 k)      1.29 / 0.60
+    //   x30   (150 k)     1.41 / 1.17
+    //   x100  (500 k)     1.90 / 2.96  ← distributed wins
+    // (The r13 "distributed wins at every amplified tier" predates the
+    // native token_count kernel, which shrank the pass the distributed
+    // form duplicates.) Output is identical either way — the bucketed
+    // form's equality with the windowed one is spec-pinned.
+    val docRows = graft.sources.ParquetMeta.rowCount(
+      s, s"$dir/documents.parquet")
+    val packed =
+      if (docRows > Q58_DISTRIBUTED_PACK_MIN_DOCS)
+        Sampling.packByBudget(sp, Seq("split"), "doc_id", "n_tokens", 2000L)
+      else
+        Sampling.packByBudgetWindowed(
+          sp, Seq("split"), "doc_id", "n_tokens", 2000L)
+    packed
       .groupBy("split", "shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
       .orderBy("split", "shard")
   }
+
+  /** q58's windowed↔distributed pack crossover: between 150 k and
+    * 500 k source docs in the r15 measurement above. */
+  private val Q58_DISTRIBUTED_PACK_MIN_DOCS = 300000L
 
   /** `token_count(text)` as bigint — native one-byte-scan kernel when
     * the session has graft's extensions, the Column HOF form
