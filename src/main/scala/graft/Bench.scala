@@ -154,14 +154,19 @@ object Bench {
     // a query counts as failed only if NO attempt completed it
     val errs = attempts.map(_.errors).reduce(_ ++ _)
       .filter { case (name, _) => pooled.exists(p => p._1 == name && p._2 < 0) }
-    val qs = pooled.map { case (k, v) => "\"" + k + "\":" + v }
+    // 0.1 ms resolution: full-precision doubles made the line long
+    // enough that tail-limited readers lost the leading queries in
+    // round-over-round diffs (r15 housekeeping); 4 decimals is far
+    // below measurement noise
+    def r4(v: Double): Double = math.round(v * 10000) / 10000.0
+    val qs = pooled.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val errJson = errs.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = pooled.collect { case (_, v) if v >= 0 => v }.sum
-    val allDrifts = attempts.reverse.map(_.drift).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_err":${errs.size},"probe_first_sec":${cleanest.probeFirst},"probe_mid_sec":${cleanest.probeMid},"probe_last_sec":${cleanest.probeLast},"probe_drift":${cleanest.drift},"attempts":${attempts.length},"attempt_drifts":$allDrifts,"sf":"$sfDir"}""")
+    val total = r4(pooled.collect { case (_, v) if v >= 0 => v }.sum)
+    val allDrifts = attempts.reverse.map(a => r4(a.drift)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_err":${errs.size},"probe_first_sec":${r4(cleanest.probeFirst)},"probe_mid_sec":${r4(cleanest.probeMid)},"probe_last_sec":${r4(cleanest.probeLast)},"probe_drift":${r4(cleanest.drift)},"attempts":${attempts.length},"attempt_drifts":$allDrifts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

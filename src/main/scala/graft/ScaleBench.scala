@@ -46,6 +46,14 @@ object ScaleBench {
     "q10_star_join", "q44_scd2_history", "q45_bloom_delete_insert",
     "q48_point_in_time", "q53_range_join", "q65_salted_join")
 
+  /** r16: the simhash pair — q42's empty-hot short-circuit (r15) makes
+    * the idf-weighted form cost the same candidate self-join as plain
+    * q19, so their ratio is an engine-constant tie (~1.0) that should
+    * hold per round; the output carries `q42_over_q19` so the tie is
+    * tracked without a same-window Scratch session (VERDICT r15
+    * item 3). */
+  val simhashPair: Seq[String] = Seq("q19_simhash", "q42_simhash_idf")
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = args.lift(1).getOrElse("1,10,30")
@@ -65,9 +73,15 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (family == "recall") {
+      runRecall(spark, base, factors, work)
+      spark.stop()
+      return
+    }
     val picked = family match {
       case "joins" => joinHeavy
       case "all" => heavy ++ joinHeavy
+      case "simhash" => simhashPair
       case _ => heavy
     }
     val queries = SparkEntry.queries.filter(q => picked.contains(q._1))
@@ -117,10 +131,179 @@ object ScaleBench {
         "\"" + n + "\":{\"first_sec\":" + first + ",\"min_sec\":" + best + "}"
       }.mkString(",")
       val total = rows.collect { case (_, _, b) if b >= 0 => b }.sum
-      s""""$f":{"corpus_build_sec":$buildSec,"total_min_sec":$total,"probe_drift":$drift,$qs}"""
+      // the q42≈q19 engine-constant tie, tracked per round when both
+      // are in the measured set (the "simhash"/"all" families)
+      val pair = for {
+        a <- rows.find(_._1 == "q42_simhash_idf").map(_._3).filter(_ > 0)
+        b <- rows.find(_._1 == "q19_simhash").map(_._3).filter(_ > 0)
+      } yield ",\"q42_over_q19\":" + math.round(a / b * 100.0) / 100.0
+      s""""$f":{"corpus_build_sec":$buildSec,"total_min_sec":$total,"probe_drift":$drift${pair.getOrElse("")},$qs}"""
     }.mkString(",")
     println(s"""{"metric":"scale","base":"$base","reps":$reps,"factors":{$factorJson}}""")
     spark.stop()
+  }
+
+  /** r16 (VERDICT r15 item 4): ANN recall at amplified cell
+    * populations. Every committed recall gate (AnnSpec) runs at
+    * sf0.01–sf0.1 where IVF cells hold a handful of vectors; this mode
+    * measures recall@10 of the approximate paths — ivfKnnJoin across a
+    * probe-width grid, adaptiveProbes-sized probing, and IVF-PQ —
+    * against the exact [[graft.operators.Ann.knnJoin]] on a factor-F
+    * embeddings corpus, where cell populations are what 100 TB IVF
+    * actually faces.
+    *
+    * Amplification (`embeddings_amp.parquet` WRITTEN NEXT TO the tier
+    * dir's symlinked base table, so bench corpora are untouched and
+    * committed per-query tables stay comparable): copy k of factor F
+    * offsets vec_id by k·10^len(max id) and jitters every coordinate
+    * of copies k > 0 by a deterministic uniform ±0.04 (xxhash64 of the
+    * amplified id and coordinate index; ≈⅓ of the per-coordinate std),
+    * so the base's cluster structure survives while every copy
+    * contributes distinct vectors — populations scale by F without the
+    * degenerate exact-tie corpus naive duplication would create.
+    *
+    * The quantizer is retrained per tier at √N cells (capped 256) with
+    * the q22Centroids discipline (2 Lloyd iterations on the 1/4
+    * hash-sample); the PQ codebook likewise (m=16, ksub=16 — the q47
+    * config). */
+  private def runRecall(spark: SparkSession, base: String,
+      factors: Seq[Int], work: String): Unit = {
+    import graft.operators.{Ann, Pq}
+    val k = 10
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, math.round((System.nanoTime() - t0) / 1e7) / 100.0)
+    }
+    val factorJson = factors.map { f =>
+      val e = spark.read.parquet(prepareEmbeddings(spark, base, f, work))
+      val baseStride = stride(
+        spark.read.parquet(s"$base/embeddings.parquet"), "vec_id")
+      // the q55 query predicate, restricted to the base copy: 40
+      // queries regardless of F (queries are excluded from the corpus,
+      // as in every gated ANN query)
+      val isQuery = col("vec_id") < baseStride && col("vec_id") % 50 === 7
+      val queries = e.where(isQuery).persist()
+      val corpus = e.where(!isQuery).persist()
+      val n = corpus.count()
+      val nQ = queries.count()
+      val (truth, truthSec) = timed {
+        val t = Ann.knnJoin(corpus, queries, "vec_id", "embedding", k)
+          .select("query_id", "vec_id").persist()
+        t.count(); t
+      }
+      def recallOf(approx: DataFrame): Double = {
+        val hits = truth.join(approx.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id")).count()
+        math.round(hits.toDouble / (nQ * k) * 1000.0) / 1000.0
+      }
+      val kCells = math.max(8, math.min(256, math.sqrt(n.toDouble).toInt))
+      val (cents, trainSec) = timed {
+        Ann.trainCentroids(corpus, "vec_id", "embedding", kCells,
+          iters = 2, sampleMod = 4)
+      }
+      val counts = Ann.cellStats(corpus, "embedding", cents).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val popMax = counts.values.foldLeft(0L)(math.max)
+      val popMean =
+        if (counts.isEmpty) 0.0 else counts.values.sum.toDouble / counts.size
+      val probeGrid = Seq(kCells / 32, kCells / 16, kCells / 8, kCells / 4)
+        .map(math.max(1, _)).distinct
+      val ivfJson = probeGrid.map { np =>
+        val (res, sec) = timed {
+          val a = Ann.ivfKnnJoin(corpus, queries, "vec_id", "embedding",
+            k, cents, np).persist()
+          a.count(); a
+        }
+        val r = recallOf(res)
+        res.unpersist()
+        s""""nprobe_$np":{"recall_at_10":$r,"sec":$sec}"""
+      }.mkString(",")
+      // adaptiveProbes: per-query probe sets sized to cover >= 100*k
+      // candidate vectors by the persisted cell counts — the
+      // population-coverage rule the operator ships; validate the
+      // recall it buys at the median width
+      val minCand = 100L * k
+      val qVecs = queries.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .collect()
+        .map(r => r.getSeq[Double](1).toArray)
+      val widths = qVecs.map(v =>
+        Ann.adaptiveProbes(v, cents, counts, minCand).length).sorted
+      val medianW = widths(widths.length / 2)
+      val maxW = widths.last
+      val adaptiveRecall = {
+        val a = Ann.ivfKnnJoin(corpus, queries, "vec_id", "embedding",
+          k, cents, medianW)
+        recallOf(a)
+      }
+      // IVF-PQ: the q47/q52 codebook config over the tier's quantizer;
+      // one single-vector probe per query (the operator's shape)
+      val (cb, pqTrainSec) = timed {
+        Pq.train(corpus, "vec_id", "embedding", m = 16, ksub = 16,
+          iters = 2, sampleMod = 4)
+      }
+      val encoded = Pq.encodeTableWithCells(
+        corpus, "vec_id", "embedding", cb, cents).persist()
+      encoded.count()
+      val truthByQ = truth.collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+      val pqNprobe = math.max(1, kCells / 8)
+      val (pqRecall, pqSec) = timed {
+        val qids = queries.select("vec_id").collect().map(_.getLong(0))
+        val per = qids.map { qid =>
+          val got = Pq.ivfPqTopK(encoded, corpus,
+              queries.where(col("vec_id") === qid), "vec_id", "embedding",
+              k, cb, cents, nprobe = pqNprobe)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          truthByQ.getOrElse(qid, Set.empty[Long])
+            .intersect(got).size.toDouble / k
+        }
+        math.round(per.sum / per.length * 1000.0) / 1000.0
+      }
+      val json =
+        s""""$f":{"n_corpus":$n,"n_queries":$nQ,"k_cells":$kCells,""" +
+        s""""cell_pop_mean":${math.round(popMean * 10) / 10.0},""" +
+        s""""cell_pop_max":$popMax,"train_sec":$trainSec,""" +
+        s""""truth_sec":$truthSec,$ivfJson,""" +
+        s""""adaptive":{"min_candidates":$minCand,"median_probes":$medianW,""" +
+        s""""max_probes":$maxW,"recall_at_10":$adaptiveRecall},""" +
+        s""""ivfpq":{"nprobe":$pqNprobe,"pq_train_sec":$pqTrainSec,""" +
+        s""""recall_at_10":$pqRecall,"loop_sec":$pqSec}}"""
+      Seq(truth, queries, corpus, encoded).foreach(_.unpersist())
+      json
+    }.mkString(",")
+    println(s"""{"metric":"recall","base":"$base","k":$k,"factors":{$factorJson}}""")
+  }
+
+  /** Factor-f embeddings corpus for [[runRecall]] — see its scaladoc
+    * for the jitter contract. Idempotent per tier dir; does NOT touch
+    * the tier's symlinked `embeddings.parquet`. */
+  private[graft] def prepareEmbeddings(spark: SparkSession, base: String,
+      f: Int, work: String): String = {
+    if (f == 1) return s"$base/embeddings.parquet"
+    val dir = s"$work/x$f"
+    new java.io.File(dir).mkdirs()
+    val path = s"$dir/embeddings_amp.parquet"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return path
+    val e = spark.read.parquet(s"$base/embeddings.parquet")
+    val st = stride(e, "vec_id")
+    val copies = broadcast(spark.range(f).select(col("id").as("__k")))
+    val cores = spark.sparkContext.defaultParallelism
+    val ampId = col("vec_id") + col("__k") * st
+    e.repartition(cores).crossJoin(copies)
+      .select(
+        ampId.as("vec_id"),
+        when(col("__k") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            (x + (pmod(xxhash64(ampId, i), lit(1000)).cast("double") /
+              lit(1000.0) - lit(0.4995)) * lit(0.08)).cast("float")))
+          .as("embedding"),
+        col("label"))
+      .repartition(math.min(f * 2, cores))
+      .write.mode("overwrite").parquet(path)
+    path
   }
 
   /** 10^(decimal length of the table's max value in `keyCol`) — the

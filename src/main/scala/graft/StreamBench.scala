@@ -70,7 +70,10 @@ object StreamBench {
       } finally query.stop()
     }
 
-    val chunkSizes = Seq(250, 1000, 4000)
+    // grid mode (see below) runs ONLY the continuousDedup cells — the
+    // sentinel pipelines are skipped so a 6-cell grid stays ~30 min
+    val gridSpec = sys.env.get("SPARK_GRAFT_STREAM_GRID")
+    val chunkSizes = if (gridSpec.isDefined) Seq.empty[Int] else Seq(250, 1000, 4000)
     val chunkRates = chunkSizes.map { bs =>
       val input = MemoryStream[(Long, String)]
       val out = tmp("sb-out") + "/docs"
@@ -87,7 +90,7 @@ object StreamBench {
 
     // the heaviest foreachBatch member: sliding-window store, flavor
     // check + anti-joins per batch
-    val subSizes = Seq(250, 1000, 4000)
+    val subSizes = if (gridSpec.isDefined) Seq.empty[Int] else Seq(250, 1000, 4000)
     val subRates = subSizes.map { bs =>
       val input = MemoryStream[(Long, String)]
       val out = tmp("sb-sout") + "/docs"
@@ -135,7 +138,7 @@ object StreamBench {
     // measurement (r13 ADVICE) — fail loudly instead
     val timedIdFloor = 1000000L
     val seedStride = 100000L
-    if (preseed > 0) {
+    def checkSeed(preseed: Int): Unit = if (preseed > 0) {
       val ids = docs.map(_._1)
       val idSpan = ids.max - ids.min
       val lastBlock = (preseed - 1) / docs.length
@@ -157,7 +160,8 @@ object StreamBench {
           s"id $maxSeedId (must be < timed floor $timedIdFloor) — shrink " +
           s"preseed or widen the timed floor")
     }
-    def dedupRate(bs: Int, unique: Boolean): (Int, Double) = {
+    checkSeed(preseed)
+    def dedupRate(bs: Int, unique: Boolean, seed: Int = preseed): (Int, Double) = {
       val input = MemoryStream[(Long, String)]
       val root = tmp("sb-cd")
       val rate = drive[(Long, String)](
@@ -169,8 +173,8 @@ object StreamBench {
           .option("checkpointLocation", tmp("sb-cdckpt")).start(),
         input,
         i => {
-          if (i == 0 && preseed > 0)
-            (0 until preseed).map { j =>
+          if (i == 0 && seed > 0)
+            (0 until seed).map { j =>
               val (id, t) = docs(j % docs.length)
               (id + seedStride * (j / docs.length), t)
             }
@@ -181,6 +185,38 @@ object StreamBench {
           }.toSeq
         })
       bs -> rate
+    }
+
+    // r16 (VERDICT r15 item 5): the batch-size amortization grid. The
+    // r15 A-B-A bracket closed the store-growth slope at batch 1000;
+    // this mode measures the store {S} × batch {B} grid on the
+    // UNIQUE-text round-trip instrument (no surviving candidate pairs,
+    // so sec/batch isolates fixed per-batch cost + the O(store) narrow
+    // columnar IO) and emits per-cell sec/batch and sec/kdoc — the
+    // committed evidence that batch size amortizes the store IO floor.
+    // SPARK_GRAFT_STREAM_GRID="0,50000x1000,5000,20000" (stores x batches);
+    // runs ONLY these cells, then exits.
+    gridSpec.foreach { spec =>
+      val Array(storesS, batchesS) = spec.split("x")
+      val stores = storesS.split(",").map(_.trim.toInt).toSeq
+      val batches = batchesS.split(",").map(_.trim.toInt).toSeq
+      stores.foreach(checkSeed)
+      val cells = for (st <- stores; bs <- batches) yield {
+        require(bs <= docs.length,
+          s"grid batch $bs exceeds the feed's ${docs.length} unique docs " +
+            "— point SPARK_GRAFT_SF_DIR at a bigger corpus (x10)")
+        val (_, rate) = dedupRate(bs, unique = true, seed = st)
+        val secPerBatch = bs / rate
+        System.err.println(s"[grid] store=$st batch=$bs " +
+          f"sec/batch=$secPerBatch%.2f")
+        s"""{"preseed":$st,"batch":$bs,""" +
+          f""""sec_per_batch":$secPerBatch%.3f,""" +
+          f""""sec_per_kdoc":${secPerBatch * 1000.0 / bs}%.4f}"""
+      }
+      println(s"""{"metric":"stream_grid","sf":"$sfDir","n_batches":$nBatches,""" +
+        s""""cells":[${cells.mkString(",")}]}""")
+      spark.stop()
+      return
     }
     val dedupRates = dedupSizes.map(dedupRate(_, unique = false))
     val dedupUniqRates = Seq(1000).map(dedupRate(_, unique = true))

@@ -113,8 +113,32 @@ object HeavyHitters {
       .where(col("n_rows") >= minCount)
   }
 
+  /** Key-cardinality bar for the bounded tier: below this, the plain
+    * groupBy-HAVING wins outright — map-side combine collapses each
+    * partition to ≤ NDV partial rows, so the exchange carries
+    * ~NDV·partitions rows of trivial state and the CMS pass is pure
+    * overhead (measured r11/r12: +0.48 s at x10, +0.9 s at x100 on
+    * user_id's ~1.5 M keys). Above it, per-partition hash state stops
+    * fitting (spill) and the full key universe rides the shuffle —
+    * the sketch path's maybe-heavy pruning is what scales. 10 M keys
+    * ≈ hundreds of MB of partial-agg state per executor: a
+    * conservative single-digit-GB-heap bar. */
+  val BoundedKeyBar = 10000000L
+
   /** Sketch + prune + exact verify in one call (two passes over the
-    * scan, ONE shuffle over only maybe-heavy rows).
+    * scan, ONE shuffle over only maybe-heavy rows) — or, when the
+    * caller bounds the key cardinality, a plain groupBy-HAVING.
+    *
+    * `maxDistinctHint` is the r16 bounded-key tier (closing the
+    * r11–r15 decomposition carryover): key NDV is not derivable from
+    * parquet footers, so the switch signal is an explicit caller
+    * contract — the caller that KNOWS the key is a bounded dimension
+    * (user ids, SKUs, account numbers) passes the bound and gets the
+    * plain plan that beats the sketch there; unbounded keys (session
+    * grains, URLs, query strings) omit it and keep the CMS pruning
+    * that survives cardinality explosions. Both tiers are bit-equal
+    * (HeavyHittersSpec) and both stay gated: q51 exercises the sketch
+    * path, q93 the bounded tier, against the same DuckDB oracle.
     *
     * Bench-framing note (r11, BASELINE.md "q51 CMS-machinery
     * decomposition"): the q51 oracle is the plain GROUP BY/HAVING, so
@@ -128,6 +152,14 @@ object HeavyHitters {
     * in HeavyHittersSpec). */
   def heavyHitters(df: DataFrame, keys: Seq[String], minCount: Long,
       eps: Double = DefaultEps, confidence: Double = DefaultConfidence,
-      seed: Int = DefaultSeed): DataFrame =
-    fromSketch(df, keys, minCount, keySketch(df, keys, eps, confidence, seed))
+      seed: Int = DefaultSeed,
+      maxDistinctHint: Option[Long] = None): DataFrame = {
+    require(minCount >= 1, s"minCount must be ≥ 1, got $minCount")
+    if (maxDistinctHint.exists(h => h > 0 && h <= BoundedKeyBar))
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"))
+        .where(col("n_rows") >= minCount)
+    else
+      fromSketch(df, keys, minCount, keySketch(df, keys, eps, confidence, seed))
+  }
 }

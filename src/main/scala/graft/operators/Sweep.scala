@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, types}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -153,16 +155,27 @@ object Sweep {
           row
         }.toSeq
         val spark = events.sparkSession
-        import spark.implicits._
         // offsets stay WIDE (decimal(38,2)) through the join: a
         // cumulative cross-bucket offset can exceed 16 integer digits
         // long before any single in-window sum does, and a non-ANSI
         // narrow cast would null it (then coalesce would zero it,
         // silently corrupting total_value). Only per-event deltas are
         // (18,2); the final per-incident sum is narrowed by callers.
-        val offDf = broadcast(offsets.toDF("__b", "__on", "__onv", "__ov", "__ou")
-          .select(col("__b"), col("__on"), col("__onv"),
-            col("__ov").cast("decimal(38,2)").as("__ov"), col("__ou")))
+        // Built with an EXPLICIT DecimalType(38,2) schema: the implicit
+        // tuple encoder would funnel the driver-side BigDecimal through
+        // Spark's default decimal(38,18) first, capping real headroom
+        // at 20 integer digits instead of 36 (r15 ADVICE).
+        val offSchema = types.StructType(Seq(
+          types.StructField("__b", types.IntegerType, nullable = false),
+          types.StructField("__on", types.LongType, nullable = false),
+          types.StructField("__onv", types.LongType, nullable = false),
+          types.StructField("__ov", types.DecimalType(38, 2), nullable = true),
+          types.StructField("__ou", types.LongType, nullable = false)))
+        val offRows = offsets.map { case (b, cn, cnv, cv, cu) =>
+          Row(b, cn, cnv, cv.setScale(2), cu)
+        }
+        val offDf = broadcast(spark.createDataFrame(
+          offRows.asJava, offSchema))
         val w = Window.partitionBy("__b").orderBy(col("__pos"), col("__k"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         withB

@@ -326,6 +326,20 @@ object AnalyticsQueries {
       .withColumnRenamed("n_rows", "n_events")
       .orderBy("user_id")
 
+  /** New-in-r16 — q51's BOUNDED-KEY tier ([[HeavyHitters.heavyHitters]]
+    * with `maxDistinctHint`): user_id is a bounded dimension at every
+    * SF, so the production-right plan is the plain map-side-combined
+    * groupBy-HAVING — no sketch pass, no probe column (plan pinned in
+    * HeavyHittersSpec). Same rows as q51 bit-exactly, same DuckDB
+    * oracle; gating BOTH tiers keeps the r16 switch's two sides
+    * exercised (the r11–r15 machinery-price decomposition's
+    * resolution). */
+  def q93HeavyHittersBounded(s: SparkSession, dir: String): DataFrame =
+    HeavyHitters.heavyHitters(t(s, dir, "events"), Seq("user_id"),
+        minCount = 80L, maxDistinctHint = Some(2000000L))
+      .withColumnRenamed("n_rows", "n_events")
+      .orderBy("user_id")
+
   /** New-in-r6 — §2 #42: interval attribution with NO equi key — every
     * event falling inside any error event's 10-minute incident window,
     * rolled up per incident. The naive `ON ts BETWEEN s AND e` join is
@@ -493,6 +507,7 @@ object AnalyticsQueries {
     "q53_range_join" -> (q53RangeJoin _),
     "q91_sweep_portable" -> (q91SweepPortable _),
     "q51_heavy_hitters" -> (q51HeavyHitters _),
+    "q93_heavy_hitters_bounded" -> (q93HeavyHittersBounded _),
     "q35_tumbling" -> (q35Tumbling _),
     "q46_sketch_merge" -> (q46SketchMerge _),
     "q49_retention" -> (q49Retention _),
@@ -599,6 +614,11 @@ object AnalyticsQueries {
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q51_heavy_hitters" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id HAVING count(*) >= 80
+        |ORDER BY user_id""".stripMargin,
+
+    "q93_heavy_hitters_bounded" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id HAVING count(*) >= 80
         |ORDER BY user_id""".stripMargin,

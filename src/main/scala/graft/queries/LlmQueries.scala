@@ -961,7 +961,17 @@ object LlmQueries {
     q74BpeMerges(s, dir)
 
   /** DuckDB replay of `k` BPE merge rounds for [[q92BpeMergesPortable]]
-    * — see its scaladoc for why each round's CTEs are MATERIALIZED. */
+    * — see its scaladoc for why each round's CTEs are MATERIALIZED.
+    *
+    * Separator assumption (r15 ADVICE): the replay encodes each word's
+    * symbol array as a chr(1)-separated string (chr(2) as the no-merge
+    * placeholder), while tokenization splits on whitespace only — a
+    * corpus word containing a literal U+0001/U+0002 would survive into
+    * the dict and corrupt the j-string encoding (the Spark side's real
+    * symbol arrays are unaffected, so the oracle would silently
+    * diverge). d0 therefore ASSERTS their absence per word via
+    * DuckDB's error(): a dirty corpus fails the verify loudly as an
+    * oracle error instead of masquerading as an engine mismatch. */
   private def bpeMergesSql(k: Int): String = {
     val S = "chr(1)" // symbol separator (doubled at each boundary)
     val SS = s"$S || $S"
@@ -985,9 +995,12 @@ object LlmQueries {
        |words AS (SELECT unnest(ws) AS word FROM t),
        |dict AS (SELECT word, count(*) AS freq FROM words
        |  WHERE len(word) > 0 GROUP BY word),
-       |d0 AS MATERIALIZED (SELECT $SS || array_to_string(
-       |    [substr(word, i, 1) || CASE WHEN i = len(word) THEN '</w>' ELSE '' END
-       |     for i in generate_series(1, len(word))], $SS) || $SS AS j, freq
+       |d0 AS MATERIALIZED (SELECT CASE
+       |    WHEN contains(word, $S) OR contains(word, chr(2))
+       |      THEN error('q92: U+0001/U+0002 in corpus word - separator encoding unsound')
+       |    ELSE $SS || array_to_string(
+       |      [substr(word, i, 1) || CASE WHEN i = len(word) THEN '</w>' ELSE '' END
+       |       for i in generate_series(1, len(word))], $SS) || $SS END AS j, freq
        |  FROM dict),
        |$rounds
        |SELECT CAST(rk AS INTEGER) AS "rank", l AS "left", r AS "right",

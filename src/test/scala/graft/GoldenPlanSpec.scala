@@ -104,6 +104,12 @@ class GoldenPlanSpec extends SparkTestBase {
   // (gates → dedup → decontaminate → split → pack, no intermediate
   // materialization); the IVF k-NN join must keep its broadcast
   // probe-cell join (corpus never shuffles).
+  // r16: the q53 firstocc plan — the series' headline x100 win — gets
+  // the full-text pin on top of PlanAuditSpec's semantic assertions
+  // (one SHJ, no Expand, partials, one lag window): any drift in the
+  // bin join's shape, the union routing, or the aggregate stack shows
+  // up as a line-level diff here.
+  snapshot("q53_range_join", AnalyticsQueries.q53RangeJoin(spark, sf0001))
   snapshot("q54_dup_clusters", LlmQueries.q54DupClusters(spark, sf0001))
   snapshot("q61_corpus_pipeline", LlmQueries.q61CorpusPipeline(spark, sf0001))
   snapshot("q62_ivf_knn_join", LlmQueries.q62IvfKnnJoin(spark, sf0001))

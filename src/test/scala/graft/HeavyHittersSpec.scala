@@ -88,4 +88,25 @@ class HeavyHittersSpec extends SparkTestBase {
         HeavyHitters.keySketch(zipf, Seq("key")))
     }
   }
+
+  test("bounded-key tier: hinted path is sketch-free, plain-planned, bit-equal") {
+    // the r16 tier switch: a caller-bounded key takes the plain
+    // groupBy-HAVING (no CMS pass, no probe filter in the plan); an
+    // over-the-bar or absent hint keeps the sketch path. Both tiers
+    // must return identical rows.
+    val bounded = HeavyHitters.heavyHitters(zipf, Seq("key"), 100L,
+      maxDistinctHint = Some(1000L))
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(!plan.contains("cms_estimate") && !plan.contains("count_min_sketch"),
+      s"bounded tier must not plan any CMS work:\n$plan")
+    val viaSketch = HeavyHitters.heavyHitters(zipf, Seq("key"), 100L)
+    assert(bounded.as[(Long, Long)].collect().toSet ==
+      viaSketch.as[(Long, Long)].collect().toSet)
+    // a hint ABOVE the bar must not flip the plan to the bounded tier
+    val wide = HeavyHitters.heavyHitters(zipf, Seq("key"), 100L,
+      maxDistinctHint = Some(HeavyHitters.BoundedKeyBar + 1))
+    assert(wide.queryExecution.analyzed.toString.contains("count_min_sketch") ||
+      wide.queryExecution.executedPlan.toString.contains("cms_estimate"),
+      "an over-the-bar hint must keep the sketch path")
+  }
 }

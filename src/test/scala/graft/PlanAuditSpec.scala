@@ -148,6 +148,36 @@ class PlanAuditSpec extends SparkTestBase {
       s"groupBy-min must partial-aggregate:\n$plan")
   }
 
+  test("q53 firstocc: one bin equi-join, no Expand, map-side partials, one lag window") {
+    // The series' headline x100 win (17.2 s → 6.88 s, r13→r15) is a
+    // plan SHAPE: ONE shuffle_hash bin join whose fan-out map-side
+    // combines into the per-incident aggregate, with COUNT DISTINCT
+    // rewritten as a conditional count of first-in-window occurrences
+    // (one lag window on user). Pin each load-bearing property so a
+    // regression to the two-branch pair-dedup exchange (or the mixed-
+    // distinct Expand) fails here, not in a bench window three rounds
+    // later (VERDICT r15 item 2).
+    val plan = executed(graft.queries.AnalyticsQueries.q53RangeJoin(spark, sf0001))
+    val joins = countOccurrences(plan, "ShuffledHashJoin") +
+      countOccurrences(plan, "SortMergeJoin") +
+      countOccurrences(plan, "BroadcastHashJoin") +
+      countOccurrences(plan, "BroadcastNestedLoopJoin")
+    assert(joins == 1, s"q53 must plan exactly ONE join (the bin SHJ), got $joins:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"bin join must stay shuffle_hash (SMJ sorts the stabbed fan-out):\n$plan")
+    // the mixed-distinct rewrite doubles the joined mass via Expand —
+    // the firstocc form must never plan one
+    assert(!plan.contains("Expand"), s"Expand above the bin join:\n$plan")
+    // the ~7x fan-out must collapse map-side BEFORE the incident exchange
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      s"per-incident agg lost its map-side partials:\n$plan")
+    // exactly one Window: the per-user lag (null users ride the union
+    // around it; a second window would mark a straggler-prone re-sort)
+    assert(countOccurrences(plan, "lag(") == 1 &&
+      countOccurrences(plan, "Window") == 1,
+      s"expected exactly one lag window on user:\n$plan")
+  }
+
   test("no cartesian products in any registered non-broadcast query") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = executed(fn(spark, sf0001))
