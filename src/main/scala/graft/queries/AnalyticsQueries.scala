@@ -60,7 +60,7 @@ object AnalyticsQueries {
           .as("purchase_ts"),
         col("asof_view_event_id").as("view_event_id"),
         expr("(ts_us - asof_ts_us) div 1000000").as("gap_sec"))
-      .orderBy("event_id")
+      .sortWithinPartitions("event_id")
   }
 
   /** §2 #24 — top-3 customers by order revenue per nation
@@ -80,7 +80,7 @@ object AnalyticsQueries {
         Seq(desc("rev_d"), col("c_custkey")), n = 3)
       .select(col("n_name"), col("rnk").cast("bigint").as("rnk"),
         col("c_custkey"), col("rev_d").cast("double").as("revenue"))
-      .orderBy("n_name", "rnk")
+      .sortWithinPartitions("n_name", "rnk")
   }
 
   /** §2 #25 — multi-level aggregates: ROLLUP over (priority, status)
@@ -103,7 +103,7 @@ object AnalyticsQueries {
     leaf.rollup(col("o_orderpriority"), col("o_orderstatus"))
       .agg(sum(col("__n")).as("n_orders"),
         sum(col("__rev")).cast("double").as("revenue"))
-      .orderBy(col("o_orderpriority").asc_nulls_first,
+      .sortWithinPartitions(col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
   }
 
@@ -122,7 +122,7 @@ object AnalyticsQueries {
       .select(date_format(col("__d"), "yyyy-MM-dd").as("d"),
         col("click"), col("error"), col("purchase"), col("signup"),
         col("view"))
-      .orderBy("d")
+      .sortWithinPartitions("d")
 
   /** §2 #26 — exact interpolated percentiles per group, value-count
     * pre-aggregated: a codegen'd HashAggregate first shrinks to one
@@ -160,7 +160,7 @@ object AnalyticsQueries {
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.95)"), 6).as("p95"),
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
-      .orderBy("event_type")
+      .sortWithinPartitions("event_type")
 
   private[graft] def q32PercentilePreAgg(s: SparkSession,
       dir: String): DataFrame =
@@ -172,7 +172,7 @@ object AnalyticsQueries {
         round(expr("percentile(v, 0.5, freq)"), 6).as("p50"),
         round(expr("percentile(v, 0.95, freq)"), 6).as("p95"),
         round(expr("percentile(v, 0.99, freq)"), 6).as("p99"))
-      .orderBy("event_type")
+      .sortWithinPartitions("event_type")
 
   /** §2 #28 — running (cumulative) revenue per customer in order-date
     * order: one shuffle on the key, decimal-exact prefix sums so the
@@ -199,7 +199,7 @@ object AnalyticsQueries {
     * already integer math under codegen, so the idiomatic form stays. */
   def q35Tumbling(s: SparkSession, dir: String): DataFrame =
     Stats.tumblingStats(t(s, dir, "events"), "6 hours", "event_type")
-      .orderBy("window_start", "event_type")
+      .sortWithinPartitions("window_start", "event_type")
 
   /** New-in-r6 — §2 #38: per-batch HLL sketch artifacts merged across
     * batches. The per-day sketches stand in for artifacts persisted
@@ -213,7 +213,7 @@ object AnalyticsQueries {
       t(s, dir, "events"), "event_type", "user_id")
     Stats.mergeSketches(artifacts, Seq("event_type"))
       .select(col("event_type"), col("n_events"), col("approx_distinct"))
-      .orderBy("event_type")
+      .sortWithinPartitions("event_type")
   }
 
   /** New-in-r6 — §2 #38's set-algebra half: day-over-day user
@@ -228,7 +228,7 @@ object AnalyticsQueries {
       t(s, dir, "events"), "event_type", "user_id")
     Stats.retentionFromSketches(artifacts, "event_type")
       .withColumn("batch_date", date_format(col("batch_date"), "yyyy-MM-dd"))
-      .orderBy("event_type", "batch_date")
+      .sortWithinPartitions("event_type", "batch_date")
   }
 
   /** New-in-r12 — q49's PORTABLE twin (the q18→q37 discipline): the
@@ -275,7 +275,7 @@ object AnalyticsQueries {
         when(col("__pd").isNull, lit(null).cast("bigint"))
           .otherwise(col("__pn") - coalesce(col("__ret"), lit(0L)))
           .as("n_churned"))
-      .orderBy("event_type", "batch_date")
+      .sortWithinPartitions("event_type", "batch_date")
   }
 
   /** New-in-r13 — q46's PORTABLE twin (the q49→q87 discipline): the
@@ -303,7 +303,7 @@ object AnalyticsQueries {
     counts.groupBy("event_type").agg(sum(col("n_events")).as("n_events"))
       .join(dist, Seq("event_type"))
       .select(col("event_type"), col("n_events"), col("n_distinct_users"))
-      .orderBy("event_type")
+      .sortWithinPartitions("event_type")
   }
 
   /** New-in-r6 — §2 #41: exact heavy hitters (users with ≥ 80 events)
@@ -324,7 +324,7 @@ object AnalyticsQueries {
     HeavyHitters.heavyHitters(t(s, dir, "events"), Seq("user_id"),
         minCount = 80L)
       .withColumnRenamed("n_rows", "n_events")
-      .orderBy("user_id")
+      .sortWithinPartitions("user_id")
 
   /** New-in-r16 — q51's BOUNDED-KEY tier ([[HeavyHitters.heavyHitters]]
     * with `maxDistinctHint`): user_id is a bounded dimension at every
@@ -338,7 +338,7 @@ object AnalyticsQueries {
     HeavyHitters.heavyHitters(t(s, dir, "events"), Seq("user_id"),
         minCount = 80L, maxDistinctHint = Some(2000000L))
       .withColumnRenamed("n_rows", "n_events")
-      .orderBy("user_id")
+      .sortWithinPartitions("user_id")
 
   /** New-in-r6 — §2 #42: interval attribution with NO equi key — every
     * event falling inside any error event's 10-minute incident window,
@@ -403,7 +403,7 @@ object AnalyticsQueries {
           "incident_id", "s_us", winUs)
         .select(col("incident_id"), col("n_events"), col("n_users"),
           col("total_value").cast("double").as("total_value"))
-        .orderBy("incident_id")
+        .sortWithinPartitions("incident_id")
     }
     val incidents =
       if (mode == "bcast") broadcast(incBase) else incBase.hint("shuffle_hash")
@@ -438,7 +438,7 @@ object AnalyticsQueries {
             .as("total_value"))
         .select(col("incident_id"), col("n_events"), col("n_users"),
           col("total_value"))
-        .orderBy("incident_id")
+        .sortWithinPartitions("incident_id")
     }
     if (mode == "two") {
       val pts = ev.select(col("event_id"), col("user_id"), col("value"),
@@ -466,7 +466,7 @@ object AnalyticsQueries {
       baseAgg.join(users, Seq("incident_id"), "left")
         .select(col("incident_id"), col("n_events"),
           coalesce(col("n_users"), lit(0L)).as("n_users"), col("total_value"))
-        .orderBy("incident_id")
+        .sortWithinPartitions("incident_id")
     } else {
       // ONE join, two-level rollup: the (incident, user) partial agg
       // dedups pairs AND carries (count, decimal sum) map-side — the
@@ -490,7 +490,7 @@ object AnalyticsQueries {
           sum(col("__v")).cast("double").as("total_value"))
         .select(col("incident_id"), col("n_events"), col("n_users"),
           col("total_value"))
-        .orderBy("incident_id")
+        .sortWithinPartitions("incident_id")
     }
   }
 

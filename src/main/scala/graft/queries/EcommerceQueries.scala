@@ -58,7 +58,7 @@ object EcommerceQueries {
     Dedup.keepLast(ev, Seq("user_id", "event_type"), Seq(col("event_id")))
       .select(col("user_id"), col("event_type"),
         col("event_id").as("last_event_id"), col("value").as("last_value"))
-      .orderBy("user_id", "event_type")
+      .sortWithinPartitions("user_id", "event_type")
   }
 
   /** §2 #2/#3 — nested-JSON props → typed child columns
@@ -76,14 +76,14 @@ object EcommerceQueries {
         .select(col("event_id"), col("event_type"),
           call_function("json_long", col("props"), lit("k")).as("prop_k"))
         .where(col("prop_k").isNotNull)
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     else {
       val ev = Normalize.parseJson(t(s, dir, "events"), "props",
         StructType(Seq(StructField("k", LongType))))
       ev.select(col("event_id"), col("event_type"),
           col("parsed.k").as("prop_k"))
         .where(col("prop_k").isNotNull)
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     }
   }
 
@@ -93,7 +93,7 @@ object EcommerceQueries {
     t(s, dir, "part")
       .select(explode(split(col("p_name"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("word"))
+      .sortWithinPartitions(desc("n"), col("word"))
 
   /** §2 #5 — order×item flatten with prefixes + multiplicity flags
     * (misa_crm_transformer.py:206-338). The join and the multiplicity
@@ -117,7 +117,7 @@ object EcommerceQueries {
         col("item_l_linenumber").as("item_linenumber"),
         col("item_l_quantity").as("item_quantity"),
         col("total_items_in_order"), col("has_multiple_items"))
-      .orderBy("order_key", "item_linenumber")
+      .sortWithinPartitions("order_key", "item_linenumber")
 
   /** q05's bucketed tier (the q10BucketedForm discipline): both scans
     * come pre-clustered and pre-sorted on the order key, so the
@@ -147,7 +147,7 @@ object EcommerceQueries {
         SafeCasts.safeFloatStr(col("p_type")).as("type_as_float"),
         SafeCasts.safeBool(boolStr).as("flag"),
         SafeCasts.safeString(col("p_name"), 12).as("name_trunc"))
-      .orderBy("p_partkey")
+      .sortWithinPartitions("p_partkey")
   }
 
   /** §2 #7 — unix seconds/millis → UTC timestamp, 0 → null
@@ -162,7 +162,7 @@ object EcommerceQueries {
           .as("ts_from_sec"),
         date_format(SafeCasts.unixMillisToTs(sec * 1000L), "yyyy-MM-dd HH:mm:ss")
           .as("ts_from_ms"))
-      .orderBy("o_orderkey")
+      .sortWithinPartitions("o_orderkey")
   }
 
   /** §2 #8 — ETL metadata columns (shopee_orders_transformer.py:88-95),
@@ -176,7 +176,7 @@ object EcommerceQueries {
         date_format(col("etl_created_at"), "yyyy-MM-dd HH:mm:ss")
           .as("etl_created"),
         col("etl_source"))
-      .orderBy("n_nationkey")
+      .sortWithinPartitions("n_nationkey")
   }
 
   /** §2 #13 — incremental window filter pushed to the scan, then rollup
@@ -190,7 +190,7 @@ object EcommerceQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      .orderBy("event_type")
+      .sortWithinPartitions("event_type")
 
   /** Star-schema rollup: revenue by region × returnflag; dims broadcast
     * (VERDICT r1 item 6: ≤2 shuffles — lineitem⋈orders shuffle + final
@@ -271,7 +271,7 @@ object EcommerceQueries {
         // (orderkey, flag) is liAgg's grain: per (region, flag) group
         // each distinct order contributes exactly one row
         count(lit(1)).as("n_orders"))
-      .orderBy("r_name", "l_returnflag")
+      .sortWithinPartitions("r_name", "l_returnflag")
   }
 
   /** Once-per-corpus co-bucketed layout for the fact⋈fact join:
@@ -368,7 +368,7 @@ object EcommerceQueries {
       .agg(
         sum(col("rev")).cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
-      .orderBy("r_name", "l_returnflag")
+      .sortWithinPartitions("r_name", "l_returnflag")
   }
 
   /** New-in-r5 — the co-located join the bucketed layout buys: both
@@ -386,7 +386,7 @@ object EcommerceQueries {
         count(lit(1)).as("n_items"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,4)")).cast("double").as("revenue"))
-      .orderBy("o_orderpriority")
+      .sortWithinPartitions("o_orderpriority")
   }
 
   /** §2 #10 — incremental upsert / MERGE on business key
@@ -410,7 +410,7 @@ object EcommerceQueries {
       .withColumn("c_mktsegment", lit("REFRESH"))
       .withColumn("c_acctbal", lit(0.0))
     Incremental.deleteInsert(c, delta, Seq("c_custkey"))
-      .orderBy("c_custkey")
+      .sortWithinPartitions("c_custkey")
   }
 
   /** §2 #12 — full-load replace, FK-safe cascade order
@@ -426,7 +426,7 @@ object EcommerceQueries {
       tables(name).agg(count(lit(1)).as("n_rows"))
         .select(lit(i + 1).as("del_order"), lit(name).as("table_name"),
           col("n_rows"))
-    }.reduce(_ unionByName _).orderBy("del_order")
+    }.reduce(_ unionByName _).sortWithinPartitions("del_order")
   }
 
   /** §2 #14 — schema projection / column-intersect
@@ -440,7 +440,7 @@ object EcommerceQueries {
     projected.select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_totalprice"))
-      .orderBy("o_orderkey")
+      .sortWithinPartitions("o_orderkey")
   }
 
   /** §2 #15 — per-batch stats (misa_crm_loader.py:1125). */
@@ -478,7 +478,7 @@ object EcommerceQueries {
         count(when(!col("is_quarantined"), 1)).as("n_valid"),
         count(when(col("is_quarantined"), 1)).as("n_quarantined"),
         sum(when(!col("is_quarantined"), col("parsed.k"))).as("sum_k"))
-      .orderBy("event_type")
+      .sortWithinPartitions("event_type")
   }
 
   /** New-in-r6 — §2 #36: SCD Type-2 dimension history (the
@@ -566,7 +566,7 @@ object EcommerceQueries {
         col("ts_us").as("purchase_us"),
         col("dim_event_type").as("state"),
         col("dim_version").as("state_version"))
-      .orderBy("event_id")
+      .sortWithinPartitions("event_id")
   }
 
   /** New-in-r6 — snapshot-diff CDC: the minimal delta between two full
@@ -584,7 +584,7 @@ object EcommerceQueries {
       .unionByName(o.where(col("o_orderkey") % 31 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
     Incremental.snapshotDiff(o, cur, Seq("o_orderkey"))
-      .orderBy("o_orderkey")
+      .sortWithinPartitions("o_orderkey")
   }
 
   /** Per-corpus hot-key list for q65 (the [[Skew.hotKeys]] sampled
@@ -656,7 +656,7 @@ object EcommerceQueries {
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
-      .orderBy("p_brand")
+      .sortWithinPartitions("p_brand")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

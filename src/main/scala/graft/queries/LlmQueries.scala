@@ -28,7 +28,7 @@ object LlmQueries {
     val reingest = d.where(col("doc_id") % 5 === 0).crossJoin(broadcast(off))
       .select((col("doc_id") + col("off")).as("doc_id"), col("text"))
     TextDedup.exact(d.unionByName(reingest), "doc_id", "text")
-      .orderBy("text_hash")
+      .sortWithinPartitions("text_hash")
   }
 
   /** §2 #18 — MinHash banded-LSH near-dup pairs, Jaccard-verified
@@ -41,7 +41,7 @@ object LlmQueries {
         threshold = 0.5,
         stop = minhashStop(s, dir, portable = false))
       .withColumn("jaccard", round(col("jaccard"), 6))
-      .orderBy("doc_a", "doc_b")
+      .sortWithinPartitions("doc_a", "doc_b")
 
   /** Per-corpus MinHash stop-shingle lists (shingle-hash domain, one
     * per hash path) — computed once per dir, reused by every q18/q37
@@ -89,7 +89,7 @@ object LlmQueries {
         maxHamming = 8, comboSize = 2,
         stop = docStopShingles(s, dir, portable = false))
       .withColumn("hamming", col("hamming").cast("bigint"))
-      .orderBy("doc_a", "doc_b")
+      .sortWithinPartitions("doc_a", "doc_b")
 
   /** §2 #18 — q18's FULL pipeline (shingle → 64-perm signature → 16
     * band buckets → candidate join → exact-Jaccard verify) with
@@ -102,7 +102,7 @@ object LlmQueries {
         threshold = 0.5, portable = true,
         stop = minhashStop(s, dir, portable = true))
       .withColumn("jaccard", round(col("jaccard"), 6))
-      .orderBy("doc_a", "doc_b")
+      .sortWithinPartitions("doc_a", "doc_b")
 
   /** §2 #18 — q19's pipeline with md5-portable shingle hashes (the
     * two md5 halves of each shingle string drive the two fingerprint
@@ -114,7 +114,7 @@ object LlmQueries {
         maxHamming = 8, comboSize = 2, portable = true,
         stop = docStopShingles(s, dir, portable = true))
       .withColumn("hamming", col("hamming").cast("bigint"))
-      .orderBy("doc_a", "doc_b")
+      .sortWithinPartitions("doc_a", "doc_b")
 
   /** Per-corpus banded-idf feature weights (hash → weight for the hot
     * tail; everything rarer weighs SimHash.DefaultWeight) — computed
@@ -140,7 +140,7 @@ object LlmQueries {
         maxHamming = 8, comboSize = 2,
         hot = idfWeights(s, dir, portable = false))
       .withColumn("hamming", col("hamming").cast("bigint"))
-      .orderBy("doc_a", "doc_b")
+      .sortWithinPartitions("doc_a", "doc_b")
 
   /** New-in-r5 — q42's md5-portable twin: DuckDB recomputes the df
     * bands, the weighted 128-bit votes, and the Hamming verify
@@ -150,7 +150,7 @@ object LlmQueries {
         maxHamming = 8, comboSize = 2, portable = true,
         hot = idfWeights(s, dir, portable = true))
       .withColumn("hamming", col("hamming").cast("bigint"))
-      .orderBy("doc_a", "doc_b")
+      .sortWithinPartitions("doc_a", "doc_b")
 
   /** Per-corpus persisted Jaccard artifacts ([[PostingsArtifact]]):
     * the (doc, block, sz, shs) shingle frame AND the verified
@@ -186,7 +186,7 @@ object LlmQueries {
     PostingsArtifact.allPairs(s,
         jaccardPairsDir(s, dir, "docs", t(s, dir, "documents")))
       .withColumn("jaccard", round(col("jaccard"), 6))
-      .orderBy("doc_a", "doc_b")
+      .sortWithinPartitions("doc_a", "doc_b")
 
   /** §2 #19 — brute-force cosine top-k baseline (query = vec_id 7). */
   def q21CosineTopk(s: SparkSession, dir: String): DataFrame = {
@@ -194,7 +194,7 @@ object LlmQueries {
     Ann.bruteForceTopK(e.where(col("vec_id") =!= 7),
         e.where(col("vec_id") === 7), "vec_id", "embedding", k = 10)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
-      .orderBy(desc("cos_sim"), col("vec_id"))
+      .sortWithinPartitions(desc("cos_sim"), col("vec_id"))
   }
 
   /** Pretrained IVF quantizers, one per corpus dir: trained ONCE on a
@@ -245,7 +245,7 @@ object LlmQueries {
     Ann.ivfTopKOnLayout(layout, qv, "vec_id", "embedding", k = 10,
         q22Centroids(s, dir), nprobe = 5)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
-      .orderBy(desc("cos_sim"), col("vec_id"))
+      .sortWithinPartitions(desc("cos_sim"), col("vec_id"))
   }
 
   /** §2 #19 — IVF-bucketed ANN over the pretrained quantizer (scale
@@ -258,7 +258,7 @@ object LlmQueries {
         e.where(col("vec_id") === 7), "vec_id", "embedding", k = 10,
         q22Centroids(s, dir), nprobe = 5)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
-      .orderBy(desc("cos_sim"), col("vec_id"))
+      .sortWithinPartitions(desc("cos_sim"), col("vec_id"))
   }
 
   /** §2 #20 — per-doc text analysis: token counts, punctuation and
@@ -307,7 +307,7 @@ object LlmQueries {
     Multimodal.withBinaryMeta(t(s, dir, "documents"), "doc_id", "text")
       .select(col("doc_id"), col("n_bytes"), col("magic8"),
         col("est_chunks").cast("bigint").as("est_chunks"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** §2 #18/#19 — embedding-cosine near-dup pairs, IVF-cell-blocked
     * (no all-pairs). Rows-only; soundness + recall in AnnSpec;
@@ -316,7 +316,7 @@ object LlmQueries {
     Ann.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, nClusters = 8)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
-      .orderBy("id_a", "id_b")
+      .sortWithinPartitions("id_a", "id_b")
 
   /** New-in-r13 — q26's PORTABLE twin (the q18→q37 discipline): the
     * same near-dup pair semantics with the IVF blocking removed —
@@ -337,7 +337,7 @@ object LlmQueries {
       .where(col("cos_sim") >= 0.35)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(col("cos_sim"), 6).as("cos_sim"))
-      .orderBy("id_a", "id_b")
+      .sortWithinPartitions("id_a", "id_b")
   }
 
   /** New-in-r13 — the hyperplane-LSH ANN leg's PORTABLE twin (§2 #19):
@@ -355,7 +355,7 @@ object LlmQueries {
     Ann.lshTopK(e.where(col("vec_id") =!= 7), e.where(col("vec_id") === 7),
         "vec_id", "embedding", k = 10, nPlanes = 12, probe = 3)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
-      .orderBy(desc("cos_sim"), col("vec_id"))
+      .sortWithinPartitions(desc("cos_sim"), col("vec_id"))
   }
 
   /** §2 #30 — deterministic hash train/val/test split over the corpus:
@@ -367,7 +367,7 @@ object LlmQueries {
       .groupBy("split", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"))
-      .orderBy("split", "source")
+      .sortWithinPartitions("split", "source")
 
   /** Per-corpus PQ artifacts: codebook trained once (2 Lloyd
     * iterations per subspace over the corpus) and the encoded
@@ -401,7 +401,7 @@ object LlmQueries {
         e.where(col("vec_id") === 7), "vec_id", "embedding", k = 10, cb,
         rerank = 5)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
-      .orderBy(desc("cos_sim"), col("vec_id"))
+      .sortWithinPartitions(desc("cos_sim"), col("vec_id"))
   }
 
   /** Per-corpus IVF-PQ artifacts: the coarse quantizer's cell id riding
@@ -454,7 +454,7 @@ object LlmQueries {
         "vec_id", "embedding", k = 10, cb, q22Centroids(s, dir),
         nprobe = 5, rerank = 5)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
-      .orderBy(desc("cos_sim"), col("vec_id"))
+      .sortWithinPartitions(desc("cos_sim"), col("vec_id"))
   }
 
   /** New-in-r6 — §2 #39's full composition, benched as its own query:
@@ -471,7 +471,7 @@ object LlmQueries {
         "vec_id", "embedding", k = 10, cb, q22Centroids(s, dir),
         nprobe = 5, rerank = 5)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
-      .orderBy(desc("cos_sim"), col("vec_id"))
+      .sortWithinPartitions(desc("cos_sim"), col("vec_id"))
   }
 
   /** New-in-r6 — dup-GROUP clustering: near-dup pairs are a graph
@@ -513,7 +513,7 @@ object LlmQueries {
       jaccardPairsDir(s, dir, "dupcorpus", corpus))
     DupGroups.assignClusters(corpus, "doc_id", pairs, "doc_a", "doc_b")
       .select(col("doc_id"), col("cluster"), col("is_keep"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** New-in-r6 — batch k-NN join: top-5 neighbors for EVERY query row
@@ -525,7 +525,7 @@ object LlmQueries {
     Ann.knnJoin(e.where(col("vec_id") % 50 =!= 7),
         e.where(col("vec_id") % 50 === 7), "vec_id", "embedding", k = 5)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
-      .orderBy(col("query_id"), desc("cos_sim"), col("vec_id"))
+      .sortWithinPartitions(col("query_id"), desc("cos_sim"), col("vec_id"))
   }
 
   /** New-in-r6 — benchmark decontamination: docs sharing ≥ 5 distinct
@@ -539,7 +539,7 @@ object LlmQueries {
     TextDedup.decontaminate(d, "doc_id", "text",
         d.where(col("doc_id") % 31 === 5), "text", n = 3, minOverlap = 5)
       .select(col("doc_id"), col("n_overlap"), col("is_contaminated"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** New-in-r6 — per-source quota cap: at most 20 docs per source,
@@ -548,7 +548,7 @@ object LlmQueries {
   def q57QuotaSample(s: SparkSession, dir: String): DataFrame =
     Sampling.capPerGroup(t(s, dir, "documents"), Seq("source"), "doc_id", 20)
       .select(col("doc_id"), col("source"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** New-in-r6 — token-budget shard packing over the hash split:
     * greedy 2000-token shards per split via the distributed prefix sum
@@ -585,7 +585,7 @@ object LlmQueries {
     packed
       .groupBy("split", "shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-      .orderBy("split", "shard")
+      .sortWithinPartitions("split", "shard")
   }
 
   /** q58's windowed↔distributed pack crossover: between 150 k and
@@ -650,7 +650,7 @@ object LlmQueries {
           col("__p.n_emails").as("n_emails"),
           col("__p.n_ips").as("n_ips"),
           col("__p.redacted_md5").as("redacted_md5"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     else withPii.select(
         col("doc_id"),
         regexp_count(col("text2"), lit(TextFunctions.EmailRe))
@@ -658,7 +658,7 @@ object LlmQueries {
         regexp_count(col("text2"), lit(TextFunctions.Ipv4Re))
           .cast("long").as("n_ips"),
         md5(TextFunctions.redactPii(col("text2"))).as("redacted_md5"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** New-in-r6 — the END-TO-END corpus-cleaning pipeline in one plan:
@@ -696,7 +696,7 @@ object LlmQueries {
           sp, Seq("split"), "doc_id", "n_tokens", 1000L)
     packed.groupBy("split", "shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-      .orderBy("split", "shard")
+      .sortWithinPartitions("split", "shard")
   }
 
   /** q61's pack stage in alternative shapes, for the Scratch same-
@@ -714,7 +714,7 @@ object LlmQueries {
     }
     packed.groupBy("split", "shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-      .orderBy("split", "shard")
+      .sortWithinPartitions("split", "shard")
   }
 
   /** The corpus-cleaning stages of [[q61CorpusPipeline]] up to the
@@ -773,7 +773,7 @@ object LlmQueries {
         e.where(col("vec_id") % 50 === 7), "vec_id", "embedding", k = 5,
         q22Centroids(s, dir), nprobe = 6)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
-      .orderBy(col("query_id"), desc("cos_sim"), col("vec_id"))
+      .sortWithinPartitions(col("query_id"), desc("cos_sim"), col("vec_id"))
   }
 
   /** New-in-r7 — REAL image decode (javax.imageio, no stub): per-doc
@@ -795,7 +795,7 @@ object LlmQueries {
         round(element_at(col("channelMeans"), 2), 6).as("g_mean"),
         round(element_at(col("channelMeans"), 3), 6).as("b_mean"),
         col("pixelSum").as("pixel_sum")))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** New-in-r7 — PERCEPTUAL image dedup ([[Multimodal.dHash64]]): a
@@ -826,7 +826,7 @@ object LlmQueries {
       .where(col("n_copies") > 1)
       .select(col("dhash"), col("keep_doc_id"), col("n_copies"),
         col("max_doc_id"))
-      .orderBy("keep_doc_id")
+      .sortWithinPartitions("keep_doc_id")
   }
 
   /** New-in-r7 — real WAV audio decode ([[Audio]]): per-id synthetic
@@ -850,7 +850,7 @@ object LlmQueries {
           .as("rms"),
         col("zeroCrossings").cast("long").as("zero_crossings"),
         col("peak").cast("long").as("peak")))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** New-in-r7 — real video frame-sampling ([[Multimodal.frameSample]]):
@@ -873,7 +873,7 @@ object LlmQueries {
         round(element_at(col("channelMeans"), 2), 6).as("g_mean"),
         round(element_at(col("channelMeans"), 3), 6).as("b_mean"),
         col("pixelSum").as("pixel_sum")))
-      .orderBy("doc_id", "frame_idx")
+      .sortWithinPartitions("doc_id", "frame_idx")
   }
 
   /** New-in-r8 — INTER-frame (delta-coded) video sampling
@@ -900,7 +900,7 @@ object LlmQueries {
         round(element_at(col("channelMeans"), 2), 6).as("g_mean"),
         round(element_at(col("channelMeans"), 3), 6).as("b_mean"),
         col("pixelSum").as("pixel_sum")))
-      .orderBy("doc_id", "frame_idx")
+      .sortWithinPartitions("doc_id", "frame_idx")
   }
 
   /** New-in-r7 — hashed n-gram classifier quality gate
@@ -940,7 +940,7 @@ object LlmQueries {
     val merges = Bpe.train(t(s, dir, "documents"), "text", 8)
     import s.implicits._
     merges.toDF().select(col("rank"), col("left"), col("right"),
-      col("merged"), col("freq")).orderBy("rank")
+      col("merged"), col("freq")).sortWithinPartitions("rank")
   }
 
   /** q74's chained-CTE portable twin (new-in-r15, closing the r13/r14
@@ -1060,7 +1060,7 @@ object LlmQueries {
       .where(col("split_a") =!= col("split_b"))
       .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
         round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .sortWithinPartitions("doc_a", "doc_b")
 
   /** New-in-r7 — perceptual AUDIO dedup ([[Audio.envelopeHash64]]): a
     * simulated audio corpus where ids congruent mod 400 share waveform
@@ -1084,7 +1084,7 @@ object LlmQueries {
       .where(col("n_copies") > 1)
       .select(col("ehash"), col("keep_doc_id"), col("n_copies"),
         col("max_doc_id"))
-      .orderBy("keep_doc_id")
+      .sortWithinPartitions("keep_doc_id")
   }
 
   /** New-in-r7 — TRAINED importance scoring ([[ImportanceModel]]):
@@ -1144,7 +1144,7 @@ object LlmQueries {
     ImportanceModel.score(corpus, "doc_id", "text", wts)
       .select(col("doc_id"), col("is_spam"), col("score_milli"),
         (col("score_milli") > 0).as("keep"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   /** Per-corpus LSH band-bucket artifact dir: built ONCE per dir via
@@ -1174,7 +1174,7 @@ object LlmQueries {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
         stop = minhashStop(s, dir, portable = false))
       .withColumn("jaccard", round(col("jaccard"), 6))
-      .orderBy("doc_a", "doc_b")
+      .sortWithinPartitions("doc_a", "doc_b")
 
   /** Fixed 20-token boilerplate (2 whole 10-token chunks) prepended to
     * every 4th doc by q67 — the cross-document repeated-span mass
@@ -1285,7 +1285,7 @@ object LlmQueries {
     Sampling.temperatureMix(t(s, dir, "documents"), "lang", "doc_id",
         alpha = 0.5, totalTarget = 200L)
       .select(col("doc_id"), col("lang"))
-      .orderBy("lang", "doc_id")
+      .sortWithinPartitions("lang", "doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_chunk_dedup" -> (q67ChunkDedup _),

@@ -67,7 +67,7 @@ object QualityQueries {
         maxOrphanRate = 0.001)
       .unionByName(Validate.checkFk(li, orders, "l_orderkey", "o_orderkey"))
       .withColumn("passed", col("passed").cast("string"))
-      .orderBy("column")
+      .sortWithinPartitions("column")
   }
 
   /** New-in-r6 — cross-window drift report: the second half of the
@@ -86,7 +86,7 @@ object QualityQueries {
         round(col("rel_mean_shift"), 4).as("rel_mean_shift"),
         (col("mean_cur").isNull || col("mean_prev").isNull ||
           round(col("rel_mean_shift"), 4) > 0.03).as("is_drift"))
-      .orderBy("event_type")
+      .sortWithinPartitions("event_type")
   }
 
   /** New-in-r11 — per-column table profile (Deequ-style): row/null/
@@ -115,7 +115,7 @@ object QualityQueries {
     graft.sources.ParquetMeta.columnStats(s, s"$dir/lineitem.parquet",
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
           "l_discount", "l_returnflag"))
-      .orderBy("column_name")
+      .sortWithinPartitions("column_name")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_quality_gate" -> (q39QualityGate _),
