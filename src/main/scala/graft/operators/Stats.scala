@@ -67,7 +67,7 @@ object Stats {
         sum(col("__n")).as("n_events"),
         count(col("user_id")).as("n_users"),
         sum(col("__v")).cast("double").as("total_value"))
-      .orderBy("batch_date")
+      .sortWithinPartitions("batch_date")
 
   /** Batch-run audit rows: one per source with run window + volume +
     * derived status (etl_control analogue). */
@@ -79,7 +79,7 @@ object Stats {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_end"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .withColumn("status", when(col("n_rows") > 0, lit("SUCCESS")).otherwise(lit("EMPTY")))
-      .orderBy("etl_source")
+      .sortWithinPartitions("etl_source")
 
   /** Sketch-based batch stats for 100 TB feeds: HLL++
     * `approx_count_distinct` replaces the exact distinct (whose
@@ -93,7 +93,7 @@ object Stats {
         count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id"), rsd).as("approx_users"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      .orderBy("batch_date")
+      .sortWithinPartitions("batch_date")
 
   /** Per-batch mergeable sketch ARTIFACTS (Datasketches HLL): one
     * binary sketch per (batch_date, key) plus exact row counts. Unlike

@@ -271,7 +271,7 @@ object LlmQueries {
     // documented in TextScores.computeRaw and spec'd vs regexp_count)
     val base =
       if (graft.plans.GraftExtensions.nativeAvailable)
-        byDocId(t(s, dir, "documents"))
+        t(s, dir, "documents")
           .withColumn("__st", call_function("text_full_stats", col("text")))
           .select(col("doc_id"),
             col("__st.n_tokens").as("n_tokens"),
@@ -281,7 +281,7 @@ object LlmQueries {
             col("__st.lang_pred").as("lang_pred"),
             col("__st.quality").as("quality"))
       else
-        byDocId(t(s, dir, "documents")).select(
+        t(s, dir, "documents").select(
           col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
           TextFunctions.bpeishTokenCount(col("text")).as("est_bpe_tokens"),
@@ -295,7 +295,7 @@ object LlmQueries {
   /** §2 #20 — rolling-hash document fingerprint (md5-token polynomial
     * fold mod 1e9+7 — engine-portable). */
   def q24Fingerprint(s: SparkSession, dir: String): DataFrame =
-    byDocId(t(s, dir, "documents")).select(
+    t(s, dir, "documents").select(
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fingerprint"))
       .sortWithinPartitions("doc_id")
@@ -611,14 +611,14 @@ object LlmQueries {
     // count is O(distinct·grams) string comparisons per row
     val scored =
       if (graft.plans.GraftExtensions.nativeAvailable)
-        byDocId(t(s, dir, "documents"))
+        t(s, dir, "documents")
           .withColumn("__r", call_function("text_rep_scores", col("text")))
           .select(col("doc_id"),
             round(col("__r.dup_frac"), 6).as("dup_token_frac"),
             round(col("__r.top2"), 6).as("top2_frac"),
             round(col("__r.top3"), 6).as("top3_frac"))
       else
-        byDocId(t(s, dir, "documents")).select(
+        t(s, dir, "documents").select(
           col("doc_id"),
           round(TextFunctions.dupTokenFraction(col("text")), 6).as("dup_token_frac"),
           round(TextFunctions.topNgramFraction(col("text"), 2), 6).as("top2_frac"),
@@ -912,7 +912,7 @@ object LlmQueries {
     * harness's determinism, not the operator). Integer milli-weights
     * end-to-end → the oracle replays scores bit-exactly. */
   def q72ClassifierGate(s: SparkSession, dir: String): DataFrame =
-    byDocId(t(s, dir, "documents"))
+    t(s, dir, "documents")
       .select(col("doc_id"),
         TextFunctions.classifierScoreMilli(col("text")).as("score_milli"))
       .withColumn("keep", col("score_milli") > 0)
@@ -1029,7 +1029,7 @@ object LlmQueries {
     * adjacent pair occurrences (which share a boundary) still match —
     * the same greedy semantics as the Column fold. */
   def q75SubwordCount(s: SparkSession, dir: String): DataFrame =
-    Bpe.subwordCount(byDocId(t(s, dir, "documents")), "text", FixedMerges)
+    Bpe.subwordCount(t(s, dir, "documents"), "text", FixedMerges)
       .select(col("doc_id"), col("n_subwords"))
       .sortWithinPartitions("doc_id")
 
@@ -1099,8 +1099,9 @@ object LlmQueries {
     val docs = t(s, dir, "documents")
     val wts = ImportanceModel.train(docs, "text", col("lang") === "en")
     // train on the raw scan (its own shuffles); score map-only on the
-    // range-partitioned one (byDocId discipline)
-    ImportanceModel.score(byDocId(docs), "doc_id", "text", wts)
+    // plain scan — zero exchange (r16: global output order was only
+    // cosmetic, so the byDocId range exchange it fed is gone too)
+    ImportanceModel.score(docs, "doc_id", "text", wts)
       .select(col("doc_id"), col("score_milli"),
         (col("score_milli") > 0).as("keep"))
       .sortWithinPartitions("doc_id")
@@ -1184,13 +1185,16 @@ object LlmQueries {
     "this site uses cookies accept terms of service privacy policy " +
       "all rights reserved copyright twenty twenty four navigation home about"
 
-  /** Range-partition the corpus scan on doc_id BEFORE a map-only
-    * kernel chain whose output is doc_id-ordered (r10, the q44
-    * discipline): the range sampler reads JUST the id column instead
-    * of re-running every kernel (a global sort executes its child
-    * twice — once to sample range boundaries), map stages preserve
-    * the partitioning, and the trailing key sort is the exchange-free
-    * sortWithinPartitions. */
+  /** Range-partition the corpus scan on doc_id. Historically (r10)
+    * this fed every map-only kernel chain so the range sampler read
+    * just the id column instead of re-running the kernels under a
+    * trailing GLOBAL sort; r16 dropped those global sorts (output
+    * order was cosmetic — the gate sorts before hashing), so the
+    * map-only sites lost the exchange entirely. byDocId remains only
+    * where the range exchange is LOAD-BEARING: q67/q84, whose dedup
+    * pipelines reuse the doc_id clustering for their survivor
+    * aggregates (RangePartitioning satisfies ClusteredDistribution),
+    * making the whole chain run on this one exchange. */
   private def byDocId(df: DataFrame): DataFrame =
     df.repartitionByRange(col("doc_id"))
 

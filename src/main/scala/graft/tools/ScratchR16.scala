@@ -88,6 +88,42 @@ object ScratchR16 {
       ("q09_incremental_agg", () => q09core, Seq("event_type")),
       ("q32_percentile", () => q32core, Seq("event_type")))
 
+    // q05: multiplicity window BEFORE the join (shuffle 3 narrow item
+    // cols) vs the current form (shuffle the 6-col joined rows).
+    {
+      import org.apache.spark.sql.expressions.Window
+      def q05now = graft.queries.EcommerceQueries
+        .queries("q05_flatten_prefix")(spark, dir)
+      def q05pre = {
+        val o = t("orders").select(col("o_orderkey").as("order_o_orderkey"),
+          col("o_orderstatus").as("order_o_orderstatus"))
+        val i0 = t("lineitem").select(col("l_orderkey").as("item_l_orderkey"),
+          col("l_linenumber").as("item_l_linenumber"),
+          col("l_quantity").as("item_l_quantity"))
+        val w = Window.partitionBy(col("item_l_orderkey"))
+        val i = i0.withColumn("total_items_in_order",
+          count(col("item_l_orderkey")).over(w).cast("bigint"))
+        o.join(i, col("order_o_orderkey") === col("item_l_orderkey"), "left")
+          .withColumn("total_items_in_order",
+            coalesce(col("total_items_in_order"), lit(0L)))
+          .withColumn("has_multiple_items", col("total_items_in_order") > 1)
+          .select(col("order_o_orderkey").as("order_key"),
+            col("order_o_orderstatus").as("order_status"),
+            col("item_l_linenumber").as("item_linenumber"),
+            col("item_l_quantity").as("item_quantity"),
+            col("total_items_in_order"), col("has_multiple_items"))
+          .sortWithinPartitions("order_key", "item_linenumber")
+      }
+      noop(q05now); noop(q05pre)
+      val (tN, jN) = best(noop(q05now))
+      val (tP, jP) = best(noop(q05pre))
+      println(f"RESULT q05 now=$tN%6.3f (j=$jN%.1f)  preWindow=$tP%6.3f (j=$jP%.1f)")
+      // row-set equality check
+      val a = q05now.collect().map(_.toString).sorted
+      val b = q05pre.collect().map(_.toString).sorted
+      println(s"RESULT q05 rowset_equal=${a.sameElements(b)} n=${a.length}")
+    }
+
     cases.foreach { case (name, core, keys) =>
       val ordered = () => core().orderBy(keys.map(col): _*)
       val local = () => core().sortWithinPartitions(keys.map(col): _*)
