@@ -250,18 +250,31 @@ object ScaleBench {
         .groupBy(_.getLong(0)).map { case (q, rs) =>
           q -> rs.map(_.getLong(1)).toSet }
       val pqNprobe = math.max(1, kCells / 8)
-      val (pqRecall, pqSec) = timed {
+      // rerank grid: at amplified tiers the true top-k sit inside a
+      // ~F-vector near-tie cluster whose members the 16×16 ADC cannot
+      // order, so the exact re-rank pool (rerank·k ADC candidates)
+      // must COVER the tie population — rerank ≳ F — or recall
+      // collapses while exact-distance IVF stays at 1.0 (measured
+      // r16: x100 rerank=4 → 0.348). The grid commits that sizing
+      // rule with evidence instead of a scaladoc assertion.
+      def pqRecallAt(rr: Int): (Double, Double) = timed {
         val qids = queries.select("vec_id").collect().map(_.getLong(0))
         val per = qids.map { qid =>
           val got = Pq.ivfPqTopK(encoded, corpus,
               queries.where(col("vec_id") === qid), "vec_id", "embedding",
-              k, cb, cents, nprobe = pqNprobe)
+              k, cb, cents, nprobe = pqNprobe, rerank = rr)
             .select("vec_id").collect().map(_.getLong(0)).toSet
           truthByQ.getOrElse(qid, Set.empty[Long])
             .intersect(got).size.toDouble / k
         }
         math.round(per.sum / per.length * 1000.0) / 1000.0
       }
+      val rrGrid = Seq(4, math.max(8, f / 2), math.max(16, 2 * f)).distinct
+      val pqJson = rrGrid.map { rr =>
+        val (r, sec) = pqRecallAt(rr)
+        s""""ivfpq_rerank_$rr":{"nprobe":$pqNprobe,"rerank":$rr,""" +
+        s""""recall_at_10":$r,"loop_sec":$sec}"""
+      }.mkString(",")
       val json =
         s""""$f":{"n_corpus":$n,"n_queries":$nQ,"k_cells":$kCells,""" +
         s""""cell_pop_mean":${math.round(popMean * 10) / 10.0},""" +
@@ -269,8 +282,7 @@ object ScaleBench {
         s""""truth_sec":$truthSec,$ivfJson,""" +
         s""""adaptive":{"min_candidates":$minCand,"median_probes":$medianW,""" +
         s""""max_probes":$maxW,"recall_at_10":$adaptiveRecall},""" +
-        s""""ivfpq":{"nprobe":$pqNprobe,"pq_train_sec":$pqTrainSec,""" +
-        s""""recall_at_10":$pqRecall,"loop_sec":$pqSec}}"""
+        s""""pq_train_sec":$pqTrainSec,$pqJson}"""
       Seq(truth, queries, corpus, encoded).foreach(_.unpersist())
       json
     }.mkString(",")

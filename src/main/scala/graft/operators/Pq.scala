@@ -120,7 +120,20 @@ object Pq {
     * nearest the query (coarse quantizer), ADC-score only the codes in
     * those cells, re-rank the survivors exactly. The scan cost is
     * (nprobe/k)·|corpus| rows × m table lookups over the compact codes
-    * artifact; the raw vectors are touched only for rerank·k ids. */
+    * artifact; the raw vectors are touched only for rerank·k ids.
+    *
+    * SIZING RULE for `rerank` (r16, measured — ScaleBench recall
+    * mode): the exact re-rank pool (rerank·k ADC candidates) must
+    * COVER the query's near-tie population, because the m×ksub ADC
+    * distance is too coarse to ORDER near-duplicates — it can only
+    * find the cluster. On a corpus with ~F near-copies per vector,
+    * recall@10 at x100 cell populations (~780/cell): rerank=4 →
+    * 0.348, rerank=50 → 1.0, rerank=200 → 1.0, at flat wall time
+    * (17.6 vs 19.0 s for the 40-query loop — exact-distance IVF = 1.0
+    * throughout, so the collapse is purely ADC tie-ordering).
+    * Size rerank ≳ expected duplicate-cluster size; the re-rank is a
+    * broadcast-semi-join on rerank·k ids, so the cost grows linearly
+    * and stays tiny relative to the probed ADC scan. */
   def ivfPqTopK(encoded: DataFrame, embeddings: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, k: Int, cb: Codebook,
       cents: Array[Array[Double]], nprobe: Int,

@@ -11,9 +11,13 @@ import graft.sources.ParquetSink
 
 /** Driver-checked query set covering SURVEY.md §2 rows 1–16 (the
   * reference's ETL operator surface re-expressed on the test star
-  * schema). Every query is deterministic (stable ORDER BY, decimal-exact
+  * schema). Every query is deterministic as a row SET (decimal-exact
   * aggregation, timestamps formatted to seconds) so the DuckDB oracle
-  * hash-matches bit-for-bit.
+  * hash-matches bit-for-bit — the gate sorts rows before hashing, so
+  * since r16 output order is only partition-local
+  * (sortWithinPartitions; the global orderBy each query used to end
+  * with cost a range-sampling job + an exchange per query and was
+  * semantically cosmetic — OPTIMIZATION_r16.md change 1).
   */
 object EcommerceQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
