@@ -128,6 +128,30 @@ object ScratchR17 {
         val p1 = probeSec()
         println(f"RESULT config probe0=${r3(p0)} probe1=${r3(p1)} drift=${r3(p1 / p0)}")
 
+      case "advisory" =>
+        // focused replication of the x100 config-grid advisory=256m win:
+        // base/128m/256m/512m/base, so the candidate sits BETWEEN two
+        // same-window baselines instead of riding a drifting window
+        familyQueries.foreach { case (_, f) => f() } // warm
+        probeSec()
+        def withAdvisory(v: Option[String])(label: String): Unit = {
+          val k = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+          val old = spark.conf.getOption(k)
+          v.foreach(spark.conf.set(k, _)); if (v.isEmpty) spark.conf.unset(k)
+          try runFamily(label) finally old match {
+            case Some(o) => spark.conf.set(k, o)
+            case None => spark.conf.unset(k)
+          }
+        }
+        val p0 = probeSec()
+        withAdvisory(None)("advisory base(A1) 64m-default")
+        withAdvisory(Some("128m"))("advisory=128m")
+        withAdvisory(Some("256m"))("advisory=256m")
+        withAdvisory(Some("512m"))("advisory=512m")
+        withAdvisory(None)("advisory base(A2) 64m-default")
+        val p1 = probeSec()
+        println(f"RESULT advisory probe0=${r3(p0)} probe1=${r3(p1)} drift=${r3(p1 / p0)}")
+
       case "skew" =>
         import graft.Tables
         // q65's exact fact/dim construction (EcommerceQueries.q65Fact):
