@@ -186,18 +186,67 @@ object ScratchR17 {
         val tp2 = best(noop(plain))
         println(f"RESULT skew q65 plain=${r3(tp)} plain2=${r3(tp2)} " +
           grid.map { case (f, s) => s"salted_f$f=${r3(s)}" }.mkString(" "))
-        // LSH stop-shingle filter on/off at tier populations: the
-        // boilerplate banner is the seeded hot shingle mass (q67/q84
-        // inject it; here use the raw corpus via nearDupPairs maxDf)
-        import graft.operators.MinHashLSH
-        def docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
-        def pairs(maxDf: Double) = MinHashLSH.nearDupPairs(
-          docs, "doc_id", "text", threshold = 0.7, maxDf = maxDf)
-        noop(pairs(1.0)); noop(pairs(0.05)) // warm
-        val tOff = best(noop(pairs(1.0)))
-        val tOn = best(noop(pairs(0.05)))
+        // LSH hot-shingle robustness at tier populations, on a
+        // banner-SEEDED crawl (the q67 injection: every 4th doc gets
+        // the same 20-token boilerplate prefix — at x100 that is
+        // ~125 k docs sharing the same shingles). Pair expansion is
+        // Σ C(bucket,2), so the unprotected variants are measured as
+        // BUCKET-SIZE DISTRIBUTIONS only (expanding a 125 k-doc bucket
+        // is the quadratic cliff the mitigations exist to prevent);
+        // the protected paths run end-to-end.
+        import graft.operators.{MinHashLSH, TextDedup}
+        val banner =
+          "this site uses cookies accept terms of service privacy policy " +
+          "all rights reserved copyright twenty twenty four navigation home about"
+        def crawl = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 4 === 0, concat(lit(banner + " "), col("text")))
+              .otherwise(col("text")).as("text"))
+        def bucketStats(name: String, sizes: DataFrame): Unit = {
+          // sizes: one column `b` = bucket size (>1 only)
+          val r = sizes.agg(count(lit(1)), max(col("b")),
+            expr("percentile(b, 0.99)"), sum(col("b") * (col("b") - 1) / 2))
+            .head()
+          println(s"RESULT skew lsh $name n_buckets=${r.getLong(0)} " +
+            s"max_bucket=${r.get(1)} p99=${r.get(2)} pairs_implied=${r.get(3)}")
+        }
+        // (a) MinHash band buckets, stop-shingle filter OFF vs ON
+        def mhBuckets(stopOn: Boolean): DataFrame = {
+          val raw = crawl.select(col("doc_id").as("doc"),
+            MinHashLSH.shingleHashes(col("text"), 3).as("sh"))
+          val filtered = if (!stopOn) raw else {
+            val hot = MinHashLSH.stopShingles(raw, maxDf = 0.05)
+            raw.select(col("doc"),
+              filter(col("sh"), h => !array_contains(lit(hot), h)).as("sh"))
+          }
+          MinHashLSH.bandBucketsFromHashes(filtered, 64, 16, 42L,
+              portableBandKey = false)
+            .groupBy("band", "band_hash").agg(count(lit(1)).as("b"))
+            .where(col("b") > 1)
+        }
+        bucketStats("minhash_stop_off", mhBuckets(stopOn = false))
+        bucketStats("minhash_stop_on", mhBuckets(stopOn = true))
+        // (b) the prefix-filter postings index (q20/PostingsArtifact
+        // path): committed dfreq-ranked prefix vs NO prefix selection
+        def tdBase = crawl.select(col("doc_id").as("doc"), lit(1).as("block"),
+            TextDedup.shingleHashes64(col("text"), 3).as("shs"))
+          .withColumn("sz", size(col("shs")).cast("long"))
+        def prefixBuckets = TextDedup.prefixIndex(tdBase, 0.7)
+          .groupBy("block", "sh").agg(count(lit(1)).as("b")).where(col("b") > 1)
+        def rawBuckets = tdBase
+          .select(col("doc"), explode(col("shs")).as("sh"))
+          .groupBy("sh").agg(count(lit(1)).as("b")).where(col("b") > 1)
+        bucketStats("prefix_on", prefixBuckets)
+        bucketStats("prefix_off_allpostings", rawBuckets)
+        // (c) protected end-to-end paths at the tier, for wall time
+        val tMh = best(noop(MinHashLSH.nearDupPairs(crawl, "doc_id", "text",
+          threshold = 0.7, maxDf = 0.05)))
+        val tTd = best(noop(TextDedup.blockedJaccardPairs(
+          crawl.withColumn("block", lit(1)), "doc_id", "text", "block",
+          n = 3, minJaccard = 0.7)))
         val p1 = probeSec()
-        println(f"RESULT skew lsh stop_off=${r3(tOff)} stop_on_maxDf0.05=${r3(tOn)} " +
+        println(f"RESULT skew lsh protected minhash_stop_on=${r3(tMh)} " +
+          f"prefix_blocked_jaccard=${r3(tTd)} " +
           f"probe0=${r3(p0)} probe1=${r3(p1)} drift=${r3(p1 / p0)}")
 
       case "cc" =>
