@@ -260,6 +260,49 @@ object ScratchR17 {
         val p1 = probeSec()
         println(f"RESULT cc q54 best=${r3(t)} probe0=${r3(p0)} probe1=${r3(p1)} drift=${r3(p1 / p0)}")
 
+      case "q45" =>
+        // r12 adjudicated range-partition-first (one exchange serves
+        // grouping + GLOBAL sort) against hash-agg + range-of-groups +
+        // sort. r16's local-sort license changes the menu: hash agg +
+        // sortWithinPartitions was never measured — and it skips the
+        // range sampler, which RE-EXECUTES the bloom-pruned union (the
+        // r16 codec-query lesson, here on a 64 M-row child).
+        import graft.Tables
+        import graft.operators.BloomPrune
+        def li = Tables.load(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        def delta = li.where(col("l_orderkey") % 13 === 0)
+          .withColumn("l_quantity", lit(0.0))
+        val expected = math.max(li.count() / 13L, 1000L)
+        def pruned = BloomPrune.prunedDeleteInsert(li, delta,
+          Seq("l_orderkey", "l_linenumber"),
+          expectedItems = expected, fpp = 0.01)
+        def agg(df: DataFrame) = df.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("total_qty"))
+        def a = agg(pruned.repartitionByRange(col("l_orderkey")))
+          .orderBy("l_orderkey") // committed form
+        def b = agg(pruned).sortWithinPartitions("l_orderkey")
+        def c = agg(pruned.repartitionByRange(col("l_orderkey")))
+          .sortWithinPartitions("l_orderkey")
+        def sig(df: DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            expr("bit_xor(xxhash64(l_orderkey, n_items, total_qty))")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        println(s"RESULT q45 rowset a=${sig(a)} b=${sig(b)} equal=${sig(a) == sig(b)}")
+        noop(a); noop(b); noop(c) // warm
+        val p0 = probeSec()
+        val tA = best(noop(a))
+        val tB = best(noop(b))
+        val tC = best(noop(c))
+        val tA2 = best(noop(a))
+        val p1 = probeSec()
+        println(f"RESULT q45 committed=${r3(tA)} hashAggLocalSort=${r3(tB)} " +
+          f"rangeAggLocalSort=${r3(tC)} committed2=${r3(tA2)} " +
+          f"probe0=${r3(p0)} probe1=${r3(p1)} drift=${r3(p1 / p0)}")
+
       case "profile" =>
         import graft.Tables
         def ev = Tables.loadEvents(spark, dir)
